@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Queries execute through the noop sink — full plan execution without
+driver-side result transfer, so the number measures the engine, not
+collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "w1_rebase_censored",
+    "tpch_q1_pricing_summary",
+    "j1_broadcast_join_revenue",
+    "a13_quantile_vector",
+    "a11_last_value_ratio",
+    "w_ramzor_score",
+    "j_asof_join",
+    "j_sessionization",
+    "dd_minhash_lsh_pairs",
+    "sim_cosine_threshold_pairs",
+    "tx_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from clear_map_data_pipeline_spark.registry import load_all
+    from clear_map_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("clearmap-bench", cpus=cpus, shuffle_partitions=cpus)
+    registry = load_all()
+
+    # JVM/codegen warmup on the smallest fixture so per-query timings
+    # measure execution, not first-call compilation.
+    warm = registry["tpch_q1_pricing_summary"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        t0 = time.perf_counter()
+        df = registry[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

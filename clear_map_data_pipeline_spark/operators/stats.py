@@ -1,0 +1,199 @@
+"""Window/aggregate statistics operators (SURVEY.md §2.4-2.5).
+
+Each is a pure DataFrame -> DataFrame function built on the shared window
+specs in ``windows.py`` so a chained stack of them compiles to ONE
+exchange + sort (verified in tests/test_plan.py).  References cite
+``/root/reference/il_analysis_git.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import by_key_ordered, full_partition, rolling, unpartitioned
+
+
+def last_value_ratio(
+    df: DataFrame,
+    value: str,
+    base: str,
+    out: str,
+    key: str = "id",
+    order: str = "date",
+) -> DataFrame:
+    """A11 (ref :134-136): percent = round(latest value / latest base * 100),
+    broadcast to every row of the group.
+
+    ``max_by`` over the full-partition window replaces the reference's
+    per-group ``iloc[-1]`` on a globally pre-sorted frame.
+    """
+    w = full_partition(key, order)
+    return df.withColumn(
+        out,
+        F.round(F.max_by(value, order).over(w) / F.max_by(base, order).over(w) * 100),
+    )
+
+
+def rebase_to_period_start(
+    df: DataFrame, cols: Sequence[str], key: str = "id", order: str = "date"
+) -> DataFrame:
+    """A12 (ref :158-160): subtract each group's earliest-date value, so a
+    window's series starts at 0."""
+    w = full_partition(key, order)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c) - F.min_by(c, order).over(w))
+    return out
+
+
+def every_nth_latest_anchored(
+    df: DataFrame, n: int = 7, key: str = "id", order: str = "date"
+) -> DataFrame:
+    """W2 (ref :152-154): per group take every n-th row counting BACK from
+    the latest date (weekly downsampling with the newest date kept fixed).
+
+    The reference's per-group ``iloc[::7]`` + append loop becomes a
+    row_number over desc order + one modulo filter.
+    """
+    w = by_key_ordered(key, order).orderBy(F.col(order).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % n == 0)
+        .drop("_rn")
+    )
+
+
+def daily_delta(
+    df: DataFrame, value: str, out: str = "delta", key: str = "id", order: str = "date"
+) -> DataFrame:
+    """W3 (ref :162-164): delta = value - previous-date value; the earliest
+    row falls back to its own value (``diff(-1).fillna``)."""
+    w = by_key_ordered(key, order)
+    return df.withColumn(
+        out, F.coalesce(F.col(value) - F.lag(value).over(w), F.col(value))
+    )
+
+
+def rolling_sum(
+    df: DataFrame, value: str, out: str, n: int = 7, key: str = "id", order: str = "date"
+) -> DataFrame:
+    """W5 (ref latent :138,:141): trailing n-row sum."""
+    return df.withColumn(out, F.sum(value).over(rolling(n, key, order)))
+
+
+def lag_k(
+    df: DataFrame,
+    value: str,
+    out: str,
+    k: int = 7,
+    default: float = 0,
+    key: str = "id",
+    order: str = "date",
+) -> DataFrame:
+    """W6 (ref latent :139): value shifted k rows back, default-filled."""
+    return df.withColumn(out, F.lag(value, k, default).over(by_key_ordered(key, order)))
+
+
+def ramzor_score(
+    df: DataFrame,
+    cases: str = "cases",
+    tests: str = "tests",
+    pop: str = "pop",
+    out: str = "ramzor",
+    key: str = "id",
+    order: str = "date",
+) -> DataFrame:
+    """The reference's latent "ramzor" (traffic-light) epidemic score
+    (ref :138-146, commented out there; implemented here):
+
+        N = rolling_7(cases) / pop * 10000        (weekly per-10k)
+        G = N / lag_7(N)                          (weekly growth)
+        P = rolling_7(cases) / rolling_7(tests)   (positivity)
+        score = clamp(2 + ln(N*G^2) + P/8, 0, 10), NULL->0, round(1)
+
+    ``ln`` of a non-positive argument yields NULL (Spark) — matching the
+    reference's ``fillna(0)`` treatment of undefined scores.
+    """
+    w7 = rolling(7, key, order)
+    wk = by_key_ordered(key, order)
+    wnc = F.sum(cases).over(w7) / F.col(pop) * 10000
+    # Spark 4 runs ANSI mode by default: guard every division whose
+    # divisor can be 0 (the first 7 rows' lag default, empty test weeks).
+    prev = F.lag("_wnc", 7, 0.0).over(wk)
+    growth = F.when(prev != 0, F.col("_wnc") / prev)
+    t7 = F.sum(tests).over(w7)
+    positivity = F.when(t7 != 0, F.sum(cases).over(w7) / t7)
+    return (
+        df.withColumn("_wnc", wnc)
+        .withColumn("_g", growth)
+        .withColumn("_p", positivity)
+        .withColumn(
+            out,
+            F.round(
+                F.greatest(
+                    F.least(
+                        F.coalesce(
+                            F.lit(2) + F.log(F.col("_wnc") * F.col("_g") * F.col("_g"))
+                            + F.col("_p") / 8,
+                            F.lit(0.0),
+                        ),
+                        F.lit(10.0),
+                    ),
+                    F.lit(0.0),
+                ),
+                1,
+            ),
+        )
+        .drop("_wnc", "_g", "_p")
+    )
+
+
+def quantile_vector(
+    df: DataFrame,
+    value: str,
+    qs: Sequence[float] = tuple(round(0.05 * i, 2) for i in range(1, 20)),
+    exact: bool = True,
+) -> DataFrame:
+    """A13 (ref :168): the 19-quantile color scale of ``normalized``.
+
+    Returns one row per quantile: (q_idx, q_value).  ``exact=True`` uses
+    ``percentile`` (sort-based, oracle-exact); at 100 TB flip to
+    ``percentile_approx`` (single-pass sketch, mergeable across
+    partitions) — same shape, bounded error.
+    """
+    fn = F.percentile if exact else F.percentile_approx
+    arr = fn(F.col(value), F.array([F.lit(q) for q in qs]))
+    return (
+        df.agg(arr.alias("_qs"))
+        .select(F.posexplode("_qs").alias("pos", "q_value"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("q_idx"),
+            F.round("q_value", 2).alias("q_value"),
+        )
+    )
+
+
+def daily_total_delta(
+    df: DataFrame, value: str, date: str = "date", out: str = "daily_delta"
+) -> DataFrame:
+    """A14+W7 (ref :169): country-wide daily totals, first-differenced,
+    first row falling back to its own total.
+
+    Partial (map-side) aggregation shrinks the frame to <= #dates rows
+    BEFORE the single-partition lag window — the unpartitioned window is
+    safe because it runs on the tiny aggregate, never the raw data.
+    """
+    totals = df.groupBy(date).agg(F.sum(value).alias("_total"))
+    w = unpartitioned(date)
+    return totals.select(
+        F.col(date),
+        F.coalesce(F.col("_total") - F.lag("_total").over(w), F.col("_total")).alias(out),
+    )
+
+
+def distinct_ordered_dates(df: DataFrame, date: str = "date") -> DataFrame:
+    """A15 (ref :167): the distinct dates of a window, ordered."""
+    return df.select(date).distinct().orderBy(date)

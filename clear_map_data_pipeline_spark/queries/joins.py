@@ -1,0 +1,236 @@
+"""Join-layer queries (SURVEY.md §2.6) plus the large-scale join patterns
+the reference never needed (as-of join, sessionization, JSON extraction,
+pivot, rollup) — all pure DataFrame ops with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import Tables
+
+
+@register(
+    "j1_broadcast_join_revenue",
+    sql="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def j1_broadcast_join_revenue(spark, sf_dir):
+    """J1+P4 (ref :126-127): fact x dim equi-join chain.
+
+    nation/customer are broadcast (dim side under the threshold);
+    lineitem⋈orders is the only shuffle join.  At 100 TB the fact-fact
+    join shuffles on the join key once — AQE handles skew splits."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j2_semi_join",
+    sql="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j2_semi_join(spark, sf_dir):
+    """J2/F5 (ref :117): restrict dim to keys present in the fact —
+    left_semi join (EXISTS), never materializing fact columns."""
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey")
+
+
+@register(
+    "j_anti_join",
+    sql="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def j_anti_join(spark, sf_dir):
+    """Anti-join complement of J2 (keys absent from the fact)."""
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "j_asof_join",
+    sql="""
+    SELECT e.event_id, e.user_id,
+           (SELECT max(CAST(o.o_orderdate AS DATE)) FROM orders o
+             WHERE o.o_custkey = e.user_id
+               AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE))
+             AS last_order_date
+    FROM events e
+    """,
+)
+def j_asof_join(spark, sf_dir):
+    """As-of join (backward): for each event, the latest order date of the
+    same user at-or-before the event date.
+
+    Spark has no native ASOF JOIN; the scalable pattern is union-tag +
+    one window pass: tag both streams, sort by (key, time, tag) and take
+    the running max of the right-side time — one shuffle on the key, no
+    per-row subquery, no skew-prone range join.  (The DuckDB oracle uses
+    a correlated subquery for clarity; semantics identical.)"""
+    t = Tables(spark, sf_dir)
+    events = t.events.select(
+        "event_id",
+        F.col("user_id").alias("key"),
+        F.to_date("ts").alias("time"),
+        F.lit(1).alias("is_left"),
+    )
+    orders = t.orders.select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("key"),
+        F.to_date("o_orderdate").alias("time"),
+        F.lit(0).alias("is_left"),
+    )
+    unioned = events.unionByName(orders)
+    # right rows sort before left rows at the same time => '<=' semantics
+    w = (
+        Window.partitionBy("key")
+        .orderBy("time", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn(
+        "last_order_date",
+        F.max(F.when(F.col("is_left") == 0, F.col("time"))).over(w),
+    )
+    return matched.filter(F.col("is_left") == 1).select(
+        "event_id", F.col("key").alias("user_id"), "last_order_date"
+    )
+
+
+@register(
+    "j_sessionization",
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def j_sessionization(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session; cumulative
+    sum of the boundary flags numbers the sessions.  One shuffle on
+    user_id; both windows share the same spec."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    gapped = t.events.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(wc))
+    return gapped.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "c_json_extract",
+    sql="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def c_json_extract(spark, sf_dir):
+    """JSON extraction over events.props (SURVEY §2.8 extension surface):
+    get_json_object — JVM-side Jackson parse, no Python boundary."""
+    t = Tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "o_pivot",
+    sql="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 2) AS qty_o,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def o_pivot(spark, sf_dir):
+    """Pivot (wide aggregation) — explicit value list so no extra
+    distinct-values job runs at scale."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+@register(
+    "o_rollup",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def o_rollup(spark, sf_dir):
+    """Rollup hierarchy totals (partial aggregation reused across levels)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "sum_qty",
+        )
+    )

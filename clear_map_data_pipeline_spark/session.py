@@ -1,0 +1,90 @@
+"""SparkSession construction.
+
+Local test mode is ``local[N]`` (one JVM); at cluster scale the same
+settings apply, with AQE handling runtime re-planning and skew joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "clear_map_data_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - AQE on: runtime shuffle coalescing + skew-join splitting, the main
+      defense at 100 TB where static partition counts are always wrong.
+    - UTC session timezone: parity with the DuckDB oracle (naive UTC).
+    - Arrow on: vectorized Python <-> JVM transfer for the pandas-UDF
+      operators (multimodal, spatial fallback).
+    - shuffle.partitions ~= cores locally; on a real cluster AQE's
+      coalescing makes the initial number mostly moot.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class Tables:
+    """Lazy accessor for the driver's parquet fixture tables.
+
+    ``Tables(spark, sf_dir).lineitem`` -> DataFrame over
+    ``{sf_dir}/lineitem.parquet``.  Reads are lazy logical plans; Catalyst
+    prunes columns and pushes predicates into the parquet scan.
+
+    The fixtures store timestamps as parquet TIMESTAMP(NANOS), which Spark
+    has no native type for: we enable the legacy nanos-as-long read (a
+    runtime-settable SQL conf, so it works under any caller's session) and
+    rebuild TimestampType via exact integer division to microseconds.
+    """
+
+    NAMES = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+
+    _NANO_TS_COLS = {
+        "events": ["ts"],
+        "orders": ["o_orderdate"],
+        "lineitem": ["l_shipdate"],
+    }
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def __getattr__(self, name: str):
+        if name not in self.NAMES:
+            raise AttributeError(name)
+        df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
+        for c in self._NANO_TS_COLS.get(name, []):
+            if dict(df.dtypes).get(c) == "bigint":
+                # exact integer ns -> us (DIV, not double division: values
+                # near 2^60 lose sub-us precision through a double)
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
+                )
+        return df
