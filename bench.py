@@ -27,7 +27,7 @@ HEADLINE = [
     "j_asof_join",
     "j_sessionization",
     "dd_minhash_lsh_pairs",
-    "sim_cosine_threshold_pairs",
+    "sim_ann_lsh_pairs",
     "tx_quality_score",
 ]
 

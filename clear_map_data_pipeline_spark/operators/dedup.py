@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+
+Scale design (the 100 TB story):
+- Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, with
+  map-side partial aggregation; never shuffles document bodies.
+- MinHash signatures are per-document map-side work (no shuffle); LSH
+  banding turns all-pairs O(n²) into an equi-join on (band_idx, band
+  value) — each band bucket is tiny, and AQE splits skewed buckets.
+- Jaccard verification joins only the LSH candidate pairs against the
+  shingle inverted index (broadcast the candidate list when small).
+- SimHash is pure per-row expression work; near-dup lookup is an
+  equi-join on the fingerprint (or its rotated bands for hamming<k).
+
+Hash choice: ``hash_fn`` defaults to md5 (portable → DuckDB-oracle-able
+bit-for-bit).  For production throughput pass ``xxhash64``-based
+expressions; semantics are unchanged — min-over-hashes is a uniform
+random permutation approximation either way.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate marking: group by content digest; the smallest id
+    in each group is the canonical survivor.
+
+    Returns (id, content_hash, is_dup, canonical_id).  At scale: shuffle
+    carries only (digest, id) pairs, not text."""
+    digests = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    groups = digests.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("_n")
+    )
+    return (
+        digests.join(groups, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            (F.col("_n") > 1).alias("is_dup"),
+            "canonical_id",
+        )
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Inverted index: one row per (id, distinct word-k-gram shingle)."""
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode(word_shingles("_toks", k)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    md5(i || '|' || shingle).  A lexicographic min over a cryptographic
+    hex digest is a uniform random permutation min — the classic MinHash
+    estimator.  One aggregation, map-side combinable."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Fold a signature into ``bands`` band digests -> (id, band_idx,
+    band).  Docs sharing ANY band become join candidates."""
+    rows_per_band = num_hashes // bands
+    cols = []
+    for b in range(bands):
+        parts = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band")
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("_b")
+    ).select(id_col, F.col("_b.band_idx").alias("band_idx"), F.col("_b.band").alias("band"))
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join on (band_idx, band): the LSH candidate pair set."""
+    a = bands_df.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band"
+    )
+    return (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via the shingle inverted index;
+    keep pairs with similarity >= threshold (compared on the rounded
+    value so engine/oracle agree bit-for-bit at the boundary)."""
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    return (
+        inter.join(sizes.toDF("doc_a", "_na"), "doc_a")
+        .join(sizes.toDF("doc_b", "_nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    bucket-join -> exact-Jaccard verify.  Returns (doc_a, doc_b, jaccard)."""
+    sh = shingle_index(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    bandsdf = lsh_bands(sigs, id_col, num_hashes, bands)
+    pairs = candidate_pairs(bandsdf, id_col)
+    return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via the shingle inverted index (no LSH):
+    exact recall, cost bounded by shingle-bucket sizes.  The baseline the
+    LSH path is measured against."""
+    sh = shingle_index(df, id_col, text_col, shingle_k)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    return (
+        inter.join(sizes.toDF("doc_a", "_na"), "doc_a")
+        .join(sizes.toDF("doc_b", "_nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    out: str = "simhash",
+) -> DataFrame:
+    """SimHash fingerprint: per token, bit b is the parity of hex digit
+    b of md5(token); bits vote ±1 across tokens; the sign vector packs
+    into an integer.  Near-identical token multisets land on identical
+    (or hamming-close) fingerprints.
+
+    Pure per-row array aggregation — no shuffle at any scale."""
+    toks = "filter(split(lower({c}), '\\\\s+'), x -> x != '')".format(c=text_col)
+    bit_terms = []
+    for b in range(bits):
+        vote = (
+            f"aggregate({toks}, 0, (acc, x) -> acc +"
+            f" ((instr('0123456789abcdef', substring(md5(x), {b + 1}, 1)) - 1) % 2)"
+            f" * 2 - 1)"
+        )
+        bit_terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
+    return df.withColumn(
+        out, F.expr(" + ".join(bit_terms)).cast("long")
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine: exact baseline — O(Q x N x d) with the query side
+  broadcast; all arithmetic in JVM higher-order functions (zip_with +
+  aggregate), no Python boundary.
+- Random-hyperplane LSH: the scale path — per-row bucketing against
+  deterministic ±1 hyperplanes (derived from md5 so engine and oracle
+  agree bit-for-bit), then candidate generation within buckets only.
+  At 100 TB: bucketing is map-side; the bucket join replaces the O(N²)
+  pair blow-up; multiple plane-sets (repetitions) trade recall for cost.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hyperplane(plane_idx: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane: sign = parity of the first hex digit
+    of md5(f"{plane_idx}|{dim_idx}").  Reproducible everywhere (Python,
+    Spark, DuckDB) with no RNG state."""
+    return [
+        1
+        if int(hashlib.md5(f"{plane_idx}|{i}".encode()).hexdigest()[0], 16) % 2
+        else -1
+        for i in range(dim)
+    ]
+
+
+def as_double(col: str) -> Column:
+    """array<float> -> array<double> (all downstream math in doubles so
+    fold order is the only precision concern — and it's fixed)."""
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order,
+    matching DuckDB's list_sum(list_transform(...)) element order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, NULL-safe for zero vectors (ANSI mode)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Brute-force all-pairs cosine, keeping pairs >= threshold (compared
+    on the 4-decimal rounded value).  Exact-recall baseline."""
+    v = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    a = v.toDF("va", "_a")
+    b = v.toDF("vb", "_b")
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbours (cosine) for each query vector.
+
+    The query side is broadcast (small); ranking uses row_number with a
+    deterministic id tie-break."""
+    from pyspark.sql import Window
+
+    cand = df.select(F.col(id_col).alias("vb"), as_double(vec_col).alias("_b"))
+    qry = queries.select(F.col(id_col).alias("va"), as_double(vec_col).alias("_a"))
+    scored = F.broadcast(qry).crossJoin(cand).filter(F.col("va") != F.col("vb")).select(
+        "va", "vb", F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos_sim").desc(), F.col("vb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("va", "vb", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_bucket(vec_col_dbl: str, dim: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = (v · h_j) > 0."""
+    terms = []
+    for j in range(num_planes):
+        plane = hyperplane(j, dim)
+        arr = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_col_dbl}, {arr}, (x, y) -> x * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def ann_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Approximate near-neighbour pairs: exact cosine evaluated ONLY
+    within LSH buckets.  Trades recall (bucket-boundary misses) for a
+    ~2^planes candidate reduction."""
+    v = df.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).withColumn("bucket", lsh_bucket("_v", dim, num_planes))
+    a = v.select(F.col(id_col).alias("va"), F.col("_v").alias("_a"), "bucket")
+    b = v.select(F.col(id_col).alias("vb"), F.col("_v").alias("_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "va", "vb", F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,1 +1,125 @@
-"""Filled in incrementally."""
+"""Deduplication queries over documents: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.  The LSH pipeline's oracle SQL mirrors every stage
+(shingle -> signature -> band -> candidate -> verify) CTE by CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..registry import register
+from ..session import Tables
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# word-3-gram distinct shingle inverted index (mirror of shingle_index)
+_SHINGLES_CTES = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [] END) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+@register(
+    "dd_exact",
+    sql="""
+    WITH d AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    g AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n
+          FROM d GROUP BY content_hash)
+    SELECT d.doc_id, d.content_hash, g.n > 1 AS is_dup, g.canonical_id
+    FROM d JOIN g USING (content_hash)
+    """,
+)
+def dd_exact(spark, sf_dir):
+    """Exact dedup: content-digest groupBy; min-id canonical survivor.
+    Only (digest, id) pairs ever shuffle — never document bodies."""
+    t = Tables(spark, sf_dir)
+    return dd.exact_dedup(t.documents)
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+    )
+    return f"""
+    WITH {_SHINGLES_CTES},
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(h4 || h5 || h6 || h7) AS band FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) >= 0.5
+    """
+
+
+@register("dd_minhash_lsh_pairs", sql=_minhash_sql())
+def dd_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: shingle -> 8 minhash sigs -> 2 LSH
+    bands -> bucket-join candidates -> exact-Jaccard verify >= 0.5.
+    The banding join replaces the O(n²) pair blow-up at scale."""
+    t = Tables(spark, sf_dir)
+    return dd.minhash_lsh_dedup_pairs(t.documents)
+
+
+@register(
+    "dd_ngram_jaccard_pairs",
+    sql=f"""
+    WITH {_SHINGLES_CTES}
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) >= 0.5
+    """,
+)
+def dd_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact-recall n-gram Jaccard pairs via the shingle inverted index —
+    the baseline the LSH path's recall is measured against."""
+    t = Tables(spark, sf_dir)
+    return dd.ngram_jaccard_pairs(t.documents)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"coalesce(list_sum(list_transform({_TOKS}, x ->"
+            f" ((instr('0123456789abcdef', substr(md5(x), {b + 1}, 1)) - 1) % 2)"
+            f" * 2 - 1)), 0)"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM documents"
+
+
+@register("dd_simhash", sql=_simhash_sql())
+def dd_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit): per-token md5 bit votes packed to
+    an integer.  Pure per-row expressions — no shuffle at any scale."""
+    t = Tables(spark, sf_dir)
+    return dd.simhash(t.documents).select("doc_id", "simhash")
