@@ -1,1 +1,69 @@
-"""Filled in incrementally."""
+"""Spatial queries (SURVEY §2.9 B1-B5).  Geometry is synthesized
+deterministically from the nation table (disjoint unit squares on a
+grid, one per nation, grouped by region).  No SQL oracle — DuckDB's
+spatial extension isn't available offline — so these are driver
+rows-only checks; exact golden assertions live in tests/test_spatial.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import spatial as sp
+from ..registry import register
+from ..session import Tables
+
+
+def _nation_squares(spark, sf_dir):
+    """One disjoint unit square per nation at (3*(key%5), 3*(key//5));
+    region key as the dissolve group."""
+    t = Tables(spark, sf_dir)
+    n = t.nation.select(
+        "n_nationkey",
+        "n_regionkey",
+        (F.col("n_nationkey") % 5 * 3).cast("double").alias("_x"),
+        (F.expr("n_nationkey DIV 5") * 3).cast("double").alias("_y"),
+    )
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("_x"), F.lit(" "), F.col("_y"), F.lit(", "),
+        F.col("_x") + 1, F.lit(" "), F.col("_y"), F.lit(", "),
+        F.col("_x") + 1, F.lit(" "), F.col("_y") + 1, F.lit(", "),
+        F.col("_x"), F.lit(" "), F.col("_y") + 1, F.lit(", "),
+        F.col("_x"), F.lit(" "), F.col("_y"),
+        F.lit("))"),
+    )
+    return n.select(
+        "n_nationkey", F.col("n_regionkey").alias("city"), wkt.alias("geometry")
+    )
+
+
+@register("sp_dissolve_hull")
+def sp_dissolve_hull(spark, sf_dir):
+    """B1+B2+B3 (ref :97-101): per-region dissolve of member polygons;
+    multi-polygon unions collapse to their convex hull (monotone chain,
+    exact).  applyInPandas grouped-map — one shuffle on the group key."""
+    squares = _nation_squares(spark, sf_dir)
+    return sp.dissolve(squares, key="city", geom="geometry")
+
+
+@register("sp_boundary")
+def sp_boundary(spark, sf_dir):
+    """B4 (ref :174): polygon -> boundary lines (Arrow-batched UDF)."""
+    squares = _nation_squares(spark, sf_dir)
+    return squares.select(
+        "n_nationkey", sp.st_boundary_udf()(F.col("geometry")).alias("boundary_wkt")
+    )
+
+
+@register("sp_geojson_roundtrip")
+def sp_geojson_roundtrip(spark, sf_dir):
+    """B5 (ref :76,:173): WKT -> GeoJSON -> WKT round-trip fidelity."""
+    squares = _nation_squares(spark, sf_dir)
+    gj = sp.st_asgeojson_udf()(F.col("geometry"))
+    back = sp.st_geomfromgeojson_udf()(gj)
+    return squares.select(
+        "n_nationkey",
+        gj.alias("geojson"),
+        (back == F.col("geometry")).alias("roundtrip_ok"),
+    )

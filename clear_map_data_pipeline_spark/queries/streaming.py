@@ -1,1 +1,18 @@
-"""Filled in incrementally."""
+"""Streaming query registration (rows-only check: Structured Streaming
+state is not SQL-expressible for the DuckDB oracle; tests assert the
+batch-equivalence separately in tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from ..registry import register
+from ..streaming.daily import daily_totals_stream
+
+
+@register("st_daily_totals_incremental")
+def st_daily_totals_incremental(spark, sf_dir):
+    """Incremental daily totals: readStream(parquet) -> 1-day watermark
+    -> daily windowed agg -> AvailableNow drain -> memory sink.  The
+    streaming twin of A14; closed windows only (append mode)."""
+    return daily_totals_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="st_daily_totals_q"
+    )

@@ -7,8 +7,36 @@ settings apply, with AQE handling runtime re-planning and skew joins.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via ``addPyFile``.
+
+    cloudpickle serializes UDF/``applyInPandas`` functions *by reference*
+    to their defining module, so workers must be able to import
+    ``clear_map_data_pipeline_spark`` themselves.  That holds when the
+    driver runs from the repo root (cwd on sys.path) but not when a
+    harness imports ``__spark_entry__.py`` by path from elsewhere — so we
+    zip the package once per SparkContext and register it.  On a real
+    cluster this is exactly how the package would be deployed
+    (``--py-files``); the zip is ~tens of KB, negligible either way.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_cmdp_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(), "clear_map_data_pipeline_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    sc._cmdp_pkg_shipped = True
 
 
 def get_spark(

@@ -1,0 +1,106 @@
+"""Sinks (SURVEY §2.1 S4-S9).
+
+The reference's export artifacts are small (thousands of features), so
+the GeoJSON/CSV writers collect ordered rows to the driver and emit a
+single file — matching the reference's single-file, ordered outputs.
+The interface stays partitioned-capable: pass ``distributed=True`` to
+write a parquet/json dataset instead for at-scale exports.
+
+S7 (tippecanoe), S8 (S3 upload) and S9 (Mapbox publish) are process/
+network boundaries OUTSIDE the query plan — kept as driver-side adapter
+seams, stubbed where the tool/credentials are absent.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import json
+from itertools import zip_longest
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    geom_col: str = "geometry",
+    order_by: Sequence[str] = ("id", "date"),
+    distributed: bool = False,
+) -> None:
+    """S4/S5 (ref :173-175): write features as a GeoJSON
+    FeatureCollection (geometry from the WKT column, all other columns
+    as properties)."""
+    from ..operators.spatial import wkt_to_geojson
+
+    if distributed:
+        (
+            df.write.mode("overwrite").json(path)
+        )
+        return
+    cols = [c for c in df.columns if c != geom_col]
+    rows = df.orderBy(*order_by).collect()
+    feats = []
+    for r in rows:
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": {c: _jsonable(r[c]) for c in cols},
+                "geometry": json.loads(wkt_to_geojson(r[geom_col])),
+            }
+        )
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+
+def _jsonable(v):
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def write_dates_array_csv(path: str, columns: dict[str, list]) -> None:
+    """S6 (ref :202-213): the ragged 12-column dates/colors/sums CSV,
+    zip_longest over unequal-length lists."""
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(list(columns))
+        for values in zip_longest(*columns.values()):
+            w.writerow(values)
+
+
+def build_mbtiles(geojson_paths: dict[str, str], out_path: str) -> None:
+    """S7 (ref :177-181): tippecanoe shell adapter — a process boundary
+    outside the engine; raises when the tool is absent."""
+    import shutil
+    import subprocess
+
+    if shutil.which("tippecanoe") is None:
+        raise NotImplementedError(
+            "tippecanoe not installed; S7 is a driver-side post-step "
+            "adapter (ref il_analysis_git.py:177-181)"
+        )
+    layers = []  # pragma: no cover - tool absent in this environment
+    for name, p in geojson_paths.items():
+        layers += ["-L", f"{name}:{p}"]
+    subprocess.run(
+        ["tippecanoe", "-zg", "-f", "-o", out_path, *layers], check=True
+    )
+
+
+def upload_s3(local_path: str, bucket: str, key: str, **client_kwargs) -> None:
+    """S8 (ref :188-189,:214-215): S3 upload adapter.  For data
+    artifacts prefer ``df.write`` to ``s3a://`` URIs; binary tiles go
+    through this driver-side seam (boto3 not installed here)."""
+    raise NotImplementedError(
+        "no object store in this environment; at scale write data via "
+        "df.write.parquet('s3a://...') and upload tiles via boto3"
+    )
+
+
+def publish_mapbox(tileset: str, mbtiles_path: str, api_key: str) -> None:
+    """S9 (ref :182-199): Mapbox uploads-API publish — network adapter
+    outside the engine."""
+    raise NotImplementedError("network publish is a driver-side post-step")

@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the performance properties value-hashing
+can't see (SURVEY §5.4):
+
+1. the stacked window pipeline (rebase + delta over the same (id, date)
+   spec) runs with a SINGLE Exchange hashpartitioning(id) — the shared
+   window spec reuses one shuffle+sort;
+2. parquet scans get column pruning (narrow ReadSchema) and predicate
+   pushdown (PushedFilters);
+3. the fact x dim join is a BroadcastHashJoin, not a shuffle join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_single_exchange_for_stacked_windows(spark, sf_dir):
+    from clear_map_data_pipeline_spark.operators import stats
+    from clear_map_data_pipeline_spark.operators.rebase import rebase_censored
+    from clear_map_data_pipeline_spark.queries.common import moh_daily
+    from clear_map_data_pipeline_spark.session import Tables
+
+    daily = moh_daily(Tables(spark, sf_dir))
+    stacked = stats.daily_delta(
+        rebase_censored(daily, {"cases": "new_case", "vaccine": "new_vaccine"}),
+        "cases",
+    )
+    plan = _formatted_plan(stacked)
+    # the (id)-only hash exchange feeding the window stack must appear
+    # exactly once: the rebase windows and the delta window share one
+    # shuffle+sort (formatted mode puts partitioning on Arguments lines)
+    id_exchanges = len(re.findall(r"hashpartitioning\(id#\d+L?, \d", plan))
+    assert id_exchanges == 1, f"expected 1 id-exchange, got {id_exchanges}:\n{plan}"
+    # both window operators stack over that single exchange + sort
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    q = load_all()["p2_project_rename"].builder(spark, sf_dir)
+    plan = _formatted_plan(q)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    }, read_cols
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.session import Tables
+
+    df = (
+        Tables(spark, sf_dir)
+        .lineitem.filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    plan = _formatted_plan(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", plan), plan
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    q = load_all()["w1_rebase_censored"].builder(spark, sf_dir)
+    plan = _formatted_plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

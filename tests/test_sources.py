@@ -1,0 +1,90 @@
+"""Sources/sinks: MOH CSV ingest -> clean roundtrip, GeoJSON
+reader/writer roundtrip, dates-array CSV shape."""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+
+MOH_CSV = """town_code,agas_code,date,accumulated_cases,new_cases_on_date,accumulated_diagnostic_tests,accumulated_vaccination_first_dose,new_vacc_first_dose_on_date,town
+5000,1,2021-01-01,<15,TRUE,20,<15,FALSE,TLV
+5000,1,2021-01-02,17,TRUE,25,<15,TRUE,TLV
+,,2021-01-01,<15,FALSE,<15,<15,FALSE,NAN
+0,,2021-01-02,<15,FALSE,<15,<15,FALSE,NAN
+"""
+
+
+def test_moh_csv_ingest_clean(spark, tmp_path):
+    from clear_map_data_pipeline_spark.operators.clean import clean_moh
+    from clear_map_data_pipeline_spark.sources.readers import read_moh_csv
+
+    p = tmp_path / "moh.csv"
+    p.write_text(MOH_CSV)
+    raw = read_moh_csv(spark, str(p), extra_cols=["town"])
+    cleaned = clean_moh(raw)
+    rows = {(r["city"], r["area"], str(r["date"])): r for r in cleaned.collect()}
+    # null/0-keyed rows dropped (F2); the two TLV rows survive
+    assert len(rows) == 2
+    r1 = rows[(5000, 1, "2021-01-01")]
+    assert r1["cases"] == 0 and r1["new_case"] == 1 and r1["tests"] == 20.0
+    assert r1["id"] == 50000001
+    r2 = rows[(5000, 1, "2021-01-02")]
+    assert r2["cases"] == 17 and r2["vaccine"] == 0.0 and r2["new_vaccine"] == 1
+
+
+def test_geojson_roundtrip(spark, tmp_path):
+    from clear_map_data_pipeline_spark.sources.readers import read_geojson
+    from clear_map_data_pipeline_spark.sources.writers import write_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"id": 1, "name": "a", "date": "2021-01-01"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"id": 2, "name": "b", "date": "2021-01-02"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[2, 2], [3, 2], [3, 3], [2, 2]]],
+                },
+            },
+        ],
+    }
+    src = tmp_path / "in.geojson"
+    src.write_text(json.dumps(fc))
+    df = read_geojson(spark, str(src))
+    assert sorted(df.columns) == ["date", "geometry", "id", "name"]
+    assert df.count() == 2
+    assert df.filter(df.geometry.startswith("POLYGON")).count() == 2
+
+    out = tmp_path / "out.geojson"
+    write_geojson(df, str(out), order_by=["id"])
+    back = json.loads(out.read_text())
+    assert back["type"] == "FeatureCollection" and len(back["features"]) == 2
+    assert back["features"][0]["properties"]["id"] == 1
+    assert back["features"][0]["geometry"]["type"] == "Polygon"
+
+
+def test_dates_array_csv(tmp_path):
+    from clear_map_data_pipeline_spark.sources.writers import write_dates_array_csv
+
+    p = tmp_path / "dates.csv"
+    write_dates_array_csv(
+        str(p),
+        {"all": ["2021-01-01", "2021-01-02"], "colors_all": [1, 2, 3], "sum_all": [9]},
+    )
+    with open(p) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["all", "colors_all", "sum_all"]
+    assert len(rows) == 4  # header + zip_longest over the longest list
+    assert rows[1] == ["2021-01-01", "1", "9"]
+    assert rows[3] == ["", "3", ""]
