@@ -118,21 +118,27 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via the shingle inverted index;
-    keep pairs with similarity >= threshold (compared on the rounded
-    value so engine/oracle agree bit-for-bit at the boundary)."""
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .join(pairs, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("_inter"))
+    """Exact Jaccard for candidate pairs, set-based: collect each doc's
+    (already-distinct) shingle set once, attach both sides to the pair
+    list, intersect arrays per pair.  Keep pairs with similarity >=
+    threshold (compared on the rounded value so engine/oracle agree
+    bit-for-bit at the boundary).
+
+    Scale: the obvious alternative — self-joining the shingle inverted
+    index and semi-joining the candidates — re-pays the all-pairs cost
+    LSH exists to avoid (every shared shingle between ANY two docs
+    materializes a join row).  Here the heavy side is shuffled once to
+    build per-doc sets (map-side combinable), and the candidate list —
+    tiny by LSH construction — is broadcast to both attach joins, so no
+    further shuffle of shingle data occurs."""
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_set"), F.count("*").alias("_n")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     return (
-        inter.join(sizes.toDF("doc_a", "_na"), "doc_a")
-        .join(sizes.toDF("doc_b", "_nb"), "doc_b")
+        sets.toDF("doc_a", "_sa", "_na")
+        .join(F.broadcast(pairs), "doc_a")
+        .join(sets.toDF("doc_b", "_sb", "_nb"), "doc_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
         .select(
             "doc_a",
             "doc_b",
