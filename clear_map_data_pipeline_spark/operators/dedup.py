@@ -4,11 +4,13 @@ exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
 Scale design (the 100 TB story):
 - Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, with
   map-side partial aggregation; never shuffles document bodies.
-- MinHash signatures are per-document map-side work (no shuffle); LSH
-  banding turns all-pairs O(n²) into an equi-join on (band_idx, band
-  value) — each band bucket is tiny, and AQE splits skewed buckets.
-- Jaccard verification joins only the LSH candidate pairs against the
-  shingle inverted index (broadcast the candidate list when small).
+- The MinHash path never shuffles shingle data at all: each document's
+  distinct shingle set stays a per-row array, signatures are per-row
+  ``array_min(transform(...))``, and exact-Jaccard verification
+  intersects the same arrays.  The only shuffles in the whole pipeline
+  are the (tiny) band-bucket self-join and the verify attach joins.
+- LSH banding turns all-pairs O(n²) into an equi-join on (band_idx,
+  band value) — each band bucket is tiny, and AQE splits skewed buckets.
 - SimHash is pure per-row expression work; near-dup lookup is an
   equi-join on the fingerprint (or its rotated bands for hamming<k).
 
@@ -63,18 +65,43 @@ def shingle_index(
     )
 
 
-def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+def doc_shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, min over shingles of
-    md5(i || '|' || shingle).  A lexicographic min over a cryptographic
-    hex digest is a uniform random permutation min — the classic MinHash
-    estimator.  One aggregation, map-side combinable."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    """(id, _set, _n): each document's distinct word-k-gram shingles as
+    an array column, docs with no shingles dropped (mirroring the
+    inverted-index form, where they contribute no rows).  Pure per-row
+    expression work — the document body is read once and never shuffled.
+
+    The no-shingle filter is expressed on token count (>= k tokens <=>
+    >= 1 shingle): filtering on size(_set) instead makes Catalyst push
+    the whole shingle transform below the project and re-evaluate it as
+    an interpreted predicate per row (~15x slower at sf0.1)."""
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .filter(F.size("_toks") >= k)
+        .select(F.col(id_col), word_shingles("_toks", k).alias("_set"))
+        .withColumn("_n", F.size("_set"))
+    )
+
+
+def minhash_signatures(
+    sets: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over the doc's
+    shingle set of md5(i || '|' || shingle).  A lexicographic min over a
+    cryptographic hex digest is a uniform random permutation min — the
+    classic MinHash estimator.  Computed per row over the shingle array
+    (``array_min(transform(...))``) — no shuffle, unlike the
+    inverted-index groupBy formulation this replaces."""
+    def sig(i: int):
+        # NB: a one-parameter lambda is required — PySpark passes the
+        # array index to two-parameter lambdas, which would shadow i.
+        return F.array_min(
+            F.transform("_set", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"h{i}")
+
+    return sets.select(F.col(id_col), *[sig(i) for i in range(num_hashes)])
 
 
 def lsh_bands(
@@ -116,24 +143,20 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    pairs: DataFrame, sets: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs, set-based: collect each doc's
-    (already-distinct) shingle set once, attach both sides to the pair
-    list, intersect arrays per pair.  Keep pairs with similarity >=
-    threshold (compared on the rounded value so engine/oracle agree
-    bit-for-bit at the boundary).
+    """Exact Jaccard for candidate pairs, set-based: attach each side's
+    shingle array (from ``doc_shingle_sets``) to the pair list, intersect
+    arrays per pair.  Keep pairs with similarity >= threshold (compared
+    on the rounded value so engine/oracle agree bit-for-bit at the
+    boundary).
 
-    Scale: the obvious alternative — self-joining the shingle inverted
+    Scale: the obvious alternative — self-joining a shingle inverted
     index and semi-joining the candidates — re-pays the all-pairs cost
     LSH exists to avoid (every shared shingle between ANY two docs
-    materializes a join row).  Here the heavy side is shuffled once to
-    build per-doc sets (map-side combinable), and the candidate list —
-    tiny by LSH construction — is broadcast to both attach joins, so no
-    further shuffle of shingle data occurs."""
-    sets = sh.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("_set"), F.count("*").alias("_n")
-    )
+    materializes a join row).  Here the candidate list — tiny by LSH
+    construction — is broadcast to both attach joins, so shingle data is
+    never shuffled."""
     return (
         sets.toDF("doc_a", "_sa", "_na")
         .join(F.broadcast(pairs), "doc_a")
@@ -162,12 +185,16 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join -> exact-Jaccard verify.  Returns (doc_a, doc_b, jaccard)."""
-    sh = shingle_index(df, id_col, text_col, shingle_k)
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    bucket-join -> exact-Jaccard verify.  Returns (doc_a, doc_b, jaccard).
+
+    The per-doc shingle-set frame is persisted because two downstream
+    jobs consume it (the broadcast candidate computation and the verify
+    attach joins); without it the document scan + shingling reruns."""
+    sets = doc_shingle_sets(df, id_col, text_col, shingle_k).persist()
+    sigs = minhash_signatures(sets, id_col, num_hashes)
     bandsdf = lsh_bands(sigs, id_col, num_hashes, bands)
     pairs = candidate_pairs(bandsdf, id_col)
-    return jaccard_verify(pairs, sh, id_col, threshold)
+    return jaccard_verify(pairs, sets, id_col, threshold)
 
 
 def ngram_jaccard_pairs(
