@@ -231,6 +231,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup marking: candidate pairs from
+    random-hyperplane LSH buckets (cosine evaluated within buckets only,
+    never all-pairs), then each vector whose bucket contains a
+    lower-id neighbour with cosine >= threshold is a dup of its
+    smallest such neighbour.
+
+    Returns (id, is_dup, canonical_id nullable).  At scale the pair
+    list is bucket-bounded and the canonical aggregation shuffles only
+    (id, id) pairs."""
+    from .similarity import ann_lsh_pairs
+
+    pairs = ann_lsh_pairs(df, dim, id_col, vec_col, num_planes, threshold)
+    canon = pairs.groupBy("vb").agg(F.min("va").alias("canonical_id"))
+    return (
+        df.select(F.col(id_col))
+        .join(canon.withColumnRenamed("vb", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("canonical_id").isNotNull().alias("is_dup"),
+            "canonical_id",
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

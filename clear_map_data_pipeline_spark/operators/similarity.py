@@ -116,6 +116,77 @@ def lsh_bucket(vec_col_dbl: str, dim: int, num_planes: int = 8) -> Column:
     return F.expr(" + ".join(terms)).cast("long")
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 50,
+    query_mod: int = 100,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest centroid, then answer each query by exact search over only
+    the ``nprobe`` nearest centroids' lists.
+
+    Centroids here are the deterministic sample ``id % centroid_mod == 0``
+    (training-free IVF — production would fit pyspark.ml KMeans and
+    broadcast the model's centers; the index/probe structure is
+    identical and that swap touches only the ``cents`` frame).
+
+    Scale design: centroids are broadcast to both the assignment and the
+    probe steps, so assignment is one groupBy(id) with map-side partial
+    ``max_by`` — the shuffle carries one row per vector, never the
+    vector x centroid cross product.  The candidate join shuffles on
+    centroid_id, i.e. only the probed inverted lists move.  Assignment
+    scores round to 8 decimals (tie-break: lower centroid id) so engine
+    and oracle argmax agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    cents = v.filter(F.col(id_col) % centroid_mod == 0).toDF("cid", "_c")
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cid",
+        F.round(cosine(F.col("_v"), F.col("_c")), 8).alias("_cs"),
+    )
+    assign = scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))).alias(
+            "cid"
+        )
+    )
+    probe = (
+        scored.filter(F.col(id_col) % query_mod == 0)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("va"), "cid")
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(assign.toDF("vb", "cid"), "cid")
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb")
+    )
+    pairs = (
+        cand.join(v.toDF("va", "_a"), "va")
+        .join(v.toDF("vb", "_b"), "vb")
+        .select(
+            "va", "vb", F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos_sim").desc(), F.col("vb"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("va", "vb", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ann_lsh_pairs(
     df: DataFrame,
     dim: int,

@@ -104,6 +104,26 @@ def dd_ngram_jaccard_pairs(spark, sf_dir):
     return dd.ngram_jaccard_pairs(t.documents)
 
 
+def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    from .similarity import ann_pairs_cte
+
+    return f"""
+    WITH {ann_pairs_cte(threshold)},
+    canon AS (SELECT vb AS vec_id, min(va) AS canonical_id FROM annp GROUP BY vb)
+    SELECT e.vec_id, c.canonical_id IS NOT NULL AS is_dup, c.canonical_id
+    FROM embeddings e LEFT JOIN canon c USING (vec_id)
+    """
+
+
+@register("dd_embedding_cosine", sql=_embedding_near_dup_sql())
+def dd_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup marking: LSH-bucketed candidate pairs
+    (never all-pairs) with cosine >= 0.4; each vector with a lower-id
+    near neighbour is a dup of its smallest such neighbour."""
+    t = Tables(spark, sf_dir)
+    return dd.embedding_near_dup(t.embeddings, 64)
+
+
 def _simhash_sql(bits: int = 16) -> str:
     terms = []
     for b in range(bits):

@@ -64,21 +64,42 @@ def sim_cosine_topk(spark, sf_dir):
     return sim.cosine_topk(t.embeddings, queries, k=5)
 
 
-def _ann_sql() -> str:
+def cos_expr(xa: str, xb: str, ndigits: int) -> str:
+    """Rounded cosine between two list columns, as DuckDB SQL.  The
+    sequential list_sum fold matches the engine's zip_with+aggregate
+    fold order, so rounded values agree bit-for-bit."""
+    dot = f"list_sum(list_transform(range(1, 65), i -> {xa}[i] * {xb}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, 65), i -> {xa}[i] * {xa}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, 65), i -> {xb}[i] * {xb}[i])))"
+    return f"round({dot} / ({na} * {nb}), {ndigits})"
+
+
+def bucket_expr() -> str:
+    """The 8-plane random-hyperplane LSH bucket id over column ``e``,
+    as DuckDB SQL (mirror of similarity.lsh_bucket)."""
     terms = []
     for j in range(8):
         plane = sim.hyperplane(j, DIM)
         lit = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + "]"
         d = f"list_sum(list_transform(range(1, 65), i -> e[i] * ({lit})[i]))"
         terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END")
-    bucket = " + ".join(terms)
-    return f"""
-    WITH {_V_CTE},
-    vb AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v)
-    SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos_sim
-    FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_COS} >= 0.2
-    """
+    return " + ".join(terms)
+
+
+def ann_pairs_cte(threshold: float) -> str:
+    """CTE chain v -> bucketed -> within-bucket cosine pairs >= threshold
+    (named ``annp``), shared by the ANN-pairs and near-dup oracles."""
+    return f"""{_V_CTE},
+    bkt AS (SELECT vec_id, e, CAST({bucket_expr()} AS BIGINT) AS bucket FROM v),
+    annp AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos_sim
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_COS} >= {threshold}
+    )"""
+
+
+def _ann_sql() -> str:
+    return f"WITH {ann_pairs_cte(0.2)} SELECT va, vb, cos_sim FROM annp"
 
 
 @register("sim_ann_lsh_pairs", sql=_ann_sql())
@@ -88,3 +109,45 @@ def sim_ann_lsh_pairs(spark, sf_dir):
     ~2^8 candidate reduction; the 100 TB path."""
     t = Tables(spark, sf_dir)
     return sim.ann_lsh_pairs(t.embeddings, DIM, threshold=0.2)
+
+
+def _ivf_sql(centroid_mod: int = 50, query_mod: int = 100, nprobe: int = 2, k: int = 5) -> str:
+    cs_vc = cos_expr("v.e", "c.ce", 8)
+    cs_ab = cos_expr("a.e", "b.e", 4)
+    return f"""
+    WITH {_V_CTE},
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {centroid_mod} = 0),
+    scored AS (SELECT v.vec_id, c.cid, {cs_vc} AS cs FROM v CROSS JOIN c),
+    assign AS (
+      SELECT vec_id AS vb, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS va, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored WHERE vec_id % {query_mod} = 0) WHERE rn <= {nprobe}
+    ),
+    cand AS (SELECT va, vb FROM probe JOIN assign USING (cid) WHERE va <> vb),
+    sc2 AS (
+      SELECT va, vb, {cs_ab} AS cos_sim
+      FROM cand JOIN v a ON va = a.vec_id JOIN v b ON vb = b.vec_id
+    )
+    SELECT va, vb, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY va
+                    ORDER BY cos_sim DESC, vb) AS rn FROM sc2)
+    WHERE rn <= {k}
+    """
+
+
+@register("sim_ivf_topk", sql=_ivf_sql())
+def sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: nearest-centroid inverted lists (centroids
+    = the deterministic id % 50 sample), queries probe their 2 nearest
+    lists only.  Centroids broadcast; assignment shuffles one row per
+    vector (map-side max_by); the candidate join moves only probed
+    lists."""
+    t = Tables(spark, sf_dir)
+    return sim.ivf_topk(t.embeddings)
