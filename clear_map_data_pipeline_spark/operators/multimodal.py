@@ -91,6 +91,83 @@ def image_features(
     )
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, pixels binary"
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize plumbing: decode -> resample -> re-encode over the binary
+    column, one Arrow batch at a time.  The stub "resamples" by strided
+    byte subsampling to exactly out_w*out_h bytes (deterministic); the
+    real seam is PIL ``Image.resize`` at ``decode_real``.  Output is
+    fixed-size small payloads — the wide input column dies here."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = out_w * out_h
+        for pdf in it:
+            if use_real_decoder:
+                decode_real(b"")
+            pixels = []
+            for p in pdf["payload"]:
+                stride = max(len(p) // n_out, 1)
+                pixels.append(bytes(p[::stride][:n_out]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": out_w,
+                    "height": out_h,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, duration_s double, mean_amp double, peak_amp int"
+)
+
+
+def audio_features(
+    df: DataFrame, sample_rate: int = 16000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio feature extraction: the payload is interpreted as unsigned
+    8-bit PCM (the stub stand-in for a torchaudio/ffmpeg decode) and
+    reduced to duration + amplitude stats with vectorized numpy per
+    batch.  Same scale shape as image_features: map-side only, narrow
+    output, payload pruned immediately after."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns, dur, mean, peak = [], [], [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                n = len(arr)
+                ns.append(n)
+                dur.append(round(n / sample_rate, 6))
+                mean.append(round(float(arr.mean()) if n else 0.0, 4))
+                peak.append(int(arr.max()) if n else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_samples": ns,
+                    "duration_s": dur,
+                    "mean_amp": mean,
+                    "peak_amp": peak,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
 
 

@@ -21,6 +21,28 @@ def mm_image_features(spark, sf_dir):
     return mm.image_features(with_payload)
 
 
+@register("mm_image_resize")
+def mm_image_resize(spark, sf_dir):
+    """Resize plumbing over binary payloads: strided-subsample stub at
+    the PIL seam, fixed 8x8 output, wide input column pruned at the
+    operator."""
+    t = Tables(spark, sf_dir)
+    with_payload = mm.attach_binary_payload(t.documents)
+    resized = mm.image_resize(with_payload, out_w=8, out_h=8)
+    return resized.select(
+        "doc_id", "width", "height", F.length("pixels").alias("n_pixels")
+    )
+
+
+@register("mm_audio_features")
+def mm_audio_features(spark, sf_dir):
+    """Audio-as-PCM feature extraction (duration + amplitude stats),
+    vectorized numpy per Arrow batch; narrow output, no shuffle."""
+    t = Tables(spark, sf_dir)
+    with_payload = mm.attach_binary_payload(t.documents)
+    return mm.audio_features(with_payload)
+
+
 @register("mm_frame_sample")
 def mm_frame_sample(spark, sf_dir):
     """Row-expanding frame sampling over binary payloads (4 evenly

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from ..registry import register
 from ..streaming.daily import daily_totals_stream
+from ..streaming.sessions import user_sessions_stream
 
 
 @register("st_daily_totals_incremental")
@@ -15,4 +16,15 @@ def st_daily_totals_incremental(spark, sf_dir):
     streaming twin of A14; closed windows only (append mode)."""
     return daily_totals_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_daily_totals_q"
+    )
+
+
+@register("st_user_sessions_stateful")
+def st_user_sessions_stateful(spark, sf_dir):
+    """Custom stateful sessionization (applyInPandasWithState): per-user
+    GroupState carries the open session across microbatches; sessions
+    emit when closed by a later event or by event-time timeout.  The
+    streaming twin of j_sessionization (closed sessions only)."""
+    return user_sessions_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="st_user_sessions_q"
     )

@@ -1,0 +1,148 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState`` — the arbitrary-state escape hatch the
+built-in windowed aggregations can't express (session membership
+depends on the gap to the PREVIOUS event, not on fixed windows).
+
+Semantics (the documented contract, asserted in tests):
+- events group by user; within a user, a gap > ``gap_s`` between
+  consecutive event times closes the current session and starts a new
+  one (the same boundary rule as the batch ``j_sessionization`` query);
+- a session is EMITTED when a later event closes it, or when the
+  event-time watermark passes its timeout (``GroupStateTimeout.
+  EventTimeTimeout``);
+- each user's trailing session waits in ``GroupState`` for either of
+  those — so after a single ``AvailableNow`` drain of a static backlog,
+  the output is exactly "every session except each user's last".
+
+Scale notes: state is one (start, end, n) triple per user — constant
+size, RocksDB-backed at scale (``spark.sql.streaming.stateStore.
+providerClass``).  Events arrive grouped+sorted per key per microbatch
+via Arrow; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+STATE_SCHEMA = "start long, end long, n long"
+
+
+def _assemble_factory(gap_s: int):
+    def assemble(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [start],
+                    "session_end": [end],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = sorted(
+            int(t)
+            for pdf in batches
+            for t in pdf["ts_s"].values
+        )
+        cur = state.get if state.exists else None  # (start, end, n)
+        closed = []
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_s:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], t, cur[2] + 1)
+        state.update(cur)
+        # the trailing session times out once the watermark passes its
+        # would-be close boundary (clamped: timeouts must sit above the
+        # current watermark when later microbatches re-touch the key)
+        state.setTimeoutTimestamp(
+            max((cur[1] + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return assemble
+
+
+def user_sessions_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap_s: int = 1800,
+    query_name: str = "user_sessions",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Drain the events backlog with AvailableNow through the stateful
+    sessionizer; returns the materialized closed-session table
+    (user_id, session_start, session_end, n_events — epoch seconds)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(events_dir):
+        staged = tempfile.mkdtemp(prefix="clearmap_stream_src_")
+        os.symlink(
+            os.path.abspath(events_dir),
+            os.path.join(staged, os.path.basename(events_dir)),
+        )
+        events_dir = staged
+    batch_schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withWatermark("ts", watermark)
+        .select("user_id", F.col("ts").cast("long").alias("ts_s"), "ts")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _assemble_factory(gap_s),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    checkpoint = tempfile.mkdtemp(prefix="clearmap_sessions_ckpt_")
+    # the state-store partition count is frozen into the checkpoint at
+    # first start; pin it to the session's core count instead of the
+    # 200 default (a fresh checkpoint per call makes this safe), then
+    # restore the caller's setting
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+    )
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(query_name)

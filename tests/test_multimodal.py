@@ -31,6 +31,34 @@ def test_real_decoder_seam_raises(spark, sf_dir):
         feats.collect()
 
 
+def test_image_resize_fixed_output(spark, sf_dir):
+    docs = Tables(spark, sf_dir).documents
+    resized = mm.image_resize(mm.attach_binary_payload(docs), out_w=8, out_h=8)
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert 0 < len(r["pixels"]) <= 64
+
+
+def test_audio_features_stats(spark, sf_dir):
+    import numpy as np
+
+    docs = Tables(spark, sf_dir).documents
+    feats = mm.audio_features(mm.attach_binary_payload(docs), sample_rate=16000)
+    a = {r["doc_id"]: (r["n_samples"], r["duration_s"], r["mean_amp"], r["peak_amp"])
+         for r in feats.collect()}
+    assert len(a) == docs.count()
+    row = docs.select("doc_id", "text").first()
+    arr = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8)
+    assert a[row["doc_id"]] == (
+        len(arr),
+        round(len(arr) / 16000, 6),
+        round(float(arr.mean()), 4),
+        int(arr.max()),
+    )
+
+
 def test_frame_sample_expansion(spark, sf_dir):
     docs = Tables(spark, sf_dir).documents
     n_docs = docs.count()

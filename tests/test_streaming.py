@@ -30,3 +30,75 @@ def test_stream_matches_batch(spark, sf_dir):
     # every emitted window must match the batch answer exactly
     for k, v in srows.items():
         assert brows[k] == v, (k, v, brows[k])
+
+
+def test_stateful_sessions_match_batch(spark, sf_dir):
+    """The stateful streaming sessionizer must emit exactly the batch
+    sessionization answer minus trailing (still-open) sessions, PLUS
+    those trailing sessions old enough for the event-time timeout:
+    end + gap <= final watermark (max event time - 30 min delay)."""
+    from pyspark.sql import Window
+
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.streaming.sessions import (
+        user_sessions_stream,
+    )
+
+    streamed = user_sessions_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="t_sessions_eq"
+    )
+    srows = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in streamed.collect()
+    }
+    assert len(srows) > 0, "no closed sessions emitted"
+
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", F.col("ts").cast("long").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(
+                F.lag("t").over(w).isNull()
+                | (F.col("t") - F.lag("t").over(w) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t").alias("start"),
+            F.max("t").alias("end"),
+            F.count("*").alias("n"),
+        )
+    )
+    # watermark after the single drain: max event time (ms, floored)
+    # minus the 30-minute delay; timed-out trailing sessions satisfy
+    # (end + gap) * 1000 <= watermark_ms
+    max_ts_ms = (
+        Tables(spark, sf_dir)
+        .events.agg(F.max(F.col("ts").cast("double")))
+        .collect()[0][0]
+    )
+    wm_ms = int(max_ts_ms * 1000) - 30 * 60 * 1000
+    closed = sess.withColumn(
+        "last_sid", F.max("sid").over(Window.partitionBy("user_id"))
+    ).filter(
+        (F.col("sid") < F.col("last_sid"))
+        | ((F.col("end") + 1800) * 1000 <= F.lit(wm_ms))
+    )
+    brows = {
+        (r["user_id"], r["start"]): (r["end"], r["n"])
+        for r in closed.collect()
+    }
+    assert srows == brows, (
+        len(srows),
+        len(brows),
+        dict(list(srows.items())[:3]),
+        dict(list(brows.items())[:3]),
+    )
