@@ -27,8 +27,11 @@ HEADLINE = [
     "j_asof_join",
     "j_sessionization",
     "dd_minhash_lsh_pairs",
+    "dd_embedding_cosine",
     "sim_ann_lsh_pairs",
+    "sim_ivf_topk",
     "tx_quality_score",
+    "mm_image_features",
 ]
 
 
