@@ -175,6 +175,51 @@ def j_sessionization(spark, sf_dir):
 
 
 @register(
+    "j_skew_salted_join",
+    sql="""
+    SELECT p_type,
+           round(sum(l_extendedprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    """,
+)
+def j_skew_salted_join(spark, sf_dir):
+    """Skew-resistant join (operators/skew.py): the fact side is salted
+    into 16 sub-keys and the dim side replicated per salt value, so a
+    hot part key spreads over 16 reducers.  The oracle is the PLAIN
+    join — salting must be row-identical."""
+    from ..operators.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    part = t.part.withColumnRenamed("p_partkey", "l_partkey")
+    joined = salted_join(t.lineitem, part, "l_partkey", salt=16)
+    return joined.groupBy("p_type").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "a_distinct_count_skewsafe",
+    sql="""
+    SELECT o_custkey,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a_distinct_count_skewsafe(spark, sf_dir):
+    """Two-stage exact distinct count (operators/skew.py): partial
+    distinct within (key, hash(value) % 16) buckets, then sum — a hot
+    key's distinct set never assembles in one task.  Oracle is the plain
+    COUNT(DISTINCT)."""
+    from ..operators.skew import salted_distinct_count
+
+    t = Tables(spark, sf_dir)
+    return salted_distinct_count(t.orders, "o_custkey", "o_orderdate")
+
+
+@register(
     "c_json_extract",
     sql="""
     SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
