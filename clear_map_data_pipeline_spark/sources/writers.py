@@ -104,3 +104,26 @@ def publish_mapbox(tileset: str, mbtiles_path: str, api_key: str) -> None:
     """S9 (ref :182-199): Mapbox uploads-API publish — network adapter
     outside the engine."""
     raise NotImplementedError("network publish is a driver-side post-step")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — the co-located-join storage layout.
+
+    Writing both sides of a recurring equi-join bucketed by the join key
+    (same bucket count) lets Spark plan the join with ZERO exchanges:
+    each task reads matching buckets from both tables (asserted in
+    tests/test_plan.py::test_bucketed_join_has_no_exchange).  At 100 TB
+    this is the difference between re-shuffling the fact table per query
+    and shuffling it once at ingest.  ``sort_col`` additionally orders
+    within buckets, letting sort-merge joins skip the per-task sort."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

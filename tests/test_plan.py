@@ -79,3 +79,38 @@ def test_dim_join_is_broadcast(spark, sf_dir):
     plan = _formatted_plan(q)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both join sides bucketed by the key with equal bucket counts ->
+    the equi-join plans with ZERO Exchange nodes (co-located reads),
+    the layout that amortizes the fact-table shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = Tables(spark, sf_dir)
+        write_bucketed_table(
+            t.lineitem.select("l_orderkey", "l_extendedprice"),
+            "t_bkt_lineitem", "l_orderkey", n_buckets=8, sort_col="l_orderkey",
+        )
+        write_bucketed_table(
+            t.orders.select("o_orderkey", "o_custkey"),
+            "t_bkt_orders", "o_orderkey", n_buckets=8, sort_col="o_orderkey",
+        )
+        joined = spark.table("t_bkt_lineitem").join(
+            spark.table("t_bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
