@@ -59,8 +59,11 @@ def shingle_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Inverted index: one row per (id, distinct word-k-gram shingle)."""
+    from ..session import spread_small_scan
+
     return (
-        df.withColumn("_toks", tokens(text_col))
+        spread_small_scan(df)
+        .withColumn("_toks", tokens(text_col))
         .select(F.col(id_col), F.explode(word_shingles("_toks", k)).alias("shingle"))
     )
 
@@ -71,14 +74,18 @@ def doc_shingle_sets(
     """(id, _set, _n): each document's distinct word-k-gram shingles as
     an array column, docs with no shingles dropped (mirroring the
     inverted-index form, where they contribute no rows).  Pure per-row
-    expression work — the document body is read once and never shuffled.
+    expression work — the document body is read once and never shuffled
+    (``spread_small_scan`` is a no-op on any input with real splits).
 
     The no-shingle filter is expressed on token count (>= k tokens <=>
     >= 1 shingle): filtering on size(_set) instead makes Catalyst push
     the whole shingle transform below the project and re-evaluate it as
     an interpreted predicate per row (~15x slower at sf0.1)."""
+    from ..session import spread_small_scan
+
     return (
-        df.withColumn("_toks", tokens(text_col))
+        spread_small_scan(df)
+        .withColumn("_toks", tokens(text_col))
         .filter(F.size("_toks") >= k)
         .select(F.col(id_col), word_shingles("_toks", k).alias("_set"))
         .withColumn("_n", F.size("_set"))
@@ -187,10 +194,15 @@ def minhash_lsh_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-Jaccard verify.  Returns (doc_a, doc_b, jaccard).
 
-    The per-doc shingle-set frame is persisted because two downstream
-    jobs consume it (the broadcast candidate computation and the verify
-    attach joins); without it the document scan + shingling reruns."""
+    The per-doc shingle-set frame is persisted because three downstream
+    stages consume it (the broadcast candidate computation and the two
+    verify attach joins) — and materialized EAGERLY: AQE compiles those
+    stages concurrently, and racing tasks each recompute a not-yet-cached
+    partition (observed as 3x duplicated shingling work + "block already
+    exists" warnings).  One count() turns that into compute-once,
+    read-three-times — the same explicit stage a 100 TB run would want."""
     sets = doc_shingle_sets(df, id_col, text_col, shingle_k).persist()
+    sets.count()
     sigs = minhash_signatures(sets, id_col, num_hashes)
     bandsdf = lsh_bands(sigs, id_col, num_hashes, bands)
     pairs = candidate_pairs(bandsdf, id_col)
@@ -276,6 +288,9 @@ def simhash(
     (or hamming-close) fingerprints.
 
     Pure per-row array aggregation — no shuffle at any scale."""
+    from ..session import spread_small_scan
+
+    df = spread_small_scan(df)
     toks = "filter(split(lower({c}), '\\\\s+'), x -> x != '')".format(c=text_col)
     bit_terms = []
     for b in range(bits):

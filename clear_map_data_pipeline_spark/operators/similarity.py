@@ -54,6 +54,17 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom)
 
 
+def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _v double-array) with the scan spread to session parallelism
+    (vector math is CPU-bound; one-row-group fixtures otherwise pin it
+    to a single task — a no-op on inputs with real splits)."""
+    from ..session import spread_small_scan
+
+    return spread_small_scan(df).select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -62,7 +73,7 @@ def cosine_pairs(
 ) -> DataFrame:
     """Brute-force all-pairs cosine, keeping pairs >= threshold (compared
     on the 4-decimal rounded value).  Exact-recall baseline."""
-    v = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    v = _vectors(df, id_col, vec_col)
     a = v.toDF("va", "_a")
     b = v.toDF("vb", "_b")
     return (
@@ -89,7 +100,7 @@ def cosine_topk(
     deterministic id tie-break."""
     from pyspark.sql import Window
 
-    cand = df.select(F.col(id_col).alias("vb"), as_double(vec_col).alias("_b"))
+    cand = _vectors(df, id_col, vec_col).toDF("vb", "_b")
     qry = queries.select(F.col(id_col).alias("va"), as_double(vec_col).alias("_a"))
     scored = F.broadcast(qry).crossJoin(cand).filter(F.col("va") != F.col("vb")).select(
         "va", "vb", F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim")
@@ -143,7 +154,7 @@ def ivf_topk(
     and oracle argmax agree bit-for-bit."""
     from pyspark.sql import Window
 
-    v = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    v = _vectors(df, id_col, vec_col)
     cents = v.filter(F.col(id_col) % centroid_mod == 0).toDF("cid", "_c")
     scored = v.crossJoin(F.broadcast(cents)).select(
         id_col,
@@ -198,9 +209,9 @@ def ann_lsh_pairs(
     """Approximate near-neighbour pairs: exact cosine evaluated ONLY
     within LSH buckets.  Trades recall (bucket-boundary misses) for a
     ~2^planes candidate reduction."""
-    v = df.select(
-        F.col(id_col), as_double(vec_col).alias("_v")
-    ).withColumn("bucket", lsh_bucket("_v", dim, num_planes))
+    v = _vectors(df, id_col, vec_col).withColumn(
+        "bucket", lsh_bucket("_v", dim, num_planes)
+    )
     a = v.select(F.col(id_col).alias("va"), F.col("_v").alias("_a"), "bucket")
     b = v.select(F.col(id_col).alias("vb"), F.col("_v").alias("_b"), "bucket")
     return (

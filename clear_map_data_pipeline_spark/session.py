@@ -73,6 +73,24 @@ def get_spark(
     return spark
 
 
+def spread_small_scan(df):
+    """Repartition a many-rows-few-partitions frame up to the session's
+    parallelism so per-row expression work (hashing, shingling, vector
+    math) doesn't serialize on one task.
+
+    Small benchmark fixtures arrive as ONE parquet row group = one
+    partition, which turns CPU-bound map stages into single-threaded
+    stages (measured 2.3x on the MinHash pipeline at sf0.1).  The
+    condition makes this a no-op at scale: a 100 TB input already has
+    thousands of splits, so the full-body shuffle is never paid there.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target)
+    return df
+
+
 class Tables:
     """Lazy accessor for the driver's parquet fixture tables.
 
