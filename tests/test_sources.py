@@ -88,3 +88,75 @@ def test_dates_array_csv(tmp_path):
     assert len(rows) == 4  # header + zip_longest over the longest list
     assert rows[1] == ["2021-01-01", "1", "9"]
     assert rows[3] == ["", "3", ""]
+
+
+def test_custom_datasource_splittable_csv(spark, tmp_path):
+    """S1 strategic path: the custom Python DataSource must (a) expose
+    the header's dirty all-string schema, (b) return exactly the rows
+    the native CSV reader does, and (c) do so across multiple byte-range
+    partitions without losing or duplicating boundary lines."""
+    import csv as _c
+
+    from clear_map_data_pipeline_spark.sources.moh_datasource import (
+        MohCsvReader,
+        register_moh_source,
+    )
+
+    path = tmp_path / "moh.csv"
+    with open(path, "w", newline="") as f:
+        w = _c.writer(f)
+        w.writerow(["town_code", "agas_code", "date", "accumulated_cases"])
+        for i in range(157):
+            w.writerow([str(1000 + i % 7), str(i % 5), f"2021-01-{i % 28 + 1:02d}",
+                        "<15" if i % 11 == 0 else str(i)])
+
+    register_moh_source(spark)
+    got = (
+        spark.read.format("moh_csv")
+        .option("path", str(path))
+        .option("numpartitions", "5")
+        .load()
+    )
+    want = spark.read.option("header", True).option(
+        "inferSchema", False
+    ).csv(str(path))
+    assert got.columns == want.columns
+    assert [str(f.dataType) for f in got.schema.fields] == ["StringType()"] * 4
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    reader = MohCsvReader(got.schema, {"path": str(path), "numpartitions": "5"})
+    assert len(reader.partitions()) == 5
+
+
+def test_custom_datasource_boundary_sweep(spark, tmp_path):
+    """Pure-python sweep: every partition count must yield exactly the
+    same 157-row multiset — no boundary line lost or read twice."""
+    import csv as _c
+
+    from clear_map_data_pipeline_spark.sources.moh_datasource import (
+        MohCsvDataSource,
+    )
+
+    path = tmp_path / "sweep.csv"
+    with open(path, "w", newline="") as f:
+        w = _c.writer(f)
+        w.writerow(["a", "b"])
+        for i in range(157):
+            w.writerow([str(i), "x" * (i % 13)])
+
+    ds = MohCsvDataSource({"path": str(path)})
+    schema = ds.schema()
+    baseline = None
+    for n in range(1, 13):
+        from clear_map_data_pipeline_spark.sources.moh_datasource import (
+            MohCsvReader,
+        )
+
+        reader = MohCsvReader(schema, {"path": str(path), "numpartitions": str(n)})
+        rows = sorted(
+            r for p in reader.partitions() for r in reader.read(p)
+        )
+        if baseline is None:
+            baseline = rows
+        assert rows == baseline, f"numpartitions={n}"
+    assert len(baseline) == 157
