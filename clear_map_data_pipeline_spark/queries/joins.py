@@ -67,15 +67,30 @@ def j2_semi_join(spark, sf_dir):
 @register(
     "j_anti_join",
     sql="""
-    SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAY
+                              FROM orders)
+    )
     """,
 )
 def j_anti_join(spark, sf_dir):
-    """Anti-join complement of J2 (keys absent from the fact)."""
+    """Anti-join complement of J2: customers with NO order in the 90
+    days up to the dataset's max date (every customer has SOME order in
+    the fixtures, so the churn framing keeps the result non-empty).
+    The 1-row max-date aggregate is broadcast; the anti join never
+    materializes fact columns."""
     t = Tables(spark, sf_dir)
+    cutoff = t.orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("_cut")
+    )
+    recent = t.orders.join(F.broadcast(cutoff)).filter(
+        F.col("o_orderdate") >= F.col("_cut")
+    )
     return t.customer.join(
-        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey")
 
 
