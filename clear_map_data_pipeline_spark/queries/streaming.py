@@ -4,8 +4,11 @@ batch-equivalence separately in tests/test_streaming.py)."""
 
 from __future__ import annotations
 
+import tempfile
+
 from ..registry import register
 from ..streaming.daily import daily_totals_stream
+from ..streaming.export import export_daily_partitions
 from ..streaming.sessions import user_sessions_stream
 
 
@@ -17,6 +20,19 @@ def st_daily_totals_incremental(spark, sf_dir):
     return daily_totals_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_daily_totals_q"
     )
+
+
+@register("st_incremental_export")
+def st_incremental_export(spark, sf_dir):
+    """Streaming export: foreachBatch + dynamic partition overwrite
+    writes per-day totals as a date-partitioned parquet dataset,
+    rewriting only touched partitions (idempotent MERGE pattern for
+    plain parquet).  Returns the dataset read back."""
+    out = tempfile.mkdtemp(prefix="clearmap_export_out_") + "/daily"
+    export_daily_partitions(
+        spark, f"{sf_dir}/events.parquet", out, query_name="st_export_q"
+    )
+    return spark.read.parquet(out)
 
 
 @register("st_user_sessions_stateful")

@@ -102,3 +102,43 @@ def test_stateful_sessions_match_batch(spark, sf_dir):
         dict(list(srows.items())[:3]),
         dict(list(brows.items())[:3]),
     )
+
+
+def test_incremental_export_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: the exported
+    date-partitioned dataset must equal the batch daily aggregation,
+    and a second drain of the same backlog must be a no-op (idempotent
+    re-run on an existing checkpointless dataset)."""
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.streaming.export import (
+        export_daily_partitions,
+    )
+
+    out = str(tmp_path / "daily_export")
+    export_daily_partitions(spark, f"{sf_dir}/events.parquet", out)
+    got = {
+        (str(r["date"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) > 0
+
+    batch = (
+        Tables(spark, sf_dir)
+        .events.groupBy(F.to_date("ts").alias("date"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {
+        (str(r["date"]), r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+    # re-drain into the same directory: partitions overwritten in place,
+    # same content (no duplication from append semantics)
+    export_daily_partitions(spark, f"{sf_dir}/events.parquet", out,
+                            query_name="daily_export_2")
+    again = {
+        (str(r["date"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
