@@ -40,6 +40,10 @@ def attach_binary_payload(
     """Deterministic fake media column: utf-8 bytes of the text play the
     role of an encoded image, plus typed metadata (mime, size).  In a
     real pipeline this column comes straight from the lakehouse."""
+    # NB: no spread_small_scan here — fanning a small fixture out to N
+    # Python workers costs more (worker startup + Arrow shuffle) than
+    # the single-batch decode saves; real media inputs arrive in many
+    # splits and parallelize naturally.
     payload = F.encode(F.col(text_col), "utf-8")
     return df.select(
         F.col(id_col),
