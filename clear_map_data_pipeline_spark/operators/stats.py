@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .windows import by_key_ordered, full_partition, rolling, unpartitioned
@@ -156,14 +156,23 @@ def quantile_vector(
     value: str,
     qs: Sequence[float] = tuple(round(0.05 * i, 2) for i in range(1, 20)),
     exact: bool = True,
+    distributed: bool = False,
 ) -> DataFrame:
     """A13 (ref :168): the 19-quantile color scale of ``normalized``.
 
-    Returns one row per quantile: (q_idx, q_value).  ``exact=True`` uses
-    ``percentile`` (sort-based, oracle-exact); at 100 TB flip to
-    ``percentile_approx`` (single-pass sketch, mergeable across
-    partitions) — same shape, bounded error.
+    Returns one row per quantile: (q_idx, q_value).  Three modes:
+
+    - ``exact=True`` (default): built-in ``percentile``.  Exact, but the
+      aggregation buffer holds every distinct value — fine to ~millions
+      of distinct values per aggregate, memory-unbounded beyond.
+    - ``exact=True, distributed=True``: exact via distributed sort +
+      global rank-pick (``quantile_vector_distributed``) — two shuffles,
+      bounded memory per task, the exact-at-scale path.
+    - ``exact=False``: ``percentile_approx`` (single-pass mergeable
+      sketch, bounded error) — the cheapest 100 TB path.
     """
+    if exact and distributed:
+        return quantile_vector_distributed(df, value, qs)
     fn = F.percentile if exact else F.percentile_approx
     arr = fn(F.col(value), F.array([F.lit(q) for q in qs]))
     return (
@@ -172,6 +181,85 @@ def quantile_vector(
         .select(
             (F.col("pos") + 1).cast("int").alias("q_idx"),
             F.round("q_value", 2).alias("q_value"),
+        )
+    )
+
+
+def quantile_vector_distributed(
+    df: DataFrame,
+    value: str,
+    qs: Sequence[float] = tuple(round(0.05 * i, 2) for i in range(1, 20)),
+) -> DataFrame:
+    """Exact quantiles without a monolithic aggregation buffer:
+
+    1. range-repartition the column (distributed sort order across
+       partitions) and persist — pinning the partitioning for the two
+       consumers below;
+    2. collect per-partition COUNTS only (one tiny driver round-trip,
+       like A10's max-date — never the data), turning them into global
+       rank offsets;
+    3. row_number within each range partition + offset = exact global
+       rank; filter to the <= 2*|qs| ranks the quantiles need;
+    4. join the picked values back to a literal (q_idx, lo, hi, frac)
+       table and interpolate IN the plan — ``(1-f)*lo + f*hi``, the same
+       fp expression the built-in uses, so results match bit-for-bit
+       (the algebraically-equal ``lo + f*(hi-lo)`` form loses a half-ulp
+       exactly at round-boundary values).
+
+    Each task holds one range partition — memory is bounded by the
+    partition size, not the distinct-value count, so this is the exact
+    path that survives 100 TB."""
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    v = df.select(F.col(value).alias("_v")).filter(F.col("_v").isNotNull())
+    vp = (
+        v.repartitionByRange(nparts, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["_c"])
+        for r in vp.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    )
+    n = sum(c for _, c in counts)
+    if n == 0:
+        return spark.createDataFrame([], "q_idx int, q_value double")
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    targets = []
+    for i, q in enumerate(qs):
+        h = 1 + (n - 1) * q
+        lo = int(h)
+        hi = lo if h == lo else min(lo + 1, n)
+        targets.append((i + 1, lo, hi, h - lo))
+    need = sorted({r for _, lo, hi, _ in targets for r in (lo, hi)})
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    ranked = (
+        vp.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy("_v"))
+            + F.col("_off"),
+        )
+        .filter(F.col("_rn").isin(need))
+        .select("_rn", "_v")
+    )
+    t_df = spark.createDataFrame(
+        targets, "q_idx int, _lo long, _hi long, _frac double"
+    )
+    return (
+        F.broadcast(t_df)
+        .join(ranked.toDF("_lo", "_vlo"), "_lo")
+        .join(ranked.toDF("_hi", "_vhi"), "_hi")
+        .select(
+            "q_idx",
+            F.round(
+                (1 - F.col("_frac")) * F.col("_vlo")
+                + F.col("_frac") * F.col("_vhi"),
+                2,
+            ).alias("q_value"),
         )
     )
 

@@ -298,10 +298,14 @@ def a10_global_max_date(spark, sf_dir):
 def a13_quantile_vector(spark, sf_dir):
     """A13 (ref :168): the 19-quantile color-scale vector.
 
-    Exact ``percentile`` here for oracle parity; ``exact=False`` flips to
-    the mergeable t-digest-style sketch for the 100 TB path."""
+    Runs the distributed-exact path (range sort + global rank-pick,
+    bounded task memory — see quantile_vector_distributed); exact
+    values, oracle parity.  ``exact=False`` flips to the mergeable
+    sketch when bounded error is acceptable."""
     t = Tables(spark, sf_dir)
-    return stats.quantile_vector(t.lineitem, "l_extendedprice", exact=True)
+    return stats.quantile_vector(
+        t.lineitem, "l_extendedprice", exact=True, distributed=True
+    )
 
 
 @register(
