@@ -8,6 +8,7 @@ import tempfile
 
 from ..registry import register
 from ..streaming.daily import daily_totals_stream
+from ..streaming.dedup import deduped_ingest_stream, stage_backlog
 from ..streaming.export import export_daily_partitions
 from ..streaming.sessions import user_sessions_stream
 
@@ -20,6 +21,17 @@ def st_daily_totals_incremental(spark, sf_dir):
     return daily_totals_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_daily_totals_q"
     )
+
+
+@register("st_stream_dedup_exactly_once")
+def st_stream_dedup_exactly_once(spark, sf_dir):
+    """Exactly-once ingest over an at-least-once source: the backlog is
+    staged DOUBLED (every file delivered twice) and
+    dropDuplicatesWithinWatermark(event_id) collapses re-deliveries with
+    event-time-bounded state; totals equal the single-copy batch
+    answer (asserted in tests/test_streaming.py)."""
+    doubled = stage_backlog(f"{sf_dir}/events.parquet", copies=2)
+    return deduped_ingest_stream(spark, doubled, query_name="st_dedup_q")
 
 
 @register("st_incremental_export")

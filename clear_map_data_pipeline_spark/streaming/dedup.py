@@ -1,0 +1,72 @@
+"""Streaming ingest dedup — exactly-once semantics over an at-least-once
+source, the front door of every training-data pipeline.
+
+File sources re-deliver (retried uploads, replayed batches, overlapping
+backfills); ``dropDuplicatesWithinWatermark`` keeps one row per key
+while bounding the dedup state by event time: a key's fingerprint is
+held only until the watermark passes it, so state size tracks the late
+window, not the stream's history.  (Plain ``dropDuplicates`` on a
+stream grows state forever — the thing this operator exists to avoid.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_backlog(events_file: str, copies: int = 1) -> str:
+    """Stage a parquet file as a streaming source directory, optionally
+    duplicated ``copies`` times (simulating at-least-once re-delivery)."""
+    staged = tempfile.mkdtemp(prefix="clearmap_dedup_src_")
+    for i in range(copies):
+        os.symlink(
+            os.path.abspath(events_file),
+            os.path.join(staged, f"copy{i}_{os.path.basename(events_file)}"),
+        )
+    return staged
+
+
+def deduped_ingest_stream(
+    spark: SparkSession,
+    events_dir: str,
+    key: str = "event_id",
+    watermark: str = "1 day",
+    query_name: str = "deduped_ingest",
+) -> DataFrame:
+    """Drain the (possibly duplicated) backlog with exactly-once
+    semantics on ``key``; returns the deduplicated per-type totals."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(events_dir):
+        events_dir = stage_backlog(events_dir, copies=1)
+    batch_schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )
+    totals = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    out = totals.select(
+        F.to_date(F.col("w.start")).alias("date"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    checkpoint = tempfile.mkdtemp(prefix="clearmap_dedup_ckpt_")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

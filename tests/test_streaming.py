@@ -142,3 +142,43 @@ def test_incremental_export_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_stream_dedup_exactly_once(spark, sf_dir):
+    """A doubled backlog (every file delivered twice) must produce the
+    SAME totals as the batch aggregation of a single copy — exactly-once
+    ingest via dropDuplicatesWithinWatermark."""
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.streaming.dedup import (
+        deduped_ingest_stream,
+        stage_backlog,
+    )
+
+    doubled = stage_backlog(f"{sf_dir}/events.parquet", copies=2)
+    streamed = deduped_ingest_stream(
+        spark, doubled, query_name="t_dedup_stream"
+    )
+    got = {
+        (str(r["date"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    assert len(got) > 0
+
+    batch = (
+        Tables(spark, sf_dir)
+        .events.groupBy(F.to_date("ts").alias("date"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {
+        (str(r["date"]), r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    # append mode emits closed windows only: at most the trailing two
+    # days of windows (per event type) remain open under the 1-day
+    # watermark.  Every emitted window must match the single-copy batch
+    # answer exactly — doubled rows never inflate a count.
+    n_types = len({k[1] for k in want})
+    assert set(got).issubset(set(want))
+    assert len(got) >= len(want) - 2 * n_types
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
