@@ -194,6 +194,12 @@ def window_export(t: Tables, window: str) -> DataFrame:
     if days is None:
         frame = stats.every_nth_latest_anchored(base, 7)
     else:
+        # the max-date cutoff aggregate consumes the SAME lineage as the
+        # window filter; without a persist the whole clean->reconcile->
+        # rebase->join prefix is recomputed for it (plancheck showed 2x
+        # the exchanges/scans of the 'all' window) — SURVEY §4 X3 applied
+        # within a single window query
+        base = base.persist()
         maxd = base.agg(F.max("date").alias("_maxd"))
         frame = (
             base.crossJoin(F.broadcast(maxd))
