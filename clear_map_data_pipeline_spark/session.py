@@ -134,3 +134,11 @@ class Tables:
                     c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
                 )
         return df
+
+    def register_views(self) -> None:
+        """Expose every fixture table as a temp view so users can drive
+        the engine through plain ``spark.sql(...)`` — the same names the
+        DuckDB oracle uses, so any oracle_sql() string that sticks to
+        ANSI constructs runs on both engines."""
+        for name in self.NAMES:
+            getattr(self, name).createOrReplaceTempView(name)

@@ -160,3 +160,19 @@ def test_custom_datasource_boundary_sweep(spark, tmp_path):
             baseline = rows
         assert rows == baseline, f"numpartitions={n}"
     assert len(baseline) == 157
+
+
+def test_sql_surface_via_views(spark, sf_dir):
+    """Tables.register_views exposes the fixture tables to spark.sql
+    under the oracle's names — ANSI queries run verbatim on the engine."""
+    from clear_map_data_pipeline_spark.session import Tables
+
+    Tables(spark, sf_dir).register_views()
+    got = spark.sql(
+        """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3
+        """
+    ).collect()
+    assert len(got) == 3 and all(r["n"] > 0 for r in got)
