@@ -45,12 +45,16 @@ def main() -> None:
     spark = get_spark("clearmap-bench", cpus=cpus, shuffle_partitions=cpus)
     registry = load_all()
 
-    # JVM/codegen warmup on the smallest fixture so per-query timings
-    # measure execution, not first-call compilation.
-    warm = registry["tpch_q1_pricing_summary"].builder(
-        spark, "/root/testdata/sf0.001"
-    )
-    warm.write.format("noop").mode("overwrite").save()
+    # Warm every headline plan at the smallest fixture first: triggers
+    # whole-stage codegen compilation, Python-UDF worker spawn (workers
+    # are reused afterwards), and broadcast machinery, so the sf0.1
+    # timings below measure steady-state execution — the regime that
+    # matters at scale — not one-time JIT cost.
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        warm = registry[name].builder(spark, "/root/testdata/sf0.001")
+        warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

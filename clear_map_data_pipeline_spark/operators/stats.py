@@ -199,12 +199,16 @@ def quantile_vector_distributed(
        like A10's max-date — never the data), turning them into global
        rank offsets;
     3. row_number within each range partition + offset = exact global
-       rank; filter to the <= 2*|qs| ranks the quantiles need;
-    4. join the picked values back to a literal (q_idx, lo, hi, frac)
-       table and interpolate IN the plan — ``(1-f)*lo + f*hi``, the same
-       fp expression the built-in uses, so results match bit-for-bit
-       (the algebraically-equal ``lo + f*(hi-lo)`` form loses a half-ulp
-       exactly at round-boundary values).
+       rank; filter to the <= 2*|qs| ranks the quantiles need and
+       collect them (a second tiny driver round-trip — at most 2*|qs|
+       scalars, never the data);
+    4. interpolate in the plan over a literal (q_idx, vlo, vhi, frac)
+       table — ``(1-f)*lo + f*hi``, the same fp expression the built-in
+       uses, so results match bit-for-bit (the algebraically-equal
+       ``lo + f*(hi-lo)`` form loses a half-ulp exactly at
+       round-boundary values).  Collecting the picked scalars instead
+       of joining the ranked set twice computes the rank-pick scan ONCE
+       (a self-join of the ranked subplan would execute it per side).
 
     Each task holds one range partition — memory is bounded by the
     partition size, not the distinct-value count, so this is the exact
@@ -236,31 +240,35 @@ def quantile_vector_distributed(
         targets.append((i + 1, lo, hi, h - lo))
     need = sorted({r for _, lo, hi, _ in targets for r in (lo, hi)})
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    ranked = (
-        vp.join(F.broadcast(off_df), "_pid")
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("_pid").orderBy("_v"))
-            + F.col("_off"),
+    picked = {
+        r["_rn"]: r["_v"]
+        for r in (
+            vp.join(F.broadcast(off_df), "_pid")
+            .withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("_pid").orderBy("_v"))
+                + F.col("_off"),
+            )
+            .filter(F.col("_rn").isin(need))
+            .select("_rn", "_v")
+            .collect()
         )
-        .filter(F.col("_rn").isin(need))
-        .select("_rn", "_v")
-    )
+    }
+    vp.unpersist(blocking=False)
     t_df = spark.createDataFrame(
-        targets, "q_idx int, _lo long, _hi long, _frac double"
+        [
+            (q_idx, float(picked[lo]), float(picked[hi]), frac)
+            for q_idx, lo, hi, frac in targets
+        ],
+        "q_idx int, _vlo double, _vhi double, _frac double",
     )
-    return (
-        F.broadcast(t_df)
-        .join(ranked.toDF("_lo", "_vlo"), "_lo")
-        .join(ranked.toDF("_hi", "_vhi"), "_hi")
-        .select(
-            "q_idx",
-            F.round(
-                (1 - F.col("_frac")) * F.col("_vlo")
-                + F.col("_frac") * F.col("_vhi"),
-                2,
-            ).alias("q_value"),
-        )
+    return t_df.select(
+        "q_idx",
+        F.round(
+            (1 - F.col("_frac")) * F.col("_vlo")
+            + F.col("_frac") * F.col("_vhi"),
+            2,
+        ).alias("q_value"),
     )
 
 
