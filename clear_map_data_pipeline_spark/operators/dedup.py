@@ -55,6 +55,38 @@ def exact_dedup(
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Exact dedup keeping the best-scoring survivor per content group
+    (the standard "keep the longest / highest-quality version" policy of
+    training-data pipelines), with id as the deterministic tiebreak.
+
+    Returns one row per distinct content: (id, content_hash, group_n).
+    At scale: only (digest, score, id) triples shuffle — both window
+    functions share one ``partitionBy(content_hash)`` exchange, and the
+    surviving ids can be semi-joined back to fetch bodies without ever
+    shuffling text."""
+    from pyspark.sql import Window
+
+    digests = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    part = Window.partitionBy("content_hash")
+    pick = part.orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        digests.withColumn("_rn", F.row_number().over(pick))
+        .withColumn("group_n", F.count("*").over(part))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "content_hash", "group_n")
+    )
+
+
 def shingle_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:

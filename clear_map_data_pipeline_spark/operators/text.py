@@ -137,3 +137,37 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fp", k: int = 8) -
         out,
         F.array_min(F.transform(char_shingles(col, k), lambda s: F.md5(s))),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-mixing primitive
+    (downsample over-represented languages/sources to target
+    proportions).  ``rates`` maps stratum value -> percent kept [0,100].
+
+    A row survives iff ``lcg(id) % 100 < rate(stratum)`` where ``lcg``
+    is a fixed linear-congruential scramble of the id.  Deterministic
+    (reruns and retried tasks keep identical rows — no ``rand()``
+    nondeterminism under task retry), map-only (the when-chain is a
+    per-row JVM expression; zero shuffles, filter reaches the scan), and
+    exactly reproducible in ANSI SQL for the oracle.  At 100 TB scale
+    swap the LCG for ``xxhash64(id)`` — same shape, overflow-safe for
+    ids beyond ~2^33 (the multiply here stays in int64 below that).
+    """
+    bucket = (F.col(id_col) * F.lit(1103515245) + F.lit(12345)) % 100
+    rate = None
+    for value, pct in rates.items():
+        branch = F.when(F.col(strata_col) == value, F.lit(pct))
+        rate = branch if rate is None else rate.when(
+            F.col(strata_col) == value, F.lit(pct)
+        )
+    rate = (rate.otherwise(F.lit(default_rate))
+            if rate is not None else F.lit(default_rate))
+    return df.withColumn("sample_bucket", bucket.cast("long")).filter(
+        F.col("sample_bucket") < rate
+    )

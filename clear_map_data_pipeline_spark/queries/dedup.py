@@ -143,3 +143,27 @@ def dd_simhash(spark, sf_dir):
     an integer.  Pure per-row expressions — no shuffle at any scale."""
     t = Tables(spark, sf_dir)
     return dd.simhash(t.documents).select("doc_id", "simhash")
+
+
+@register(
+    "dd_keep_best",
+    sql="""
+    WITH d AS (SELECT doc_id, n_chars, md5(text) AS content_hash FROM documents),
+    r AS (
+      SELECT doc_id, content_hash,
+             row_number() OVER (PARTITION BY content_hash
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY content_hash) AS group_n
+      FROM d
+    )
+    SELECT doc_id, content_hash, CAST(group_n AS BIGINT) AS group_n
+    FROM r WHERE rn = 1
+    """,
+)
+def dd_keep_best(spark, sf_dir):
+    """Exact dedup keeping the best survivor per content group (longest
+    doc wins, id tiebreak) — the canonical-version-selection policy.
+    Both window functions share one content-hash exchange; only
+    (digest, score, id) triples ever shuffle."""
+    t = Tables(spark, sf_dir)
+    return dd.exact_dedup_keep_best(t.documents)

@@ -294,3 +294,74 @@ def o_rollup(spark, sf_dir):
             "sum_qty",
         )
     )
+
+
+# Value tiers: (tier_id, name, lo, hi, multiplier); hi=None = unbounded.
+# Both the Spark when-chain and the oracle CASE are generated from this
+# one table so the range boundaries cannot drift between the two sides.
+VALUE_TIERS = [
+    (1, "low", 0.0, 50.0, 1.0),
+    (2, "mid", 50.0, 150.0, 1.5),
+    (3, "high", 150.0, 300.0, 2.0),
+    (4, "top", 300.0, None, 3.0),
+]
+
+
+def _tier_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN value < {hi} THEN {tid}"
+        for tid, _, _, hi, _ in VALUE_TIERS
+        if hi is not None
+    )
+    last = VALUE_TIERS[-1][0]
+    return f"CASE {whens} ELSE {last} END"
+
+
+@register(
+    "j_range_bucket_join",
+    sql=f"""
+    WITH tiers(tier_id, tier_name, multiplier) AS (
+      VALUES {", ".join(f"({tid}, '{name}', {mult})" for tid, name, _, _, mult in VALUE_TIERS)}
+    ),
+    bucketed AS (SELECT {_tier_case_sql()} AS tier_id, value FROM events)
+    SELECT t.tier_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(b.value * t.multiplier), 2) AS weighted_value
+    FROM bucketed b JOIN tiers t USING (tier_id)
+    GROUP BY t.tier_name
+    """,
+)
+def j_range_bucket_join(spark, sf_dir):
+    """Range (theta) join rewritten as a broadcast equi-join: instead of
+    ``events JOIN tiers ON value >= lo AND value < hi`` — which Spark
+    can only execute as a BroadcastNestedLoopJoin, O(rows x tiers) with
+    no codegen — each row computes its tier_id via a when-chain (the
+    binary search over the boundary list, constant-folded into the scan
+    stage) and then equi-joins the broadcast tier dim.  Same semantics
+    for non-overlapping ranges, and the plan stays BroadcastHashJoin +
+    partial/final hash aggregate at any scale."""
+    spark_tiers = spark.createDataFrame(
+        [(tid, name, mult) for tid, name, _, _, mult in VALUE_TIERS],
+        "tier_id int, tier_name string, multiplier double",
+    )
+    t = Tables(spark, sf_dir)
+    tier_id = None
+    for tid, _, _, hi, _ in VALUE_TIERS:
+        if hi is None:
+            continue
+        branch = F.when(F.col("value") < hi, F.lit(tid))
+        tier_id = branch if tier_id is None else tier_id.when(
+            F.col("value") < hi, F.lit(tid)
+        )
+    tier_id = tier_id.otherwise(F.lit(VALUE_TIERS[-1][0]))
+    return (
+        t.events.select(tier_id.alias("tier_id"), "value")
+        .join(F.broadcast(spark_tiers), "tier_id")
+        .groupBy("tier_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("multiplier")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )

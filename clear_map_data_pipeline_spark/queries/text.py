@@ -112,3 +112,32 @@ def tx_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint: min-md5 over char 8-grams."""
     t = Tables(spark, sf_dir)
     return tx.fingerprint(t.documents).select("doc_id", "fp")
+
+
+# Dataset-mixing rates: downsample dominant English, keep rarer langs.
+MIX_RATES = {"en": 20, "zh": 50, "es": 60, "de": 70, "fr": 80}
+
+
+def _mix_rate_sql() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    return f"CASE lang {cases} ELSE 0 END"
+
+
+@register(
+    "tx_stratified_sample",
+    sql=f"""
+    SELECT doc_id, lang,
+           (doc_id * 1103515245 + 12345) % 100 AS sample_bucket
+    FROM documents
+    WHERE (doc_id * 1103515245 + 12345) % 100 < {_mix_rate_sql()}
+    """,
+)
+def tx_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for dataset mixing: keep
+    MIX_RATES percent per language via an LCG-scrambled id bucket.
+    Map-only, retry-stable, zero shuffles; SQL generated from the same
+    rates dict so the two sides cannot drift."""
+    t = Tables(spark, sf_dir)
+    return tx.stratified_sample(t.documents, MIX_RATES).select(
+        "doc_id", "lang", "sample_bucket"
+    )
