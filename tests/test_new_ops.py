@@ -1,0 +1,96 @@
+"""Edge-case tests for keep-best dedup, stratified sampling, and the
+range-bucket join — the cases the sf fixtures don't necessarily hit:
+score ties, unknown strata, retry determinism, exact tier boundaries.
+"""
+
+from __future__ import annotations
+
+from clear_map_data_pipeline_spark.operators.dedup import exact_dedup_keep_best
+from clear_map_data_pipeline_spark.operators.text import stratified_sample
+
+
+def test_keep_best_tie_breaks_on_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "same text", 9),
+            (3, "same text", 9),  # tie on score -> min id survives
+            (5, "same text", 4),
+            (1, "other", 2),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in exact_dedup_keep_best(df).collect()}
+    assert set(rows) == {3, 1}
+    assert rows[3]["group_n"] == 3
+    assert rows[1]["group_n"] == 1
+
+
+def test_keep_best_prefers_higher_score(spark):
+    df = spark.createDataFrame(
+        [(1, "t", 5), (2, "t", 50)], "doc_id long, text string, n_chars long"
+    )
+    (r,) = exact_dedup_keep_best(df).collect()
+    assert r["doc_id"] == 2 and r["group_n"] == 2
+
+
+def test_stratified_sample_unknown_stratum_dropped_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "xx" if i % 2 else "en") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out1 = stratified_sample(df, {"en": 50}).collect()
+    out2 = stratified_sample(df, {"en": 50}).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(
+        r["doc_id"] for r in out2
+    )  # retry/rerun stability
+    assert all(r["lang"] == "en" for r in out1)  # default_rate=0 drops 'xx'
+    assert all(r["sample_bucket"] < 50 for r in out1)
+    assert 0 < len(out1) < 100  # sampled, not all/none of the 100 'en' rows
+
+
+def test_stratified_sample_rate_100_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "de") for i in range(50)], "doc_id long, lang string"
+    )
+    assert stratified_sample(df, {"de": 100}).count() == 50
+
+
+def test_range_bucket_boundaries(spark, tmp_path):
+    # Boundary values land in the upper tier (lower-inclusive ranges).
+    import pyspark.sql.functions as F
+
+    from clear_map_data_pipeline_spark.queries.joins import (
+        VALUE_TIERS,
+        j_range_bucket_join,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, 0.0, "low"),
+            (2, 49.999, "low"),
+            (3, 50.0, "mid"),
+            (4, 150.0, "high"),
+            (5, 299.999, "high"),
+            (6, 300.0, "top"),
+            (7, 10_000.0, "top"),
+        ],
+        "event_id long, value double, expect string",
+    )
+    sf = str(tmp_path)
+    events.select("event_id", "value").withColumn(
+        "ts", F.current_timestamp()
+    ).withColumn("user_id", F.lit(1)).withColumn(
+        "event_type", F.lit("view")
+    ).withColumn("props", F.lit("{}")).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    got = {
+        r["tier_name"]: r["n_events"]
+        for r in j_range_bucket_join(spark, sf).collect()
+    }
+    want = {
+        t: sum(1 for r in events.collect() if r["expect"] == t)
+        for t in ("low", "mid", "high", "top")
+    }
+    assert got == want
+    assert len(VALUE_TIERS) == 4
