@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "pipeline_export_all",
     "w1_rebase_censored",
     "tpch_q1_pricing_summary",
     "j1_broadcast_join_revenue",
@@ -27,10 +28,13 @@ HEADLINE = [
     "j_asof_join",
     "j_sessionization",
     "dd_minhash_lsh_pairs",
+    "dd_keep_best",
     "dd_embedding_cosine",
     "sim_ann_lsh_pairs",
     "sim_ivf_topk",
     "tx_quality_score",
+    "tx_stratified_sample",
+    "j_range_bucket_join",
     "mm_image_features",
 ]
 
