@@ -114,3 +114,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+
+
+def test_keep_best_dedup_single_exchange(spark, sf_dir):
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    plan = _formatted_plan(load_all()["dd_keep_best"].builder(spark, sf_dir))
+    # count() and row_number() share one content_hash exchange + sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir):
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    plan = _formatted_plan(
+        load_all()["tx_stratified_sample"].builder(spark, sf_dir)
+    )
+    assert "Exchange" not in plan, plan  # zero shuffles: scan+filter+project
+
+
+def test_range_bucket_join_is_broadcast_hash(spark, sf_dir):
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    plan = _formatted_plan(
+        load_all()["j_range_bucket_join"].builder(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan  # the rewrite's whole point
