@@ -35,7 +35,9 @@ HEADLINE = [
     "tx_quality_score",
     "tx_stratified_sample",
     "j_range_bucket_join",
-    "mm_image_features",
+    "mm_multimodal_suite",
+    "pipeline_export_weeks_1",
+    "tx_lang_id",
 ]
 
 

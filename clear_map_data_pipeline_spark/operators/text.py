@@ -139,6 +139,45 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fp", k: int = 8) -
     )
 
 
+# Multiply-xorshift scramble constants (Knuth / xxhash-style odd
+# multipliers).  The first reduction folds arbitrary nonnegative int64
+# ids below 2^31 so both multiplies stay inside int64 (max product
+# ~5.7e18 < 2^63-1) — portable to any engine with 64-bit integer
+# arithmetic, xor, and right-shift; no overflow, no engine-specific
+# hash function.
+_HASH_P = 2147483647  # 2^31 - 1 (fold modulus)
+_HASH_M = 2147483648  # 2^31 (mix modulus)
+_HASH_C1 = 2654435761  # Knuth multiplicative constant
+_HASH_C2 = 1597334677
+
+
+def sample_bucket(id_col: Column) -> Column:
+    """[0,100) bucket from a 2-round multiply-xorshift of a NONNEGATIVE
+    integer id.  Replaces the earlier LCG ``(id*1103515245+12345)%100``,
+    which degenerates: 1103515245 ≡ 45 (mod 100) with gcd(45,100)=5, so
+    its buckets were only ever multiples of 5 (rates silently quantized
+    to 5% steps).  This mix avalanches the low bits, so every bucket in
+    [0,100) is reachable and realized keep-rates track requested rates
+    to well under 1% (asserted in tests/test_text_ops.py)."""
+    x0 = id_col % _HASH_P
+    x1 = (x0 * _HASH_C1) % _HASH_M
+    x2 = x1.bitwiseXOR(F.shiftright(x1, 15))
+    x3 = (x2 * _HASH_C2) % _HASH_M
+    x4 = x3.bitwiseXOR(F.shiftright(x3, 13))
+    return x4 % 100
+
+
+def sample_bucket_sql(id_expr: str) -> str:
+    """The identical scramble as DuckDB SQL text, generated from the
+    same constants so engine and oracle cannot drift."""
+    x0 = f"(({id_expr}) % {_HASH_P})"
+    x1 = f"(({x0} * {_HASH_C1}) % {_HASH_M})"
+    x2 = f"xor({x1}, ({x1} >> 15))"
+    x3 = f"(({x2} * {_HASH_C2}) % {_HASH_M})"
+    x4 = f"xor({x3}, ({x3} >> 13))"
+    return f"({x4} % 100)"
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, int],
@@ -150,16 +189,15 @@ def stratified_sample(
     (downsample over-represented languages/sources to target
     proportions).  ``rates`` maps stratum value -> percent kept [0,100].
 
-    A row survives iff ``lcg(id) % 100 < rate(stratum)`` where ``lcg``
-    is a fixed linear-congruential scramble of the id.  Deterministic
-    (reruns and retried tasks keep identical rows — no ``rand()``
-    nondeterminism under task retry), map-only (the when-chain is a
-    per-row JVM expression; zero shuffles, filter reaches the scan), and
-    exactly reproducible in ANSI SQL for the oracle.  At 100 TB scale
-    swap the LCG for ``xxhash64(id)`` — same shape, overflow-safe for
-    ids beyond ~2^33 (the multiply here stays in int64 below that).
+    A row survives iff ``sample_bucket(id) < rate(stratum)``.
+    Deterministic (reruns and retried tasks keep identical rows — no
+    ``rand()`` nondeterminism under task retry), map-only (the
+    when-chain is a per-row JVM expression; zero shuffles, filter
+    reaches the scan), and exactly reproducible in ANSI SQL for the
+    oracle.  Ids must be nonnegative (true for all fixture and
+    lakehouse surrogate keys; `%` is not pmod on negatives).
     """
-    bucket = (F.col(id_col) * F.lit(1103515245) + F.lit(12345)) % 100
+    bucket = sample_bucket(F.col(id_col))
     rate = None
     for value, pct in rates.items():
         branch = F.when(F.col(strata_col) == value, F.lit(pct))

@@ -4,6 +4,14 @@ aggregations (SURVEY.md §2.2-2.4, §2.8).
 Every builder is pure DataFrame API; every oracle twin is ANSI SQL for
 DuckDB.  Types are pinned on both sides (DuckDB SUM(int) is HUGEINT →
 always CAST to BIGINT; Spark aggregates aliased to the same names).
+
+The simple projection/filter/aggregate queries are FOLDED into two
+registered suite queries (``suite_core_clean``, ``suite_core_agg``) via
+``suites.register_suite`` so the full registry fits the driver's
+50-entry CORRECTNESS window (COVERAGE.md "driver cap"); each sub-query
+is still hash-checked row-by-row inside its suite.  The three queries
+with non-trivial plans (distributed quantiles, top-k window, TPC-H Q1)
+stay registered standalone.
 """
 
 from __future__ import annotations
@@ -16,16 +24,17 @@ from ..operators import stats
 from ..registry import register
 from ..session import Tables
 from .common import MOH_DAILY_SQL, moh_daily
+from .suites import SubQuery, register_suite
+
+# --- fold candidates: builder + oracle SQL kept side by side ----------
+
+P2_SQL = """
+SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
+       CAST(l_shipdate AS DATE) AS ship
+FROM lineitem
+"""
 
 
-@register(
-    "p2_project_rename",
-    sql="""
-    SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
-           CAST(l_shipdate AS DATE) AS ship
-    FROM lineitem
-    """,
-)
 def p2_project_rename(spark, sf_dir):
     """P1/P2/P7 (ref :52,:54,:175): projection + positional rename.
 
@@ -38,13 +47,12 @@ def p2_project_rename(spark, sf_dir):
     ).toDF("okey", "line", "qty", "ship")
 
 
-@register(
-    "p3_derived_key",
-    sql="""
-    SELECT c_custkey, CAST(c_nationkey AS BIGINT) * 10000 + c_custkey AS id
-    FROM customer
-    """,
-)
+P3_SQL = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) * 10000 + c_custkey AS id
+FROM customer
+"""
+
+
 def p3_derived_key(spark, sf_dir):
     """P3 (ref :59): composite surrogate key city*10000+area, as LONG."""
     t = Tables(spark, sf_dir)
@@ -53,14 +61,13 @@ def p3_derived_key(spark, sf_dir):
     )
 
 
-@register(
-    "f1_null_default_fill",
-    sql="""
-    SELECT l_orderkey, l_linenumber,
-           coalesce(nullif(l_discount, 0.0), 0.0) AS discount_filled
-    FROM lineitem
-    """,
-)
+F1_SQL = """
+SELECT l_orderkey, l_linenumber,
+       coalesce(nullif(l_discount, 0.0), 0.0) AS discount_filled
+FROM lineitem
+"""
+
+
 def f1_null_default_fill(spark, sf_dir):
     """F1 (ref :55,:57): null -> default fill via coalesce (na.fill)."""
     t = Tables(spark, sf_dir)
@@ -73,13 +80,12 @@ def f1_null_default_fill(spark, sf_dir):
     )
 
 
-@register(
-    "f2_filter_conjunction",
-    sql="""
-    SELECT event_id FROM events
-    WHERE NOT (user_id % 10 = 0 AND value < 10)
-    """,
-)
+F2_SQL = """
+SELECT event_id FROM events
+WHERE NOT (user_id % 10 = 0 AND value < 10)
+"""
+
+
 def f2_filter_conjunction(spark, sf_dir):
     """F2 (ref :58): delete rows matching a conjunctive predicate.
 
@@ -92,19 +98,18 @@ def f2_filter_conjunction(spark, sf_dir):
     ).select("event_id")
 
 
-@register(
-    "f3_censored_decode",
-    sql="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(CASE WHEN qty_str = '<15' THEN '0' ELSE qty_str END AS BIGINT) AS qty_dec
-    FROM (
-      SELECT l_orderkey, l_linenumber,
-             CASE WHEN l_quantity < 15 THEN '<15'
-                  ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END AS qty_str
-      FROM lineitem
-    )
-    """,
+F3_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN qty_str = '<15' THEN '0' ELSE qty_str END AS BIGINT) AS qty_dec
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity < 15 THEN '<15'
+              ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END AS qty_str
+  FROM lineitem
 )
+"""
+
+
 def f3_censored_decode(spark, sf_dir):
     """F3 (ref :60-65): the '<15' privacy-sentinel decode.
 
@@ -126,17 +131,16 @@ def f3_censored_decode(spark, sf_dir):
     )
 
 
-@register(
-    "f4_bool_decode",
-    sql="""
-    SELECT user_id,
-           CAST(sum(CASE WHEN flag = 'TRUE' THEN 1 WHEN flag = 'FALSE' THEN 0 END) AS BIGINT) AS n_true
-    FROM (
-      SELECT user_id, CASE WHEN value > 50 THEN 'TRUE' ELSE 'FALSE' END AS flag
-      FROM events
-    ) GROUP BY user_id
-    """,
-)
+F4_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN flag = 'TRUE' THEN 1 WHEN flag = 'FALSE' THEN 0 END) AS BIGINT) AS n_true
+FROM (
+  SELECT user_id, CASE WHEN value > 50 THEN 'TRUE' ELSE 'FALSE' END AS flag
+  FROM events
+) GROUP BY user_id
+"""
+
+
 def f4_bool_decode(spark, sf_dir):
     """F4 (ref :66-73): 'TRUE'/'FALSE' string -> 1/0 decode."""
     t = Tables(spark, sf_dir)
@@ -151,14 +155,13 @@ def f4_bool_decode(spark, sf_dir):
     )
 
 
-@register(
-    "f7_clamp",
-    sql="""
-    SELECT l_orderkey, l_linenumber,
-           least(greatest(round(l_extendedprice / 1000, 1), 5.0), 50.0) AS clamped
-    FROM lineitem
-    """,
-)
+F7_SQL = """
+SELECT l_orderkey, l_linenumber,
+       least(greatest(round(l_extendedprice / 1000, 1), 5.0), 50.0) AS clamped
+FROM lineitem
+"""
+
+
 def f7_clamp(spark, sf_dir):
     """F7/F8 (ref :137, :143-146): scalar clamp into [lo, hi] + round."""
     t = Tables(spark, sf_dir)
@@ -169,16 +172,15 @@ def f7_clamp(spark, sf_dir):
     )
 
 
-@register(
-    "c2_date_arithmetic",
-    sql="""
-    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
-           CAST(o_orderdate AS DATE) - 7 AS od_minus_7d,
-           CAST(month(o_orderdate) AS INTEGER) AS od_month,
-           CAST(day(o_orderdate) AS INTEGER) AS od_day
-    FROM orders
-    """,
-)
+C2_SQL = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+       CAST(o_orderdate AS DATE) - 7 AS od_minus_7d,
+       CAST(month(o_orderdate) AS INTEGER) AS od_month,
+       CAST(day(o_orderdate) AS INTEGER) AS od_day
+FROM orders
+"""
+
+
 def c2_date_arithmetic(spark, sf_dir):
     """C2/C3 (ref :79-81,:156,:167,:196): date arithmetic + part extraction."""
     t = Tables(spark, sf_dir)
@@ -192,15 +194,14 @@ def c2_date_arithmetic(spark, sf_dir):
     )
 
 
-@register(
-    "a3_grouped_conditional_counts",
-    sql="""
-    SELECT c_nationkey,
-           CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-           CAST(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-    FROM customer GROUP BY c_nationkey
-    """,
-)
+A3_SQL = """
+SELECT c_nationkey,
+       CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM customer GROUP BY c_nationkey
+"""
+
+
 def a3_grouped_conditional_counts(spark, sf_dir):
     """A3 (ref :89-93): per-group conditional counts (the case-1..4 picker)."""
     t = Tables(spark, sf_dir)
@@ -210,13 +211,12 @@ def a3_grouped_conditional_counts(spark, sf_dir):
     )
 
 
-@register(
-    "a4_distinct_count",
-    sql="""
-    SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-    FROM documents GROUP BY source
-    """,
-)
+A4_SQL = """
+SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
 def a4_distinct_count(spark, sf_dir):
     """A4 (ref :96): exact distinct count per group (nunique)."""
     t = Tables(spark, sf_dir)
@@ -225,14 +225,13 @@ def a4_distinct_count(spark, sf_dir):
     )
 
 
-@register(
-    "a6_group_sum_broadcast",
-    sql="""
-    SELECT c_custkey,
-           round(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 2) AS nation_bal
-    FROM customer
-    """,
-)
+A6_SQL = """
+SELECT c_custkey,
+       round(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 2) AS nation_bal
+FROM customer
+"""
+
+
 def a6_group_sum_broadcast(spark, sf_dir):
     """A6 (ref :105): group sum broadcast back to member rows (window sum)."""
     t = Tables(spark, sf_dir)
@@ -244,13 +243,12 @@ def a6_group_sum_broadcast(spark, sf_dir):
     )
 
 
-@register(
-    "a7_grouped_median",
-    sql="""
-    SELECT c_nationkey, round(median(c_acctbal), 4) AS median_bal
-    FROM customer GROUP BY c_nationkey
-    """,
-)
+A7_SQL = """
+SELECT c_nationkey, round(median(c_acctbal), 4) AS median_bal
+FROM customer GROUP BY c_nationkey
+"""
+
+
 def a7_grouped_median(spark, sf_dir):
     """A7 (ref :108-109): exact grouped median (rank nullable-guarded).
 
@@ -263,25 +261,116 @@ def a7_grouped_median(spark, sf_dir):
     )
 
 
-@register(
-    "a8_dedup_distinct",
-    sql="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
+A8_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
 def a8_dedup_distinct(spark, sf_dir):
     """A8 (ref :110): drop_duplicates -> DISTINCT (hash-aggregate)."""
     t = Tables(spark, sf_dir)
     return t.customer.select("c_mktsegment", "c_nationkey").dropDuplicates()
 
 
-@register(
-    "a10_global_max_date",
-    sql="SELECT CAST(max(ts) AS DATE) AS last_date FROM events",
-)
+A10_SQL = "SELECT CAST(max(ts) AS DATE) AS last_date FROM events"
+
+
 def a10_global_max_date(spark, sf_dir):
     """A10/O3 (ref :75,:78): sort-desc + head collapses to agg(max)."""
     t = Tables(spark, sf_dir)
     return t.events.agg(F.max(F.to_date("ts")).alias("last_date"))
 
+
+A14_SQL = f"""
+WITH {MOH_DAILY_SQL},
+totals AS (
+  SELECT date, CAST(sum(cases) AS BIGINT) AS total FROM daily GROUP BY date
+)
+SELECT date,
+       CAST(coalesce(total - lag(total) OVER (ORDER BY date), total) AS BIGINT)
+         AS daily_delta
+FROM totals
+"""
+
+
+def a14_daily_total_delta(spark, sf_dir):
+    """A14+W7 (ref :169): national daily totals, first-differenced.
+
+    Map-side partial aggregation shrinks to <= #dates rows before the
+    single-partition lag window — safe at any scale."""
+    t = Tables(spark, sf_dir)
+    return stats.daily_total_delta(moh_daily(t), "cases")
+
+
+A15_SQL = "SELECT DISTINCT CAST(ts AS DATE) AS date FROM events"
+
+
+def a15_distinct_ordered_dates(spark, sf_dir):
+    """A15 (ref :167): distinct dates of a window (hash-sorted by driver)."""
+    t = Tables(spark, sf_dir)
+    return stats.distinct_ordered_dates(
+        t.events.select(F.to_date("ts").alias("date"))
+    )
+
+
+# --- the two folded suites (driver-cap: COVERAGE.md) ------------------
+
+CLEAN_SUITE = [
+    SubQuery("p2_project_rename", p2_project_rename, P2_SQL,
+             [("okey", "s"), ("line", "s"), ("qty", "d2"), ("ship", "s")]),
+    SubQuery("p3_derived_key", p3_derived_key, P3_SQL,
+             [("c_custkey", "s"), ("id", "s")]),
+    SubQuery("f1_null_default_fill", f1_null_default_fill, F1_SQL,
+             [("l_orderkey", "s"), ("l_linenumber", "s"),
+              ("discount_filled", "d4")]),
+    SubQuery("f2_filter_conjunction", f2_filter_conjunction, F2_SQL,
+             [("event_id", "s")]),
+    SubQuery("f3_censored_decode", f3_censored_decode, F3_SQL,
+             [("l_orderkey", "s"), ("l_linenumber", "s"), ("qty_dec", "s")]),
+    SubQuery("f4_bool_decode", f4_bool_decode, F4_SQL,
+             [("user_id", "s"), ("n_true", "s")]),
+    SubQuery("f7_clamp", f7_clamp, F7_SQL,
+             [("l_orderkey", "s"), ("l_linenumber", "s"), ("clamped", "d2")]),
+    SubQuery("c2_date_arithmetic", c2_date_arithmetic, C2_SQL,
+             [("o_orderkey", "s"), ("od", "s"), ("od_minus_7d", "s"),
+              ("od_month", "s"), ("od_day", "s")]),
+]
+
+AGG_SUITE = [
+    SubQuery("a3_grouped_conditional_counts", a3_grouped_conditional_counts,
+             A3_SQL, [("c_nationkey", "s"), ("n_neg", "s"), ("n_pos", "s")]),
+    SubQuery("a4_distinct_count", a4_distinct_count, A4_SQL,
+             [("source", "s"), ("n_langs", "s")]),
+    SubQuery("a6_group_sum_broadcast", a6_group_sum_broadcast, A6_SQL,
+             [("c_custkey", "s"), ("nation_bal", "d2")]),
+    SubQuery("a7_grouped_median", a7_grouped_median, A7_SQL,
+             [("c_nationkey", "s"), ("median_bal", "d4")]),
+    SubQuery("a8_dedup_distinct", a8_dedup_distinct, A8_SQL,
+             [("c_mktsegment", "s"), ("c_nationkey", "s")]),
+    SubQuery("a10_global_max_date", a10_global_max_date, A10_SQL,
+             [("last_date", "s")]),
+    SubQuery("a14_daily_total_delta", a14_daily_total_delta, A14_SQL,
+             [("date", "s"), ("daily_delta", "s")]),
+    SubQuery("a15_distinct_ordered_dates", a15_distinct_ordered_dates,
+             A15_SQL, [("date", "s")]),
+]
+
+register_suite(
+    "suite_core_clean",
+    CLEAN_SUITE,
+    doc="""Folded P/F/C suite (SURVEY §2.2-2.3, §2.8): projection+rename,
+    derived key, null fill, conjunctive delete, censored decode, bool
+    decode, clamp, date arithmetic — each sub-query hash-checked
+    row-by-row against its DuckDB twin inside the suite union.""",
+)
+register_suite(
+    "suite_core_agg",
+    AGG_SUITE,
+    doc="""Folded aggregation suite (SURVEY §2.4): conditional counts,
+    distinct count, window group-sum, grouped median, distinct dedup,
+    global max, daily-totals delta, distinct dates.""",
+)
+
+
+# --- standalone (non-trivial plans) -----------------------------------
 
 @register(
     "a13_quantile_vector",
@@ -305,40 +394,6 @@ def a13_quantile_vector(spark, sf_dir):
     t = Tables(spark, sf_dir)
     return stats.quantile_vector(
         t.lineitem, "l_extendedprice", exact=True, distributed=True
-    )
-
-
-@register(
-    "a14_daily_total_delta",
-    sql=f"""
-    WITH {MOH_DAILY_SQL},
-    totals AS (
-      SELECT date, CAST(sum(cases) AS BIGINT) AS total FROM daily GROUP BY date
-    )
-    SELECT date,
-           CAST(coalesce(total - lag(total) OVER (ORDER BY date), total) AS BIGINT)
-             AS daily_delta
-    FROM totals
-    """,
-)
-def a14_daily_total_delta(spark, sf_dir):
-    """A14+W7 (ref :169): national daily totals, first-differenced.
-
-    Map-side partial aggregation shrinks to <= #dates rows before the
-    single-partition lag window — safe at any scale."""
-    t = Tables(spark, sf_dir)
-    return stats.daily_total_delta(moh_daily(t), "cases")
-
-
-@register(
-    "a15_distinct_ordered_dates",
-    sql="SELECT DISTINCT CAST(ts AS DATE) AS date FROM events",
-)
-def a15_distinct_ordered_dates(spark, sf_dir):
-    """A15 (ref :167): distinct dates of a window (hash-sorted by driver)."""
-    t = Tables(spark, sf_dir)
-    return stats.distinct_ordered_dates(
-        t.events.select(F.to_date("ts").alias("date"))
     )
 
 

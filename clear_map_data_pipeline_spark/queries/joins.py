@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import Tables
+from .suites import SubQuery, register_suite
 
 
 @register(
@@ -251,15 +252,14 @@ def c_json_extract(spark, sf_dir):
     )
 
 
-@register(
-    "o_pivot",
-    sql="""
-    SELECT l_returnflag,
-           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 2) AS qty_o,
-           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 2) AS qty_f
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+O_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 2) AS qty_o,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 2) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def o_pivot(spark, sf_dir):
     """Pivot (wide aggregation) — explicit value list so no extra
     distinct-values job runs at scale."""
@@ -273,15 +273,14 @@ def o_pivot(spark, sf_dir):
     )
 
 
-@register(
-    "o_rollup",
-    sql="""
-    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-           coalesce(l_linestatus, 'ALL') AS lstatus,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
+O_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def o_rollup(spark, sf_dir):
     """Rollup hierarchy totals (partial aggregation reused across levels)."""
     t = Tables(spark, sf_dir)
@@ -296,6 +295,19 @@ def o_rollup(spark, sf_dir):
     )
 
 
+register_suite(
+    "suite_wide_agg",
+    [
+        SubQuery("o_pivot", o_pivot, O_PIVOT_SQL,
+                 [("l_returnflag", "s"), ("qty_o", "d2"), ("qty_f", "d2")]),
+        SubQuery("o_rollup", o_rollup, O_ROLLUP_SQL,
+                 [("rflag", "s"), ("lstatus", "s"), ("sum_qty", "d2")]),
+    ],
+    doc="""Folded wide-aggregation suite: explicit-value-list pivot +
+    rollup hierarchy totals (COVERAGE.md driver cap).""",
+)
+
+
 # Value tiers: (tier_id, name, lo, hi, multiplier); hi=None = unbounded.
 # Both the Spark when-chain and the oracle CASE are generated from this
 # one table so the range boundaries cannot drift between the two sides.
@@ -308,13 +320,16 @@ VALUE_TIERS = [
 
 
 def _tier_case_sql() -> str:
+    # below the first tier's lower bound -> NULL tier (matches no tier
+    # under the theta semantics `value >= lo AND value < hi`)
+    lo0 = VALUE_TIERS[0][2]
     whens = " ".join(
         f"WHEN value < {hi} THEN {tid}"
         for tid, _, _, hi, _ in VALUE_TIERS
         if hi is not None
     )
     last = VALUE_TIERS[-1][0]
-    return f"CASE {whens} ELSE {last} END"
+    return f"CASE WHEN value < {lo0} THEN NULL {whens} ELSE {last} END"
 
 
 @register(
@@ -338,21 +353,23 @@ def j_range_bucket_join(spark, sf_dir):
     no codegen — each row computes its tier_id via a when-chain (the
     binary search over the boundary list, constant-folded into the scan
     stage) and then equi-joins the broadcast tier dim.  Same semantics
-    for non-overlapping ranges, and the plan stays BroadcastHashJoin +
-    partial/final hash aggregate at any scale."""
+    for non-overlapping ranges — including below-range rows, which get
+    a NULL tier_id and match no tier — and the plan stays
+    BroadcastHashJoin + partial/final hash aggregate at any scale."""
     spark_tiers = spark.createDataFrame(
         [(tid, name, mult) for tid, name, _, _, mult in VALUE_TIERS],
         "tier_id int, tier_name string, multiplier double",
     )
     t = Tables(spark, sf_dir)
-    tier_id = None
+    # rows below the first tier's lower bound get a NULL tier_id and
+    # fall out of the inner equi-join — exactly the theta-join result
+    tier_id = F.when(
+        F.col("value") < VALUE_TIERS[0][2], F.lit(None).cast("int")
+    )
     for tid, _, _, hi, _ in VALUE_TIERS:
         if hi is None:
             continue
-        branch = F.when(F.col("value") < hi, F.lit(tid))
-        tier_id = branch if tier_id is None else tier_id.when(
-            F.col("value") < hi, F.lit(tid)
-        )
+        tier_id = tier_id.when(F.col("value") < hi, F.lit(tid))
     tier_id = tier_id.otherwise(F.lit(VALUE_TIERS[-1][0]))
     return (
         t.events.select(tier_id.alias("tier_id"), "value")

@@ -38,7 +38,6 @@ def _nation_squares(spark, sf_dir):
     )
 
 
-@register("sp_dissolve_hull")
 def sp_dissolve_hull(spark, sf_dir):
     """B1+B2+B3 (ref :97-101): per-region dissolve of member polygons;
     multi-polygon unions collapse to their convex hull (monotone chain,
@@ -47,13 +46,30 @@ def sp_dissolve_hull(spark, sf_dir):
     return sp.dissolve(squares, key="city", geom="geometry")
 
 
-@register("sp_boundary")
 def sp_boundary(spark, sf_dir):
     """B4 (ref :174): polygon -> boundary lines (Arrow-batched UDF)."""
     squares = _nation_squares(spark, sf_dir)
     return squares.select(
         "n_nationkey", sp.st_boundary_udf()(F.col("geometry")).alias("boundary_wkt")
     )
+
+
+@register("sp_geometry_suite")
+def sp_geometry_suite(spark, sf_dir):
+    """Folded spatial suite (driver rows-only; exact goldens in
+    tests/test_spatial.py): per-region dissolve-or-hull + per-polygon
+    boundary, normalized to (q, key, wkt) rows."""
+    dis = sp_dissolve_hull(spark, sf_dir).select(
+        F.lit("sp_dissolve_hull").alias("q"),
+        F.col("city").cast("string").alias("key"),
+        F.col("geometry").alias("wkt"),
+    )
+    bnd = sp_boundary(spark, sf_dir).select(
+        F.lit("sp_boundary").alias("q"),
+        F.col("n_nationkey").cast("string").alias("key"),
+        F.col("boundary_wkt").alias("wkt"),
+    )
+    return dis.unionByName(bnd)
 
 
 @register("sp_geojson_roundtrip")

@@ -127,16 +127,17 @@ def _mix_rate_sql() -> str:
     "tx_stratified_sample",
     sql=f"""
     SELECT doc_id, lang,
-           (doc_id * 1103515245 + 12345) % 100 AS sample_bucket
+           {tx.sample_bucket_sql("doc_id")} AS sample_bucket
     FROM documents
-    WHERE (doc_id * 1103515245 + 12345) % 100 < {_mix_rate_sql()}
+    WHERE {tx.sample_bucket_sql("doc_id")} < {_mix_rate_sql()}
     """,
 )
 def tx_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling for dataset mixing: keep
-    MIX_RATES percent per language via an LCG-scrambled id bucket.
+    MIX_RATES percent per language via a multiply-xorshift id bucket
+    (see operators/text.py sample_bucket for why not an LCG).
     Map-only, retry-stable, zero shuffles; SQL generated from the same
-    rates dict so the two sides cannot drift."""
+    rates dict + hash constants so the two sides cannot drift."""
     t = Tables(spark, sf_dir)
     return tx.stratified_sample(t.documents, MIX_RATES).select(
         "doc_id", "lang", "sample_bucket"

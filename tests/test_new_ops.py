@@ -94,3 +94,61 @@ def test_range_bucket_boundaries(spark, tmp_path):
     }
     assert got == want
     assert len(VALUE_TIERS) == 4
+
+
+def test_stratified_sample_rate_accuracy(spark):
+    # The old LCG quantized rates to 5% steps (rate=37 kept 40%); the
+    # multiply-xorshift bucket must track any requested rate closely.
+    # 50k ids -> bucket-count noise well under 1%.
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    kept = stratified_sample(df, {"en": 37}).count()
+    assert abs(kept / 50_000 - 0.37) < 0.01, f"keep-rate {kept / 50_000:.4f}"
+
+    # and on the real documents table (500 rows at sf0.01 -> noise ~2%;
+    # still cleanly distinguishes 37% from the LCG's quantized 40%)
+    from clear_map_data_pipeline_spark.session import Tables
+
+    docs = Tables(spark, "/root/testdata/sf0.01").documents
+    n = docs.count()
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    kept_docs = stratified_sample(docs, dict.fromkeys(langs, 37)).count()
+    assert abs(kept_docs / n - 0.37) < 0.05, f"keep-rate {kept_docs / n:.4f}"
+
+
+def test_sample_bucket_reaches_all_residues(spark):
+    # gcd degeneracy check: every bucket value [0,100) must be hit.
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.text import sample_bucket
+
+    df = spark.range(20_000).select(
+        sample_bucket(F.col("id")).alias("b")
+    )
+    assert df.distinct().count() == 100
+
+
+def test_range_bucket_below_range_matches_no_tier(spark, tmp_path):
+    # theta semantics `value >= lo AND value < hi`: a negative value is
+    # below the first tier's lower bound and must match NO tier.
+    import pyspark.sql.functions as F
+
+    from clear_map_data_pipeline_spark.queries.joins import j_range_bucket_join
+
+    events = spark.createDataFrame(
+        [(1, -5.0), (2, 10.0)], "event_id long, value double"
+    )
+    sf = str(tmp_path)
+    events.withColumn("ts", F.current_timestamp()).withColumn(
+        "user_id", F.lit(1)
+    ).withColumn("event_type", F.lit("view")).withColumn(
+        "props", F.lit("{}")
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        r["tier_name"]: r["n_events"]
+        for r in j_range_bucket_join(spark, sf).collect()
+    }
+    assert got == {"low": 1}  # only the 10.0 row; -5.0 matched nothing

@@ -46,9 +46,9 @@ def test_single_exchange_for_stacked_windows(spark, sf_dir):
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
-    from clear_map_data_pipeline_spark.registry import load_all
+    from clear_map_data_pipeline_spark.queries.core import p2_project_rename
 
-    q = load_all()["p2_project_rename"].builder(spark, sf_dir)
+    q = p2_project_rename(spark, sf_dir)
     plan = _formatted_plan(q)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
