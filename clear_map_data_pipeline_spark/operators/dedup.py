@@ -151,6 +151,11 @@ def lsh_bands(
 ) -> DataFrame:
     """Fold a signature into ``bands`` band digests -> (id, band_idx,
     band).  Docs sharing ANY band become join candidates."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); trailing hash columns would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     cols = []
     for b in range(bands):
@@ -233,7 +238,9 @@ def minhash_lsh_dedup_pairs(
     partition (observed as 3x duplicated shingling work + "block already
     exists" warnings).  One count() turns that into compute-once,
     read-three-times — the same explicit stage a 100 TB run would want."""
-    sets = doc_shingle_sets(df, id_col, text_col, shingle_k).persist()
+    from ..cachereg import pin
+
+    sets = pin(doc_shingle_sets(df, id_col, text_col, shingle_k))
     sets.count()
     sigs = minhash_signatures(sets, id_col, num_hashes)
     bandsdf = lsh_bands(sigs, id_col, num_hashes, bands)

@@ -198,8 +198,12 @@ def window_export(t: Tables, window: str) -> DataFrame:
         # window filter; without a persist the whole clean->reconcile->
         # rebase->join prefix is recomputed for it (plancheck showed 2x
         # the exchanges/scans of the 'all' window) — SURVEY §4 X3 applied
-        # within a single window query
-        base = base.persist()
+        # within a single window query.  The pin is released when the
+        # next registry query is built (cachereg), so repeated
+        # invocations in a shared session don't accumulate cached frames
+        from ..cachereg import pin
+
+        base = pin(base)
         maxd = base.agg(F.max("date").alias("_maxd"))
         frame = (
             base.crossJoin(F.broadcast(maxd))
@@ -225,8 +229,10 @@ def window_export(t: Tables, window: str) -> DataFrame:
 def run_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All four window exports over one cached stats frame (the
     reference recomputes the shared prefix four times — SURVEY §4 X3)."""
+    from ..cachereg import pin
+
     t = Tables(spark, sf_dir)
-    base = joined_stats_frame(t).cache()
+    base = pin(joined_stats_frame(t))
     out = {}
     for w, days in WINDOWS.items():
         if days is None:

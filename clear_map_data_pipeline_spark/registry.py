@@ -28,7 +28,18 @@ QUERIES: dict[str, QueryDef] = {}
 
 def register(name: str, sql: Optional[str] = None):
     def deco(fn):
-        QUERIES[name] = QueryDef(fn, sql)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # a new query build marks the previous query's returned
+            # frame as consumed: drop its pinned persists (cachereg)
+            from .cachereg import release_all
+
+            release_all()
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        run.__wrapped__ = fn
+        QUERIES[name] = QueryDef(run, sql)
         return fn
 
     return deco

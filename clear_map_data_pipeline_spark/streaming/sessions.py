@@ -70,7 +70,11 @@ def _assemble_factory(gap_s: int):
                 closed.append(cur)
                 cur = (t, t, 1)
             else:
-                cur = (cur[0], t, cur[2] + 1)
+                # a late-but-within-watermark event from a later
+                # microbatch may sort before the restored session's end
+                # (or even its start): extend the bounds, never rewind —
+                # a rewound end would fake a gap for the next event
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
         state.update(cur)
         # the trailing session times out once the watermark passes its
         # would-be close boundary (clamped: timeouts must sit above the

@@ -182,3 +182,68 @@ def test_stream_dedup_exactly_once(spark, sf_dir):
     assert len(got) >= len(want) - 2 * n_types
     for k, v in got.items():
         assert want[k] == v, (k, v, want[k])
+
+
+def test_session_merge_never_rewinds_end():
+    """ADVICE r01: a late-but-within-watermark event (later microbatch,
+    t < restored session end) must extend, not rewind, the session —
+    a rewound end fakes a gap for the next event and splits spuriously."""
+    from clear_map_data_pipeline_spark.streaming.sessions import (
+        _assemble_factory,
+    )
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    import pandas as pd
+
+    assemble = _assemble_factory(gap_s=100)
+    # batch 1 left a session (start=1000, end=1500, n=3) in state;
+    # batch 2 delivers a late event at t=1450 then one at t=1520.
+    state = FakeState((1000, 1500, 3))
+    out = list(
+        assemble(
+            (7,), iter([pd.DataFrame({"ts_s": [1450, 1520]})]), state
+        )
+    )
+    assert out == []  # nothing closed: both merge into the open session
+    assert state.get == (1000, 1520, 5)
+
+    # an event before the restored start extends the start
+    state2 = FakeState((1000, 1500, 3))
+    list(assemble((7,), iter([pd.DataFrame({"ts_s": [980]})]), state2))
+    assert state2.get == (980, 1500, 4)
+
+
+def test_lsh_bands_rejects_nondivisible_params(spark):
+    import pytest as _pytest
+
+    from clear_map_data_pipeline_spark.operators.dedup import lsh_bands
+
+    sigs = spark.createDataFrame(
+        [(1, "a", "b", "c")], "doc_id long, h0 string, h1 string, h2 string"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        lsh_bands(sigs, num_hashes=3, bands=2)
