@@ -11,11 +11,14 @@ pure-Python geometry inside Arrow-batched pandas UDFs:
 - convex hull: Andrew's monotone chain — exact;
 - boundary, type predicate, GeoJSON encode/decode — exact;
 - dissolve (B1, ref il_analysis_git.py:97-101): with shapely installed
-  a true ``unary_union``; without it, the union of polygons is
-  ASSEMBLED as a MultiPolygon (exact for disjoint polygons — the only
-  case the fixtures exercise).  The reference's branch "if union is
-  MultiPolygon take its convex hull" then applies identically, because
-  >1 disjoint polygon always assembles to a MultiPolygon.
+  a true ``unary_union``; without it, edge-adjacent polygons (touching
+  along complete shared edges — the grid/tile case) merge exactly into
+  a single Polygon via directed edge cancellation + ring stitching
+  (``merge_edge_adjacent``), and remaining multi-component unions
+  assemble to a MultiPolygon.  The reference's branch "if union is
+  MultiPolygon take its convex hull" then applies identically
+  (hull(union) == hull(all points)); only overlapping-INTERIOR unions
+  — which need real polygon clipping — still require shapely/Sedona.
 
 At 100 TB: dissolve is a groupBy(key).applyInPandas — one shuffle on
 the city key, group payloads are a city's polygons (tiny); the scalar
@@ -130,6 +133,58 @@ def boundary(wkt: str) -> str:
     return "MULTILINESTRING (" + ", ".join(lines) + ")"
 
 
+def merge_edge_adjacent(polys: list[list[Ring]]) -> list[Ring] | None:
+    """Union polygons that touch along COMPLETE shared edges by directed
+    edge cancellation + ring stitching.
+
+    With consistent ring winding, an edge shared by two adjacent
+    polygons is traversed once as (a, b) and once as (b, a); cancelling
+    opposite directed pairs leaves exactly the union's boundary, which
+    is then stitched back into closed rings via the successor map.
+    Exact for grid/tile-style adjacency (the shapely ``unary_union``
+    result, incl. retained collinear vertices).  Returns ``None`` —
+    caller falls back — when the input is outside this class: holes,
+    partial edge overlap (a shared boundary split into different vertex
+    runs per side), inconsistent winding, or a vertex with more than
+    one outgoing boundary edge (pinch points)."""
+    from collections import Counter
+
+    edges: Counter = Counter()
+    for p in polys:
+        if len(p) != 1:  # holes -> fall back
+            return None
+        pts = p[0][:-1] if p[0][0] == p[0][-1] else p[0]
+        if len(pts) < 3:
+            return None
+        n = len(pts)
+        for i in range(n):
+            edges[(pts[i], pts[(i + 1) % n])] += 1
+
+    succ: dict[tuple[float, float], tuple[float, float]] = {}
+    for (a, b), cnt in edges.items():
+        survive = cnt - min(cnt, edges.get((b, a), 0))
+        if survive == 0:
+            continue
+        if survive > 1 or a in succ:  # duplicate boundary / pinch point
+            return None
+        succ[a] = b
+
+    rings: list[Ring] = []
+    remaining = dict(succ)
+    while remaining:
+        start = min(remaining)  # deterministic ring start
+        ring = [start]
+        cur = remaining.pop(start)
+        while cur != start:
+            ring.append(cur)
+            if cur not in remaining:
+                return None  # open chain — inconsistent input
+            cur = remaining.pop(cur)
+        ring.append(start)
+        rings.append(ring)
+    return rings or None
+
+
 def union_dissolve(wkts: list[str]) -> str:
     """B1+B3 (ref :97-101): union a city's polygons; if the union is a
     MultiPolygon, take its convex hull (exact, monotone chain);
@@ -145,15 +200,40 @@ def union_dissolve(wkts: list[str]) -> str:
         polys.extend(ps)
     if len(polys) == 1:
         return polygon_wkt(polys[0])
-    # assembled union of >1 polygon is a MultiPolygon -> reference's
-    # convex-hull branch (exact for the disjoint-polygon case; true
-    # merges of touching polygons need shapely/Sedona)
+    # edge-adjacent polygons (touching along complete shared edges)
+    # merge to ONE ring -> a true single-Polygon union, matching the
+    # reference's `unary_union` non-MultiPolygon branch
+    merged = merge_edge_adjacent(polys)
+    if merged is not None and len(merged) == 1:
+        return polygon_wkt(merged)
+    # still >1 component (or outside the edge-adjacency class) ->
+    # MultiPolygon -> the reference's convex-hull branch.  hull(union)
+    # == hull(all points), so the fallback is exact for that branch;
+    # only overlapping-interior unions (needing real clipping) diverge
+    # — those require shapely/Sedona.
     pts = [pt for p in polys for r in p for pt in r]
     return polygon_wkt([convex_hull(pts)])
 
 
 def wkt_to_geojson(wkt: str) -> str:
-    """B5 encode: WKT -> GeoJSON geometry (json string)."""
+    """B5 encode: WKT -> GeoJSON geometry (json string).  Handles the
+    polygon family plus the boundary-line family (S5 lines export)."""
+    s = wkt.strip()
+    head = s.split("(", 1)[0].strip().upper()
+    if head == "LINESTRING":
+        ring = _parse_ring(s[s.index("(") + 1 : s.rindex(")")])
+        return json.dumps(
+            {"type": "LineString", "coordinates": [list(pt) for pt in ring]}
+        )
+    if head == "MULTILINESTRING":
+        body = s[s.index("(") :]
+        lines = [_parse_ring(m.group(1)) for m in re.finditer(r"\(([^()]+)\)", body)]
+        return json.dumps(
+            {
+                "type": "MultiLineString",
+                "coordinates": [[list(pt) for pt in ln] for ln in lines],
+            }
+        )
     typ, polys = parse_wkt(wkt)
     if typ == "POLYGON":
         return json.dumps(

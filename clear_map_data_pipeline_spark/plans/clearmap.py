@@ -154,24 +154,61 @@ def synth_shape(t: Tables) -> DataFrame:
     )
 
 
-def joined_stats_frame(t: Tables) -> DataFrame:
+def synth_shape_geometry(shape: DataFrame) -> DataFrame:
+    """Attach a deterministic WKT unit-square polygon per (city, area):
+    cities sit on a sparse grid (stride 4 — different cities never
+    touch); a city's areas sit side by side (stride 1 — they DO touch,
+    so a case-3 dissolve exercises the true edge-adjacent union)."""
+    city, area = F.col("city"), F.col("area")
+    x = ((city % 97) * 4 + (area - 1)).cast("double")
+    y = ((city.cast("long") / F.lit(97)).cast("long") % 997 * 4).cast("double")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        x, F.lit(" "), y, F.lit(", "),
+        x + 1, F.lit(" "), y, F.lit(", "),
+        x + 1, F.lit(" "), y + 1, F.lit(", "),
+        x, F.lit(" "), y + 1, F.lit(", "),
+        x, F.lit(" "), y,
+        F.lit("))"),
+    )
+    return shape.withColumn("geometry", wkt)
+
+
+def joined_stats_frame(t: Tables, geometry: bool = False) -> DataFrame:
     """Pipeline through the window-invariant prefix: clean -> reconcile
-    -> rebase -> dim join -> percent/p_vaccine stats (ref :52-147)."""
+    -> rebase -> dim join -> percent/p_vaccine stats (ref :52-147).
+
+    ``geometry=True`` carries the shape's WKT polygon through the dim
+    join (ref :126 attaches geometry exactly here); case-3 cities'
+    polygons dissolve per the reference's union-or-hull branch."""
     from ..functions import clamp
 
     dirty = synth_moh_dirty(t)
     data = clean_moh(drop_tolerant(dirty, ["town"]))
     shape = synth_shape(t)
+    dim_cols = ["id", "areas_name", "pop", "rank"]
+    dissolve_fn = None
+    if geometry:
+        from ..operators import spatial as sp
+
+        shape = synth_shape_geometry(shape)
+        dim_cols.append("geometry")
+        dissolve_fn = lambda case3: sp.dissolve(  # noqa: E731
+            case3, key="city", geom="geometry"
+        )
     flags = city_case_flags(data, shape)
     data = reconcile_data(data, flags)
-    shape = reconcile_shape(shape, flags).filter(F.col("id").isNotNull())
+    shape = reconcile_shape(shape, flags, dissolve_geometry=dissolve_fn).filter(
+        F.col("id").isNotNull()
+    )
     data = rebase_censored(data, {"cases": "new_case", "vaccine": "new_vaccine"})
     joined = data.join(
-        F.broadcast(
-            shape.select("id", "areas_name", "pop", "rank")
-        ),
+        F.broadcast(shape.select(*dim_cols)),
         "id",
-    ).select("id", "date", "cases", "tests", "vaccine", "areas_name", "pop", "rank")
+    ).select(
+        "id", "date", "cases", "tests", "vaccine", "areas_name", "pop", "rank",
+        *(["geometry"] if geometry else []),
+    )
     withpct = stats.last_value_ratio(joined, "cases", "pop", "percent")
     withpct = stats.last_value_ratio(withpct, "vaccine", "pop", "p_vaccine")
     return withpct.withColumn("p_vaccine", clamp(F.col("p_vaccine"), hi=100.0))
@@ -183,33 +220,23 @@ EXPORT_COLUMNS = [
 ]
 
 
-def window_export(t: Tables, window: str) -> DataFrame:
-    """One export frame (ref :150-172, minus geometry — spatial stays in
-    spatial.py): window select -> period rebase -> delta -> per-100k ->
-    export schema."""
-    from ..functions import per_100k
-
-    base = joined_stats_frame(t)
+def _window_frame(base: DataFrame, window: str) -> DataFrame:
+    """Apply one window's row selection to the stats frame."""
     days = WINDOWS[window]
     if days is None:
-        frame = stats.every_nth_latest_anchored(base, 7)
-    else:
-        # the max-date cutoff aggregate consumes the SAME lineage as the
-        # window filter; without a persist the whole clean->reconcile->
-        # rebase->join prefix is recomputed for it (plancheck showed 2x
-        # the exchanges/scans of the 'all' window) — SURVEY §4 X3 applied
-        # within a single window query.  The pin is released when the
-        # next registry query is built (cachereg), so repeated
-        # invocations in a shared session don't accumulate cached frames
-        from ..cachereg import pin
+        return stats.every_nth_latest_anchored(base, 7)
+    maxd = base.agg(F.max("date").alias("_maxd"))
+    return (
+        base.crossJoin(F.broadcast(maxd))
+        .filter(F.col("date") >= F.date_sub(F.col("_maxd"), days))
+        .drop("_maxd")
+    )
 
-        base = pin(base)
-        maxd = base.agg(F.max("date").alias("_maxd"))
-        frame = (
-            base.crossJoin(F.broadcast(maxd))
-            .filter(F.col("date") >= F.date_sub(F.col("_maxd"), days))
-            .drop("_maxd")
-        )
+
+def _export_frame(frame: DataFrame, geometry: bool = False) -> DataFrame:
+    """Period rebase -> delta -> per-100k -> export schema (ref :150-172)."""
+    from ..functions import per_100k
+
     frame = stats.rebase_to_period_start(frame, ["cases", "tests"])
     frame = stats.daily_delta(frame, "cases")
     return frame.select(
@@ -223,41 +250,39 @@ def window_export(t: Tables, window: str) -> DataFrame:
         "p_vaccine",
         F.col("delta").cast("long").alias("delta"),
         per_100k(F.col("cases"), F.col("pop")).alias("normalized"),
+        *(["geometry"] if geometry else []),
     )
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def window_export(t: Tables, window: str) -> DataFrame:
+    """One export frame (ref :150-172, minus geometry — plans/parse.py
+    composes the geometry-carrying variant): window select -> period
+    rebase -> delta -> per-100k -> export schema."""
+    base = joined_stats_frame(t)
+    if WINDOWS[window] is not None:
+        # the max-date cutoff aggregate consumes the SAME lineage as the
+        # window filter; without a persist the whole clean->reconcile->
+        # rebase->join prefix is recomputed for it (plancheck showed 2x
+        # the exchanges/scans of the 'all' window) — SURVEY §4 X3 applied
+        # within a single window query.  The pin is released when the
+        # next registry query is built (cachereg), so repeated
+        # invocations in a shared session don't accumulate cached frames
+        from ..cachereg import pin
+
+        base = pin(base)
+    return _export_frame(_window_frame(base, window))
+
+
+def run_pipeline(
+    spark: SparkSession, sf_dir: str, geometry: bool = False
+) -> dict[str, DataFrame]:
     """All four window exports over one cached stats frame (the
     reference recomputes the shared prefix four times — SURVEY §4 X3)."""
     from ..cachereg import pin
 
     t = Tables(spark, sf_dir)
-    base = pin(joined_stats_frame(t))
-    out = {}
-    for w, days in WINDOWS.items():
-        if days is None:
-            frame = stats.every_nth_latest_anchored(base, 7)
-        else:
-            maxd = base.agg(F.max("date").alias("_maxd"))
-            frame = (
-                base.crossJoin(F.broadcast(maxd))
-                .filter(F.col("date") >= F.date_sub(F.col("_maxd"), days))
-                .drop("_maxd")
-            )
-        frame = stats.rebase_to_period_start(frame, ["cases", "tests"])
-        frame = stats.daily_delta(frame, "cases")
-        from ..functions import per_100k
-
-        out[w] = frame.select(
-            "date",
-            F.col("cases").cast("long").alias("num_cases"),
-            "tests",
-            "id",
-            F.col("rank").alias("socio_economic_rank"),
-            F.col("areas_name").alias("area_name"),
-            "percent",
-            "p_vaccine",
-            F.col("delta").cast("long").alias("delta"),
-            per_100k(F.col("cases"), F.col("pop")).alias("normalized"),
-        )
-    return out
+    base = pin(joined_stats_frame(t, geometry=geometry))
+    return {
+        w: _export_frame(_window_frame(base, w), geometry=geometry)
+        for w in WINDOWS
+    }

@@ -57,3 +57,57 @@ def test_spark_dissolve(spark, sf_dir):
     for wkt in rows.values():
         typ, _ = sp.parse_wkt(wkt)
         assert typ in ("POLYGON", "MULTIPOLYGON")
+
+
+def test_union_dissolve_touching_rectangles_single_polygon():
+    """Two rectangles sharing a complete edge dissolve to ONE Polygon
+    (the reference's `unary_union` non-MultiPolygon branch), not a hull
+    of an assembled MultiPolygon."""
+    from clear_map_data_pipeline_spark.operators.spatial import union_dissolve
+
+    got = union_dissolve([
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",
+    ])
+    assert got == "POLYGON ((0 0, 1 0, 2 0, 2 1, 1 1, 0 1, 0 0))", got
+
+
+def test_union_dissolve_l_shape_stays_nonconvex():
+    """Three squares in an L: the true union is non-convex — a hull
+    fallback would wrongly add the diagonal closing the notch."""
+    from clear_map_data_pipeline_spark.operators.spatial import union_dissolve
+
+    got = union_dissolve([
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",
+        "POLYGON ((0 1, 1 1, 1 2, 0 2, 0 1))",
+    ])
+    # notch vertex (1 1) present; hull would have dropped it
+    assert got == (
+        "POLYGON ((0 0, 1 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 1, 0 0))"
+    ), got
+
+
+def test_union_dissolve_corner_touch_falls_back_to_hull():
+    """Squares sharing only a corner are not edge-adjacent: the union
+    stays multi-component -> reference's convex-hull branch."""
+    from clear_map_data_pipeline_spark.operators.spatial import union_dissolve
+
+    got = union_dissolve([
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+    ])
+    assert got.startswith("POLYGON ((")
+    # hull of the two squares: their outer corners, no notch vertices
+    assert "2 2" in got and "0 0" in got
+
+
+def test_union_dissolve_disjoint_unchanged():
+    from clear_map_data_pipeline_spark.operators.spatial import union_dissolve
+
+    got = union_dissolve([
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+    ])
+    # disjoint -> MultiPolygon -> hull branch (unchanged behavior)
+    assert got == "POLYGON ((0 0, 1 0, 6 5, 6 6, 5 6, 0 1, 0 0))", got
