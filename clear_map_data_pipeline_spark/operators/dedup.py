@@ -254,10 +254,15 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via the shingle inverted index (no LSH):
     exact recall, cost bounded by shingle-bucket sizes.  The baseline the
-    LSH path is measured against."""
+    LSH path is measured against — refuses inputs above ``max_rows``
+    (use minhash_lsh_dedup_pairs at scale; max_rows=None to force)."""
+    from .similarity import guard_baseline_rows
+
+    guard_baseline_rows(df, max_rows, "minhash_lsh_dedup_pairs")
     sh = shingle_index(df, id_col, text_col, shingle_k)
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -65,14 +65,38 @@ def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+BASELINE_MAX_ROWS = 100_000
+
+
+def guard_baseline_rows(
+    df: DataFrame, max_rows: int | None, scale_path: str
+) -> None:
+    """Refuse to run an O(N²) exact baseline above ``max_rows`` input
+    rows (None disables).  The count is one cheap scan — negligible
+    next to the quadratic work it prevents; at 100 TB nothing should
+    reach this operator at all."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"input has {n} rows > max_rows={max_rows}: this operator is "
+            f"the O(N^2) exact baseline — use {scale_path} at scale, or "
+            f"pass max_rows=None to force"
+        )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    max_rows: int | None = BASELINE_MAX_ROWS,
 ) -> DataFrame:
     """Brute-force all-pairs cosine, keeping pairs >= threshold (compared
-    on the 4-decimal rounded value).  Exact-recall baseline."""
+    on the 4-decimal rounded value).  Exact-recall baseline — refuses
+    inputs above ``max_rows`` (use ann_lsh_pairs / ivf_topk at scale)."""
+    guard_baseline_rows(df, max_rows, "ann_lsh_pairs or ivf_topk")
     v = _vectors(df, id_col, vec_col)
     a = v.toDF("va", "_a")
     b = v.toDF("vb", "_b")
@@ -127,23 +151,17 @@ def lsh_bucket(vec_col_dbl: str, dim: int, num_planes: int = 8) -> Column:
     return F.expr(" + ".join(terms)).cast("long")
 
 
-def ivf_topk(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroid_mod: int = 50,
-    query_mod: int = 100,
-    nprobe: int = 2,
-    k: int = 5,
+def _ivf_from_centroids(
+    v: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    query_mod: int,
+    nprobe: int,
+    k: int,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: assign every vector to its
-    nearest centroid, then answer each query by exact search over only
-    the ``nprobe`` nearest centroids' lists.
-
-    Centroids here are the deterministic sample ``id % centroid_mod == 0``
-    (training-free IVF — production would fit pyspark.ml KMeans and
-    broadcast the model's centers; the index/probe structure is
-    identical and that swap touches only the ``cents`` frame).
+    """The IVF index/probe core, shared by the deterministic-sample and
+    KMeans-trained centroid variants.  ``v`` is (id, _v); ``cents`` is
+    (cid, _c).
 
     Scale design: centroids are broadcast to both the assignment and the
     probe steps, so assignment is one groupBy(id) with map-side partial
@@ -154,8 +172,6 @@ def ivf_topk(
     and oracle argmax agree bit-for-bit."""
     from pyspark.sql import Window
 
-    v = _vectors(df, id_col, vec_col)
-    cents = v.filter(F.col(id_col) % centroid_mod == 0).toDF("cid", "_c")
     scored = v.crossJoin(F.broadcast(cents)).select(
         id_col,
         "cid",
@@ -196,6 +212,104 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("va", "vb", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 50,
+    query_mod: int = 100,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k with deterministic-sample centroids
+    (``id % centroid_mod == 0``) — training-free, exactly reproducible
+    in the DuckDB oracle.  ``ivf_topk_trained`` swaps in KMeans-fitted
+    centers; the index/probe structure is identical."""
+    v = _vectors(df, id_col, vec_col)
+    cents = v.filter(F.col(id_col) % centroid_mod == 0).toDF("cid", "_c")
+    return _ivf_from_centroids(v, cents, id_col, query_mod, nprobe, k)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 10,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Fit pyspark.ml KMeans over the embedding column and return the
+    cluster centers as a (cid, _c array<double>) frame — the trained
+    replacement for the deterministic-sample centroids.
+
+    The fit itself is the standard distributed Lloyd's: broadcast
+    current centers, one pass per iteration (Spark MLlib handles the
+    treeAggregate) — at 100 TB, fit on a sample (``df.sample``) and
+    broadcast the resulting handful of centers exactly as here."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = _vectors(df, id_col, vec_col)
+    train = v.select(array_to_vector(F.col("_v")).alias("features"))
+    model = KMeans(
+        k=k_clusters, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(train)
+    spark = df.sparkSession
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cid long, _c array<double>")
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 10,
+    seed: int = 42,
+    query_mod: int = 100,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF top-k over KMeans-trained centroids: better-balanced inverted
+    lists than the id-sample variant (higher recall at equal nprobe).
+    Deterministic for a fixed seed + input + PARTITIONING (k-means||'s
+    init sampling depends on partition layout, so different
+    parallelism can yield different — equally valid — centers), and not
+    SQL-reproducible — driver check is rows-only; recall@k against the
+    brute-force baseline is measured by ``ivf_recall_at_k`` (asserted
+    in tests, reported by bench.py)."""
+    v = _vectors(df, id_col, vec_col)
+    cents = kmeans_centroids(df, id_col, vec_col, k_clusters, seed)
+    return _ivf_from_centroids(v, cents, id_col, query_mod, nprobe, k)
+
+
+def ivf_recall_at_k(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_mod: int = 100,
+    trained: bool = True,
+    **ivf_kwargs,
+) -> float:
+    """recall@k of the IVF result against the exact brute-force top-k
+    (cosine_topk) for the same query set: |IVF ∩ exact| / |exact|."""
+    queries = df.filter(F.col(id_col) % query_mod == 0)
+    exact = cosine_topk(df, queries, k, id_col, vec_col).select("va", "vb")
+    approx = (
+        ivf_topk_trained(df, id_col, vec_col, k=k, query_mod=query_mod, **ivf_kwargs)
+        if trained
+        else ivf_topk(df, id_col, vec_col, k=k, query_mod=query_mod, **ivf_kwargs)
+    ).select("va", "vb")
+    n_exact = exact.count()
+    if n_exact == 0:
+        return 0.0
+    hit = exact.join(approx, ["va", "vb"], "left_semi").count()
+    return hit / n_exact
 
 
 def ann_lsh_pairs(

@@ -151,3 +151,16 @@ def sim_ivf_topk(spark, sf_dir):
     lists."""
     t = Tables(spark, sf_dir)
     return sim.ivf_topk(t.embeddings)
+
+
+@register("sim_ivf_kmeans_topk")
+def sim_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-5 over KMeans-TRAINED centroids (pyspark.ml, fixed seed):
+    balanced inverted lists, higher recall at equal nprobe than the
+    id-sample variant.  k-means|| init is not SQL-reproducible, so the
+    driver check is rows-only (the row count — 5 per query vector — is
+    structurally deterministic); recall@5 vs the exact baseline is
+    asserted in tests/test_similarity_trained.py and reported by
+    bench.py."""
+    t = Tables(spark, sf_dir)
+    return sim.ivf_topk_trained(t.embeddings, k_clusters=8, seed=42, nprobe=3)
