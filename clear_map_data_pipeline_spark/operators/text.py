@@ -178,6 +178,122 @@ def sample_bucket_sql(id_expr: str) -> str:
     return f"({x4} % 100)"
 
 
+# --- pretraining-corpus filters (C4/Gopher/RefinedWeb-style) ----------
+
+# Portable regexes (Java regex + RE2-safe: no lookarounds/backrefs).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+URL_RE = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
+
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+
+
+def redact_pii(col: str = "text") -> Column:
+    """PII scrub: emails and IPv4 literals replaced by sentinel tokens —
+    the standard pretraining redaction pass.  Two JVM regexp_replace
+    calls, per-row, zero shuffle; patterns shared with the oracle SQL
+    (DuckDB needs the 'g' flag for replace-all; Spark replaces all by
+    default)."""
+    scrubbed = F.regexp_replace(F.col(col), EMAIL_RE, EMAIL_TOKEN)
+    return F.regexp_replace(scrubbed, IPV4_RE, IP_TOKEN)
+
+
+def repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape signals per document:
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (boilerplate and
+      looped generations score high);
+    - ``mean_token_len``: symbol soup and CJK-as-bytes score far from
+      prose's ~4-6;
+    - ``symbol_ratio``: non-alphanumeric, non-space chars / all chars.
+
+    All per-row higher-order functions over ONE materialized token
+    array (no re-splitting per metric — SNIPPETS HOF pitfall)."""
+    toks = tokens(col)
+    out = df.withColumn("_toks", toks)
+    n = F.size("_toks")
+    dup = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct("_toks")).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            F.col("_toks"), F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    stripped = F.regexp_replace(F.col(col), "[A-Za-z0-9\\s]", "")
+    sym = F.when(
+        F.length(col) > 0,
+        F.length(stripped).cast("double") / F.length(col),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *df.columns,
+        F.round(dup, 4).alias("dup_token_frac"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+    )
+
+
+def url_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """URL extraction per document: count + distinct lowercased domains
+    (the dedup key for per-domain corpus budgets).  regexp_extract_all
+    + transform — JVM-side, zero shuffle."""
+    urls = F.expr(f"regexp_extract_all({col}, '{URL_RE}', 0)")  # no
+    # backslashes in URL_RE, so no SQL-literal re-escaping needed
+    domains = F.array_distinct(
+        F.transform(
+            urls,
+            lambda u: F.lower(
+                F.regexp_replace(u, "^https?://([^/]+).*$", "$1")
+            ),
+        )
+    )
+    return df.select(
+        *df.columns,
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(domains).cast("long").alias("n_domains"),
+        F.array_min(domains).alias("first_domain"),
+    )
+
+
+def contamination_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing ANY
+    word k-gram with a benchmark/eval document (the decontamination
+    pass every training corpus needs).  Returns the distinct
+    contaminated corpus ids.
+
+    Scale: the benchmark side is tiny (eval sets are thousands of
+    docs) — its distinct shingle set broadcasts, so the corpus-side
+    semi join is map-side: zero shuffle of corpus shingles, one
+    aggregation for the distinct output ids."""
+    def shingled(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+            .filter(F.size("_toks") >= k)
+            .select(
+                id_col,
+                F.explode(word_shingles("_toks", k)).alias("shingle"),
+            )
+        )
+
+    bench_sh = shingled(benchmark).select("shingle").distinct()
+    return (
+        shingled(corpus)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, int],

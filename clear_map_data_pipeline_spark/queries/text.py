@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..operators import text as tx
 from ..registry import register
 from ..session import Tables
+from .suites import SubQuery, register_suite
 
 # --- DuckDB expression fragments mirroring operators/text.py ----------
 
@@ -142,3 +143,167 @@ def tx_stratified_sample(spark, sf_dir):
     return tx.stratified_sample(t.documents, MIX_RATES).select(
         "doc_id", "lang", "sample_bucket"
     )
+
+
+# --- corpus-filter suite (C4/Gopher/RefinedWeb-style passes) ----------
+# The fixtures' documents are clean, so each sub-query deterministically
+# injects the artifact it scrubs/detects (PII strings, URLs, a shared
+# contamination snippet) — the same construction f3 uses for '<15'.
+
+_PII_DIRTY = """
+SELECT doc_id, text || ' contact user' || doc_id
+       || '@example.com from 10.0.0.' || (doc_id % 256) AS text
+FROM documents
+"""
+
+_PII_SQL = f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text,
+           '{tx.EMAIL_RE}', '{tx.EMAIL_TOKEN}', 'g'),
+           '{tx.IPV4_RE}', '{tx.IP_TOKEN}', 'g')) AS redacted_md5
+FROM ({_PII_DIRTY})
+"""
+
+
+def tx2_redact_pii(spark, sf_dir):
+    """PII redaction: emails + IPv4 -> sentinel tokens (md5 of the
+    scrubbed text keeps the payload compact)."""
+    t = Tables(spark, sf_dir)
+    dirty = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id", F.md5(tx.redact_pii("text")).alias("redacted_md5")
+    )
+
+
+_REP_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(t) > 0
+            THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(t) > 0
+            THEN round(list_sum(list_transform(t, x -> length(x)))
+                       / CAST(len(t) AS DOUBLE), 4)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN length(text) > 0
+            THEN round(CAST(length(regexp_replace(text,
+                 '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4)
+            ELSE 0.0 END AS symbol_ratio
+FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+"""
+
+
+def tx2_repetition(spark, sf_dir):
+    """Gopher-style repetition/shape stats: duplicate-token fraction,
+    mean token length, symbol ratio."""
+    t = Tables(spark, sf_dir)
+    return tx.repetition_stats(t.documents).select(
+        "doc_id", "dup_token_frac", "mean_token_len", "symbol_ratio"
+    )
+
+
+_URL_DIRTY = """
+SELECT doc_id, text || ' see https://Site' || (doc_id % 50)
+       || '.example.org/page and http://mirror' || (doc_id % 7)
+       || '.example.net' AS text
+FROM documents
+"""
+
+_URL_SQL = f"""
+SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls,
+       CAST(len(doms) AS BIGINT) AS n_domains,
+       list_min(doms) AS first_domain
+FROM (
+  SELECT doc_id, urls,
+         list_distinct(list_transform(urls,
+           u -> lower(regexp_replace(u, '^https?://([^/]+).*$', '\\1')))) AS doms
+  FROM (SELECT doc_id, regexp_extract_all(text, '{tx.URL_RE}', 0) AS urls
+        FROM ({_URL_DIRTY}))
+)
+"""
+
+
+def tx2_url_stats(spark, sf_dir):
+    """URL extraction + per-domain stats (the key for per-domain corpus
+    budgets)."""
+    t = Tables(spark, sf_dir)
+    dirty = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"), (F.col("doc_id") % 50),
+            F.lit(".example.org/page and http://mirror"),
+            (F.col("doc_id") % 7), F.lit(".example.net"),
+        ).alias("text"),
+    )
+    return tx.url_stats(dirty).select(
+        "doc_id", "n_urls", "n_domains", "first_domain"
+    )
+
+
+_CONTAM_SNIPPET = "alpha beta gamma delta"
+
+_CONTAM_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                      THEN text || ' {_CONTAM_SNIPPET}' ELSE text END AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM dirty),
+sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT DISTINCT doc_id FROM sh
+WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench)
+"""
+
+
+def tx2_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: corpus docs sharing any
+    3-word shingle with the benchmark split (doc_id % 97 == 0); the
+    benchmark shingle set is broadcast (decontamination at 100 TB is a
+    map-side semi join)."""
+    t = Tables(spark, sf_dir)
+    dirty = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(f" {_CONTAM_SNIPPET}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = dirty.filter(F.col("doc_id") % 97 != 0)
+    benchmark = dirty.filter(F.col("doc_id") % 97 == 0)
+    return tx.contamination_ids(corpus, benchmark, k=3)
+
+
+register_suite(
+    "suite_text_filters",
+    [
+        SubQuery("tx2_redact_pii", tx2_redact_pii, _PII_SQL,
+                 [("doc_id", "s"), ("redacted_md5", "s")]),
+        SubQuery("tx2_repetition", tx2_repetition, _REP_SQL,
+                 [("doc_id", "s"), ("dup_token_frac", "d4"),
+                  ("mean_token_len", "d4"), ("symbol_ratio", "d4")]),
+        SubQuery("tx2_url_stats", tx2_url_stats, _URL_SQL,
+                 [("doc_id", "s"), ("n_urls", "s"), ("n_domains", "s"),
+                  ("first_domain", "s")]),
+        SubQuery("tx2_contamination", tx2_contamination, _CONTAM_SQL,
+                 [("doc_id", "s")]),
+    ],
+    doc="""Folded pretraining-corpus filter suite: PII redaction,
+    Gopher-style repetition stats, URL/domain extraction, and
+    benchmark-contamination detection — each hash-checked row-by-row
+    against its DuckDB twin inside the suite union.""",
+)

@@ -1,0 +1,72 @@
+"""Unit tests for the pretraining-corpus filter operators
+(operators/text.py: redact_pii, repetition_stats, url_stats,
+contamination_ids)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_scrubs_emails_and_ips(spark):
+    from clear_map_data_pipeline_spark.operators.text import redact_pii
+
+    df = _docs(spark, [
+        (1, "mail me at jane.doe+x@sub.example.co.uk or 192.168.1.254 ok"),
+        (2, "no pii here, just 3.14 and v2.0"),
+    ])
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", redact_pii("text").alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> or <IP> ok"
+    # version strings / decimals are NOT 4-octet IPs — untouched
+    assert got[2] == "no pii here, just 3.14 and v2.0"
+
+
+def test_repetition_stats_values(spark):
+    from clear_map_data_pipeline_spark.operators.text import repetition_stats
+
+    df = _docs(spark, [
+        (1, "spam spam spam spam"),     # 4 tokens, 1 distinct
+        (2, "all fresh words here!!"),  # no repeats, 2 symbols / 22 chars
+        (3, ""),
+    ])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[1]["mean_token_len"] == 4.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["symbol_ratio"] == round(2 / 22, 4)
+    assert got[3]["dup_token_frac"] == 0.0 and got[3]["symbol_ratio"] == 0.0
+
+
+def test_url_stats_extracts_and_dedups_domains(spark):
+    from clear_map_data_pipeline_spark.operators.text import url_stats
+
+    df = _docs(spark, [
+        (1, "see https://A.example.org/x and http://a.example.org plus "
+            "https://other.net/p_q"),
+        (2, "no links"),
+    ])
+    got = {r["doc_id"]: r for r in url_stats(df).collect()}
+    assert got[1]["n_urls"] == 3
+    assert got[1]["n_domains"] == 2  # case-insensitive dedup
+    assert got[1]["first_domain"] == "a.example.org"
+    assert got[2]["n_urls"] == 0 and got[2]["first_domain"] is None
+
+
+def test_contamination_ids_shingle_overlap(spark):
+    from clear_map_data_pipeline_spark.operators.text import (
+        contamination_ids,
+    )
+
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over"),   # shares 3-gram w/ bench
+        (2, "completely unrelated document text"),
+        (3, "quick brown fox appears here too"),  # shares 'quick brown fox'
+        (4, "short"),                             # < k tokens
+    ])
+    bench = _docs(spark, [(100, "watch the quick brown fox run")])
+    got = sorted(r["doc_id"] for r in contamination_ids(corpus, bench).collect())
+    assert got == [1, 3]
