@@ -142,3 +142,43 @@ def test_range_bucket_join_is_broadcast_hash(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan  # the rewrite's whole point
+
+
+def test_pii_and_repetition_are_map_only(spark, sf_dir):
+    # corpus filters are per-row JVM expressions: zero shuffles, the
+    # filter/project fuses into the scan stage
+    from clear_map_data_pipeline_spark.queries.text import (
+        tx2_redact_pii,
+        tx2_repetition,
+        tx2_url_stats,
+    )
+
+    for builder in (tx2_redact_pii, tx2_repetition, tx2_url_stats):
+        plan = _formatted_plan(builder(spark, sf_dir))
+        assert "Exchange" not in plan, (builder.__name__, plan)
+
+
+def test_contamination_benchmark_side_is_broadcast(spark, sf_dir):
+    # the benchmark shingle set broadcasts; corpus shingles never
+    # shuffle — only the final distinct-ids aggregation exchanges
+    from clear_map_data_pipeline_spark.queries.text import tx2_contamination
+
+    plan = _formatted_plan(tx2_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"LeftSemi", plan), plan
+    # exchanges: broadcast build side + the distinct agg — but no
+    # hash-partition shuffle of the corpus shingle stream pre-join
+    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert not joins, plan
+
+
+def test_ivf_trained_centroids_are_broadcast(spark, sf_dir):
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    plan = _formatted_plan(
+        load_all()["sim_ivf_kmeans_topk"].builder(spark, sf_dir)
+    )
+    # both the assignment and probe cross-joins against the centroid
+    # frame must be broadcast — never a shuffled join of vectors x cents
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan or "cid" not in plan.split("SortMergeJoin")[1][:200], plan
