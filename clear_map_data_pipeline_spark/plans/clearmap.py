@@ -257,19 +257,18 @@ def _export_frame(frame: DataFrame, geometry: bool = False) -> DataFrame:
 def window_export(t: Tables, window: str) -> DataFrame:
     """One export frame (ref :150-172, minus geometry — plans/parse.py
     composes the geometry-carrying variant): window select -> period
-    rebase -> delta -> per-100k -> export schema."""
-    base = joined_stats_frame(t)
-    if WINDOWS[window] is not None:
-        # the max-date cutoff aggregate consumes the SAME lineage as the
-        # window filter; without a persist the whole clean->reconcile->
-        # rebase->join prefix is recomputed for it (plancheck showed 2x
-        # the exchanges/scans of the 'all' window) — SURVEY §4 X3 applied
-        # within a single window query.  The pin is released when the
-        # next registry query is built (cachereg), so repeated
-        # invocations in a shared session don't accumulate cached frames
-        from ..cachereg import pin
+    rebase -> delta -> per-100k -> export schema.
 
-        base = pin(base)
+    Cutoff strategy: the max-date aggregate shares the prefix lineage
+    with the window filter, so the plan shows the prefix twice — but
+    Catalyst column-prunes the cutoff branch down to the date lineage
+    (the stats windows' expressions drop out), and measured at sf0.1
+    that narrow recompute beats materializing the full prefix to cache
+    (3.0s vs 3.8s): a persist pays serialization + memory for a second
+    consumer that only needs one column.  For a MULTI-window pass the
+    trade flips — four consumers amortize one materialization — which
+    is exactly what ``run_pipeline`` does with its pinned persist."""
+    base = joined_stats_frame(t)
     return _export_frame(_window_frame(base, window))
 
 
