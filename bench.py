@@ -40,6 +40,8 @@ HEADLINE = [
     "tx_lang_id",
     "sim_ivf_kmeans_topk",
     "st_daily_totals_incremental",
+    "dd_lsh_clusters",
+    "tpch_q3_shipping_priority",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Distributed connected components over an edge list — the step that
+turns near-duplicate PAIRS into duplicate CLUSTERS (pick one survivor
+per component), the piece every large-scale dedup pipeline needs after
+LSH candidate verification.
+
+Algorithm: the alternating large-star / small-star method of Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond" (ACM SoCC 2014).  Each round is two
+groupBy-min + join passes over the edge list; the edge set converges to
+a disjoint union of stars whose centers are the component minima in
+O(log² n) rounds (O(log n) observed in practice).  Compare naive
+min-label propagation, which needs O(diameter) rounds — on a 100 TB
+pair list with chain-shaped components that difference is the job.
+
+Scale design:
+- Edges are kept canonically oriented (src > dst), deduplicated each
+  round, and only (long, long) pairs ever shuffle.
+- Every round is one groupBy(src).min + one equi-join — both plain
+  shuffles AQE can coalesce; no driver-side adjacency structure, no
+  collect() of anything but a 2-value convergence fingerprint.
+- Lineage is truncated each round (localCheckpoint in local mode);
+  production clusters should ``spark.sparkContext.setCheckpointDir``
+  on durable storage and flip ``use_reliable_checkpoint=True`` —
+  without truncation the plan doubles per iteration and the DAG
+  scheduler, not the data, becomes the bottleneck.
+
+Reference parity note: the reference pipeline has no graph operator —
+this extends the engine for training-data curation (dedup clusters),
+per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Orient every edge larger->smaller, drop self-loops, dedup."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("src"),
+            F.least(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbour of u to
+    m = min(N(u) ∪ {u}).  Input/output oriented larger->smaller."""
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = bidir.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("_m")
+    )
+    return (
+        bidir.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbour of u (and u itself) to
+    m = min of those neighbours.  Input oriented larger->smaller, so
+    N⁻(u) is exactly u's dst set; output stays oriented."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_m"))
+    spokes = (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    hubs = mins.select("src", F.col("_m").alias("dst"))
+    return (
+        spokes.union(hubs)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Label every node of the undirected graph with its component's
+    minimum node id.  Returns (node, component) for every distinct
+    endpoint in ``edges``.
+
+    Convergence is detected by a 2-scalar fingerprint of the canonical
+    edge set — (count, sum of per-edge xxhash64) — identical fingerprints
+    on consecutive rounds mean an identical edge set (the set is exactly
+    the star edges at the fixpoint).  Raises after ``max_iterations``
+    rounds without convergence (log²-bounded; 30 covers graphs far past
+    any realistic pair-list size)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+    cur = _canonical(edges, src, dst)
+    cur = (
+        cur.checkpoint(eager=True)
+        if use_reliable_checkpoint
+        else cur.localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur))
+        nxt = (
+            nxt.checkpoint(eager=True)
+            if use_reliable_checkpoint
+            else nxt.localCheckpoint(eager=True)
+        )
+        fp = nxt.agg(
+            F.count("*").alias("n"),
+            # bit_xor (not sum): overflow-free under ANSI mode, and the
+            # edge set is distinct so xor-cancellation can't collide two
+            # different sets of equal count except by 64-bit chance
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        if prev_fp == (fp["n"], fp["h"]):
+            cur = nxt
+            break
+        prev_fp = (fp["n"], fp["h"])
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # Fixpoint edge set = stars: every non-minimum node has exactly one
+    # edge, pointing at its component minimum.
+    labels = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def minhash_lsh_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH verified pairs -> connected
+    components -> (doc_id, cluster_id = component min doc_id), one row
+    per document that has at least one verified near-duplicate.
+
+    The verified pair list is materialized once (localCheckpoint) before
+    the iterative clustering so the shingle/LSH pipeline runs exactly
+    once, not once per star-contraction round."""
+    from .dedup import minhash_lsh_dedup_pairs
+
+    pairs = minhash_lsh_dedup_pairs(
+        df, id_col, text_col, shingle_k, num_hashes, bands, threshold
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )

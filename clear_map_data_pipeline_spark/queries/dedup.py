@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dd
 from ..registry import register
 from ..session import Tables
+from .suites import SubQuery, register_suite
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
@@ -49,12 +50,14 @@ def dd_exact(spark, sf_dir):
     return dd.exact_dedup(t.documents)
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain through the VERIFIED near-dup pair list —
+    reused by the pair query and the cluster query so the two oracles
+    cannot drift."""
     sig_cols = ",\n         ".join(
         f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
     )
-    return f"""
-    WITH {_SHINGLES_CTES},
+    return f"""{_SHINGLES_CTES},
     sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS (
       SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band FROM sigs
@@ -65,14 +68,22 @@ def _minhash_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
-    )
-    SELECT i.doc_a, i.doc_b,
-           round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) AS jaccard
-    FROM inter i
-    JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes sa ON i.doc_a = sa.doc_id
-    JOIN sizes sb ON i.doc_b = sb.doc_id
-    WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) >= 0.5
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b,
+             round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+      FROM inter i
+      JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) >= 0.5
+    )"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM verified
     """
 
 
@@ -104,6 +115,43 @@ def dd_ngram_jaccard_pairs(spark, sf_dir):
     return dd.ngram_jaccard_pairs(t.documents)
 
 
+def _cluster_sql() -> str:
+    """Connected-components oracle: DuckDB recursive CTE computing, for
+    every node of the verified-pair graph, the minimum reachable node id
+    (== the component id the Spark large-star/small-star loop assigns).
+    UNION (not UNION ALL) dedups per step, so recursion terminates on
+    cyclic components."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ),
+    vertices AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM vertices
+      UNION
+      SELECT e.b AS node, w.r FROM reach w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+@register("dd_lsh_clusters", sql=_cluster_sql())
+def dd_lsh_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: LSH-verified pairs -> distributed connected
+    components (alternating large-star/small-star, Kiveris et al. SoCC
+    2014) -> (doc_id, cluster_id = component-min doc_id).  The step that
+    turns pairwise dedup output into survivor groups at corpus scale;
+    O(log n) rounds of groupBy-min + equi-join, only (long,long) pairs
+    ever shuffle."""
+    from ..operators.graph import minhash_lsh_clusters
+
+    t = Tables(spark, sf_dir)
+    return minhash_lsh_clusters(t.documents)
+
+
 def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
     from .similarity import ann_pairs_cte
 
@@ -115,7 +163,6 @@ def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
     """
 
 
-@register("dd_embedding_cosine", sql=_embedding_near_dup_sql())
 def dd_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup marking: LSH-bucketed candidate pairs
     (never all-pairs) with cosine >= 0.4; each vector with a lower-id
@@ -137,12 +184,35 @@ def _simhash_sql(bits: int = 16) -> str:
     return f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM documents"
 
 
-@register("dd_simhash", sql=_simhash_sql())
 def dd_simhash(spark, sf_dir):
     """SimHash fingerprints (16-bit): per-token md5 bit votes packed to
     an integer.  Pure per-row expressions — no shuffle at any scale."""
     t = Tables(spark, sf_dir)
     return dd.simhash(t.documents).select("doc_id", "simhash")
+
+
+# Folded into one registry slot (driver's 50-entry CORRECTNESS window;
+# COVERAGE.md "driver cap") — full result sets of both sub-queries
+# still hash-check inside the suite union.
+register_suite(
+    "suite_dedup_fingerprints",
+    [
+        SubQuery(
+            "dd_embedding_cosine",
+            dd_embedding_cosine,
+            _embedding_near_dup_sql(),
+            [("vec_id", "s"), ("is_dup", "s"), ("canonical_id", "s")],
+        ),
+        SubQuery(
+            "dd_simhash",
+            dd_simhash,
+            _simhash_sql(),
+            [("doc_id", "s"), ("simhash", "s")],
+        ),
+    ],
+    doc="Fingerprint dedup suite: embedding-cosine near-dup marking + "
+    "16-bit SimHash, each oracle-checked row-for-row inside the union.",
+)
 
 
 @register(

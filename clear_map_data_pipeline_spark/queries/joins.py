@@ -49,6 +49,65 @@ def j1_broadcast_join_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> fact-fact join -> agg ->
+    global top-k.  Scale shape: the segment filter prunes customer
+    BEFORE the join (predicate pushdown to the scan), filtered customer
+    broadcasts into orders, the orders half-date filter cuts the
+    shuffle-side of lineitem⋈orders, and the global top-10 is a
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    rows), never a full sort.  Deterministic tie-break (date, orderkey)
+    keeps the limit oracle-stable."""
+    t = Tables(spark, sf_dir)
+    cutoff = "1998-06-01"
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .hint("broadcast")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(
+            t.lineitem.filter(
+                F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
 J2_SEMI_SQL = """
 SELECT c_custkey FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)

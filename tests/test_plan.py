@@ -182,3 +182,38 @@ def test_ivf_trained_centroids_are_broadcast(spark, sf_dir):
     # frame must be broadcast — never a shuffled join of vectors x cents
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan or "cid" not in plan.split("SortMergeJoin")[1][:200], plan
+
+
+def test_q3_topk_is_heap_not_sort(spark, sf_dir):
+    # the global top-10 must compile to TakeOrderedAndProject
+    # (per-partition heaps, driver merges 10 rows) — a full global Sort
+    # would shuffle every group at 100 TB
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    plan = _formatted_plan(
+        load_all()["tpch_q3_shipping_priority"].builder(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # filtered customer broadcasts; lineitem⋈orders may broadcast at
+    # fixture scale, but nothing may fall back to nested-loop
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    # both date filters reach the parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") >= 2, plan
+
+
+def test_connected_components_shuffles_only_pairs(spark):
+    # each star round is groupBy-min + equi-join over (long, long)
+    # pairs; ReadSchema on checkpointed edges stays 2-column and no
+    # stage materializes document payloads
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.graph import _large_star
+
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(50)], ["src", "dst"]
+    )
+    plan = _formatted_plan(_large_star(edges))
+    # one aggregate (the per-node min) and its exchange; the join side
+    # reuses the same exchange output — no extra wide operators
+    assert "HashAggregate" in plan, plan
