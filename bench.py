@@ -28,7 +28,7 @@ HEADLINE = [
     "j_asof_join",
     "j_sessionization",
     "dd_minhash_lsh_pairs",
-    "dd_keep_best",
+    "suite_dedup_exact",
     "dd_embedding_cosine",
     "sim_ann_lsh_pairs",
     "sim_ivf_topk",
@@ -83,9 +83,13 @@ def main() -> None:
     )
     from clear_map_data_pipeline_spark.session import Tables
 
+    from clear_map_data_pipeline_spark.queries.similarity import (
+        IVF_KMEANS_PARAMS,
+    )
+
     recall = ivf_recall_at_k(
         Tables(spark, sf_dir).embeddings, k=5, trained=True,
-        k_clusters=8, seed=42, nprobe=3,
+        **IVF_KMEANS_PARAMS,
     )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -168,31 +168,45 @@ _HASH_C1 = 2654435761  # Knuth multiplicative constant
 _HASH_C2 = 1597334677
 
 
-def sample_bucket(id_col: Column) -> Column:
-    """[0,100) bucket from a 2-round multiply-xorshift of a NONNEGATIVE
-    integer id.  Replaces the earlier LCG ``(id*1103515245+12345)%100``,
-    which degenerates: 1103515245 ≡ 45 (mod 100) with gcd(45,100)=5, so
-    its buckets were only ever multiples of 5 (rates silently quantized
-    to 5% steps).  This mix avalanches the low bits, so every bucket in
-    [0,100) is reachable and realized keep-rates track requested rates
-    to well under 1% (asserted in tests/test_text_ops.py)."""
+def hash31(id_col: Column) -> Column:
+    """Full 31-bit multiply-xorshift scramble of a NONNEGATIVE integer
+    id — the shared deterministic-hash primitive behind sampling
+    (``sample_bucket``) and the KMV distinct sketch (queries/olap.py).
+    INJECTIVE on [0, 2^31-1): the fold is the identity there and each
+    round (odd-multiplier mod 2^31, xorshift) is invertible — so
+    distinct inputs keep distinct hashes, which KMV's order statistics
+    require."""
     x0 = id_col % _HASH_P
     x1 = (x0 * _HASH_C1) % _HASH_M
     x2 = x1.bitwiseXOR(F.shiftright(x1, 15))
     x3 = (x2 * _HASH_C2) % _HASH_M
-    x4 = x3.bitwiseXOR(F.shiftright(x3, 13))
-    return x4 % 100
+    return x3.bitwiseXOR(F.shiftright(x3, 13))
 
 
-def sample_bucket_sql(id_expr: str) -> str:
+def hash31_sql(id_expr: str) -> str:
     """The identical scramble as DuckDB SQL text, generated from the
     same constants so engine and oracle cannot drift."""
     x0 = f"(({id_expr}) % {_HASH_P})"
     x1 = f"(({x0} * {_HASH_C1}) % {_HASH_M})"
     x2 = f"xor({x1}, ({x1} >> 15))"
     x3 = f"(({x2} * {_HASH_C2}) % {_HASH_M})"
-    x4 = f"xor({x3}, ({x3} >> 13))"
-    return f"({x4} % 100)"
+    return f"xor({x3}, ({x3} >> 13))"
+
+
+def sample_bucket(id_col: Column) -> Column:
+    """[0,100) bucket from the shared multiply-xorshift scramble.
+    Replaces the earlier LCG ``(id*1103515245+12345)%100``, which
+    degenerates: 1103515245 ≡ 45 (mod 100) with gcd(45,100)=5, so its
+    buckets were only ever multiples of 5 (rates silently quantized to
+    5% steps).  The mix avalanches the low bits, so every bucket in
+    [0,100) is reachable and realized keep-rates track requested rates
+    to well under 1% (asserted in tests/test_text_ops.py)."""
+    return hash31(id_col) % 100
+
+
+def sample_bucket_sql(id_expr: str) -> str:
+    """DuckDB twin of ``sample_bucket``."""
+    return f"({hash31_sql(id_expr)} % 100)"
 
 
 # --- pretraining-corpus filters (C4/Gopher/RefinedWeb-style) ----------

@@ -27,17 +27,16 @@ def _duck_stop_ratio(lang: str) -> str:
     )
 
 
-@register(
-    "tx_token_stats",
-    sql=f"""
+_TOKEN_STATS_SQL = f"""
     SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}', 0)) AS BIGINT)
              AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_calc
     FROM documents
-    """,
-)
+    """
+
+
 def tx_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex pre-tokens.
     Per-row JVM expressions; zero shuffles."""
@@ -79,13 +78,20 @@ _PUNCT_RATIO = (
 )
 
 
+# The composite-quality expression as DuckDB SQL — shared by the
+# standalone query below and the corpus-curation pipeline's oracle
+# (queries/curation.py) so the two cannot drift.
+QUALITY_SQL_EXPR = (
+    f"round(least(CAST(len({_TOKS}) AS DOUBLE) / 100, 1.0) * 0.4"
+    f" + (1.0 - {_PUNCT_RATIO}) * 0.3"
+    f" + least({_duck_stop_ratio('en')} * 5, 1.0) * 0.3, 3)"
+)
+
+
 @register(
     "tx_quality_score",
     sql=f"""
-    SELECT doc_id,
-           round(least(CAST(len({_TOKS}) AS DOUBLE) / 100, 1.0) * 0.4
-                 + (1.0 - {_PUNCT_RATIO}) * 0.3
-                 + least({_duck_stop_ratio("en")} * 5, 1.0) * 0.3, 3) AS quality
+    SELECT doc_id, {QUALITY_SQL_EXPR} AS quality
     FROM documents
     """,
 )
@@ -96,9 +102,7 @@ def tx_quality_score(spark, sf_dir):
     return tx.quality_score(t.documents).select("doc_id", "quality")
 
 
-@register(
-    "tx_fingerprint",
-    sql="""
+_FINGERPRINT_SQL = """
     SELECT doc_id,
            list_min(list_transform(
              CASE WHEN length(text) >= 8
@@ -107,12 +111,38 @@ def tx_quality_score(spark, sf_dir):
                   ELSE [] END,
              s -> md5(s))) AS fp
     FROM documents
-    """,
-)
+    """
+
+
 def tx_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint: min-md5 over char 8-grams."""
     t = Tables(spark, sf_dir)
     return tx.fingerprint(t.documents).select("doc_id", "fp")
+
+
+# Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
+# both full result sets still hash-check inside the suite union.
+register_suite(
+    "suite_token_fingerprint",
+    [
+        SubQuery(
+            "tx_token_stats",
+            tx_token_stats,
+            _TOKEN_STATS_SQL,
+            [("doc_id", "s"), ("n_tokens", "s"), ("n_bpe_tokens", "s"),
+             ("n_chars_calc", "s")],
+        ),
+        SubQuery(
+            "tx_fingerprint",
+            tx_fingerprint,
+            _FINGERPRINT_SQL,
+            [("doc_id", "s"), ("fp", "s")],
+        ),
+    ],
+    doc="Token-accounting suite: whitespace/BPE-ish token counts + "
+    "rolling-hash document fingerprints, each oracle-checked "
+    "row-for-row inside the union.",
+)
 
 
 # Dataset-mixing rates: downsample dominant English, keep rarer langs.

@@ -61,11 +61,13 @@ def load_all() -> dict[str, QueryDef]:
         from .queries import (  # noqa: F401
             windows,
             text,
+            curation,
             pipeline,
             streaming,
             spatial,
             core,
             joins,
+            olap,
             dedup,
             similarity,
             multimodal,

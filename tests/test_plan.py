@@ -117,9 +117,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
 
 
 def test_keep_best_dedup_single_exchange(spark, sf_dir):
-    from clear_map_data_pipeline_spark.registry import load_all
+    # dd_keep_best is folded into suite_dedup_exact (registry cap);
+    # plan-assert the standalone builder directly
+    from clear_map_data_pipeline_spark.queries.dedup import dd_keep_best
 
-    plan = _formatted_plan(load_all()["dd_keep_best"].builder(spark, sf_dir))
+    plan = _formatted_plan(dd_keep_best(spark, sf_dir))
     # count() and row_number() share one content_hash exchange + sort
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
