@@ -32,12 +32,12 @@ HEADLINE = [
     "dd_embedding_cosine",
     "sim_ann_lsh_pairs",
     "sim_ivf_topk",
-    "tx_quality_score",
+    "suite_text_quality",
     "tx_stratified_sample",
+    "j_merge_upsert",
     "j_range_bucket_join",
     "mm_multimodal_suite",
     "pipeline_export_weeks_1",
-    "tx_lang_id",
     "sim_ivf_kmeans_topk",
     "st_daily_totals_incremental",
     "dd_lsh_clusters",

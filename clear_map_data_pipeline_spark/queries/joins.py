@@ -452,3 +452,69 @@ def j_range_bucket_join(spark, sf_dir):
             ),
         )
     )
+
+
+# --- CDC merge/upsert --------------------------------------------------
+
+_MERGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_total,
+         o_orderpriority, 0 AS version, 'U' AS op
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_total + 1000.0, o_orderpriority, 1, 'U'
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_total, o_orderpriority, 1, 'D'
+  FROM base WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 123.45, 'NEW', 1, 'I'
+  FROM base WHERE o_orderkey % 101 = 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC, op) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+)
+SELECT o_orderkey, o_custkey, o_total, o_orderpriority
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("j_merge_upsert", sql=_MERGE_SQL)
+def j_merge_upsert(spark, sf_dir):
+    """CDC MERGE INTO: apply a deterministic change set (updates for
+    keys % 7, deletes for % 13, inserts at key+10M for % 101; a key
+    hitting both update and delete resolves to delete via the op
+    tiebreak) onto orders.  One hash exchange on the merge key; see
+    operators/merge.py for the bucketed/partition-pruned zero-shuffle
+    variants at lakehouse scale."""
+    from ..operators.merge import merge_upsert
+
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("o_total"), "o_orderpriority",
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_total", F.col("o_total") + 1000.0)
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("U"))
+    )
+    dele = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("D"))
+    )
+    ins = (
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit(123.45).alias("o_total"),
+            F.lit("NEW").alias("o_orderpriority"),
+        )
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("I"))
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return merge_upsert(base, changes, "o_orderkey")

@@ -194,7 +194,8 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     nprobe=4 of 8 lists: the fixture embeddings are weakly clustered
     (near-uniform directions), so recall is geometry-bound — the sweep
     at sf0.1 measured recall@5 0.52/0.65/0.73/0.96 at nprobe 2/3/4/6
-    for equal wall time.  On real embedding corpora (strong cluster
+    with k-means|| init (0.75 at nprobe=4 with the faster default
+    random init — see operators/similarity.py kmeans_centroids).  On real embedding corpora (strong cluster
     structure) nprobe/k_lists would be tuned to probe a far smaller
     corpus fraction; the probe-fraction is the honest cost metric and
     is reported alongside recall in the bench line."""

@@ -63,7 +63,6 @@ def _lang_id_sql() -> str:
     """
 
 
-@register("tx_lang_id", sql=_lang_id_sql())
 def tx_lang_id(spark, sf_dir):
     """Language ID via stopword-ratio argmax (tie-break by language
     order, 'und' when nothing matches)."""
@@ -88,18 +87,35 @@ QUALITY_SQL_EXPR = (
 )
 
 
-@register(
-    "tx_quality_score",
-    sql=f"""
-    SELECT doc_id, {QUALITY_SQL_EXPR} AS quality
-    FROM documents
-    """,
-)
 def tx_quality_score(spark, sf_dir):
     """Composite quality score: content length, punctuation density,
     natural-language-ness — the classic pretraining quality filter."""
     t = Tables(spark, sf_dir)
     return tx.quality_score(t.documents).select("doc_id", "quality")
+
+
+# Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
+# both full result sets still hash-check inside the suite union.
+register_suite(
+    "suite_text_quality",
+    [
+        SubQuery(
+            "tx_lang_id",
+            tx_lang_id,
+            _lang_id_sql(),
+            [("doc_id", "s"), ("lang_pred", "s")],
+        ),
+        SubQuery(
+            "tx_quality_score",
+            tx_quality_score,
+            f"SELECT doc_id, {QUALITY_SQL_EXPR} AS quality FROM documents",
+            [("doc_id", "s"), ("quality", "d3")],
+        ),
+    ],
+    doc="Text-quality suite: stopword-argmax language ID + composite "
+    "quality scoring, each oracle-checked row-for-row inside the "
+    "union.",
+)
 
 
 _FINGERPRINT_SQL = """
