@@ -29,7 +29,7 @@ HEADLINE = [
     "j_sessionization",
     "dd_minhash_lsh_pairs",
     "suite_dedup_exact",
-    "dd_embedding_cosine",
+    "suite_dedup_fingerprints",
     "sim_ann_lsh_pairs",
     "sim_ivf_topk",
     "suite_text_quality",
@@ -55,21 +55,21 @@ def main() -> None:
     spark = get_spark("clearmap-bench", cpus=cpus, shuffle_partitions=cpus)
     registry = load_all()
 
+    missing = [n for n in HEADLINE if n not in registry]
+    if missing:  # a stale HEADLINE name is a bench bug, not a skip
+        raise SystemExit(f"HEADLINE names not in registry: {missing}")
+
     # Warm every headline plan at the smallest fixture first: triggers
     # whole-stage codegen compilation, Python-UDF worker spawn (workers
     # are reused afterwards), and broadcast machinery, so the sf0.1
     # timings below measure steady-state execution — the regime that
     # matters at scale — not one-time JIT cost.
     for name in HEADLINE:
-        if name not in registry:
-            continue
         warm = registry[name].builder(spark, "/root/testdata/sf0.001")
         warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in registry:
-            continue
         t0 = time.perf_counter()
         df = registry[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
