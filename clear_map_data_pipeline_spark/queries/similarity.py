@@ -178,7 +178,7 @@ def sim_ivf_topk(spark, sf_dir):
 # One source of truth for the trained-IVF operating point — bench.py's
 # recall metric reuses these so the reported recall is always for the
 # query actually registered.
-IVF_KMEANS_PARAMS = {"k_clusters": 8, "seed": 42, "nprobe": 4}
+IVF_KMEANS_PARAMS = {"k_clusters": 32, "seed": 42, "nprobe": 12}
 
 
 @register("sim_ivf_kmeans_topk")
@@ -191,13 +191,14 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     asserted in tests/test_similarity_trained.py and reported by
     bench.py.
 
-    nprobe=4 of 8 lists: the fixture embeddings are weakly clustered
-    (near-uniform directions), so recall is geometry-bound — the sweep
-    at sf0.1 measured recall@5 0.52/0.65/0.73/0.96 at nprobe 2/3/4/6
-    with k-means|| init (0.75 at nprobe=4 with the faster default
-    random init — see operators/similarity.py kmeans_centroids).  On real embedding corpora (strong cluster
-    structure) nprobe/k_lists would be tuned to probe a far smaller
-    corpus fraction; the probe-fraction is the honest cost metric and
-    is reported alongside recall in the bench line."""
+    nprobe=12 of 32 lists: the fixture embeddings are weakly clustered
+    (near-uniform directions), so recall is geometry-bound.  The sf0.1
+    sweep (random init, seed 42) measured recall@5 / probe-fraction:
+    0.75/0.50 at (8,4), 0.73/0.38 at (16,6), 0.58/0.25 at (32,8),
+    0.77/0.38 at (32,12), 0.68/0.25 at (64,16) — (32,12) dominates the
+    round-1 (8,4) point on both axes.  On real embedding corpora
+    (strong cluster structure) nprobe/k_lists would be tuned to probe a
+    far smaller corpus fraction; the probe-fraction is the honest cost
+    metric and is reported alongside recall in the bench line."""
     t = Tables(spark, sf_dir)
     return sim.ivf_topk_trained(t.embeddings, **IVF_KMEANS_PARAMS)
