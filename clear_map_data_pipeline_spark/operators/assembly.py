@@ -1,0 +1,154 @@
+"""Corpus-assembly operators: the last mile of a training-data
+pipeline, after cleaning/dedup/filtering — deciding HOW MUCH of each
+domain to keep (temperature mixing) and HOW documents are laid out into
+fixed-size training sequences (sequence packing).
+
+Both are pure DataFrame compositions — no UDFs:
+
+- ``pack_sequences``: one shuffle (on the shard key) + one per-shard
+  window cumsum; all arithmetic is integer, so the assignment is
+  bit-exact reproducible on any engine (DuckDB oracle twin).
+- ``temperature_mix``: one tiny aggregation (|domains| rows) broadcast
+  back over the corpus; the keep decision is the same deterministic
+  id-hash bucket ``stratified_sample`` uses — map-only over the corpus,
+  retry-stable, no ``rand()``.
+
+Beyond-reference extension surface (the reference pipeline ends at
+export — ``il_analysis_git.py:150-175``); these are the standard
+assembly passes described in public LLM-corpus literature (GPT-3 /
+XLM-R style temperature sampling, T5/GPT-style pack-and-chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import hash31
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out into
+    training sequences of exactly ``budget`` tokens.
+
+    Documents are deterministically sharded (``hash31(id) % n_shards``),
+    concatenated within each shard in id order, and the concatenation is
+    chunked every ``budget`` tokens — the standard pretraining layout
+    (documents may straddle a chunk boundary; the chunker, not the
+    packer, inserts EOD tokens).  Each document is assigned the sequence
+    its FIRST token lands in plus its offset within that sequence:
+
+        shard      = hash31(id) % n_shards
+        start      = cumulative tokens of earlier docs in the shard
+        seq_id     = start DIV budget       (within-shard sequence no.)
+        seq_offset = start MOD budget
+
+    Scale: ONE hash shuffle on ``shard`` then a per-shard window cumsum.
+    Shard count bounds the per-task sort: at 100 TB pick n_shards so a
+    shard is a few GB (e.g. 100k shards); every shard is an independent
+    token stream, so downstream loaders read shards in parallel with no
+    global order dependency.  The id-hash shard assignment is also the
+    global shuffle step training wants (documents from the same source
+    end up scattered across shards).
+
+    All-integer arithmetic — the assignment is engine-exact (no float
+    rounding), which is what makes the DuckDB oracle twin hash-match.
+    """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
+    shard = (hash31(F.col(id_col)) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = F.col(tokens_col).cast("long")
+    cum = F.sum(toks).over(w)
+    start = (cum - toks).alias("_start")
+    return (
+        df.select(F.col(id_col), toks.alias(tokens_col), shard)
+        .select("*", start)
+        .select(
+            id_col,
+            "shard",
+            F.expr(f"_start DIV {budget}").alias("seq_id"),
+            (F.col("_start") % budget).alias("seq_offset"),
+            tokens_col,
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float,
+    target_frac: float,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: keep a ``target_frac`` of
+    the corpus with per-domain shares proportional to ``n_domain**alpha``
+    (XLM-R / multilingual-pretraining style).  ``alpha=1`` reproduces
+    plain uniform sampling; ``alpha<1`` flattens the domain distribution
+    (rare domains keep a larger fraction of their rows, dominant domains
+    are downsampled harder); ``alpha=0`` targets equal row counts per
+    domain.
+
+    Per-domain keep-rate (clamped — a rate can't exceed keeping
+    everything):
+
+        q_d      = n_d**alpha / sum_e(n_e**alpha)     (target share)
+        rate_d   = min(1, target_frac * N * q_d / n_d)
+        rate_pct = round(100 * rate_d)                (integer percent)
+
+    then a row survives iff ``hash31(id) % 100 < rate_pct`` — the same
+    deterministic bucket as ``stratified_sample`` (map-only, stable
+    under task retry, no rand()).
+
+    Scale: the aggregate is |domains| rows (languages/sources — tens to
+    thousands), broadcast back over the corpus; the corpus side is one
+    scan + a map-side join + filter.  Zero corpus-sized shuffles.
+
+    Returns the surviving rows as ``(id, domain, rate_pct,
+    sample_bucket)``.
+    """
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError("target_frac must be in [0, 1]")
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    # totals via a global window over the |domains|-row aggregate, NOT a
+    # second aggregation of the corpus: Catalyst does not share the
+    # counts subplan across two consumers, so a separate totals agg
+    # would scan + aggregate the corpus twice.  The window's
+    # single-partition exchange moves |domains| rows — negligible.
+    w = Window.partitionBy()
+    rates = counts.select(
+        "_dom",
+        F.least(
+            F.lit(100),
+            F.round(
+                F.lit(100.0)
+                * target_frac
+                * F.pow("_n", F.lit(alpha))
+                / F.sum(F.pow("_n", F.lit(alpha))).over(w)
+                * F.sum("_n").over(w)
+                / F.col("_n")
+            ).cast("long"),
+        ).alias("rate_pct"),
+    )
+    bucket = (hash31(F.col(id_col)) % 100).alias("sample_bucket")
+    return (
+        df.select(F.col(id_col), F.col(domain_col), bucket)
+        .join(
+            F.broadcast(rates),
+            F.col(domain_col) == F.col("_dom"),
+        )
+        .filter(F.col("sample_bucket") < F.col("rate_pct"))
+        .select(id_col, domain_col, "rate_pct", "sample_bucket")
+    )

@@ -23,16 +23,22 @@ def plan_summary(df) -> dict[str, int]:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     p = buf.getvalue()
+    # count detail headers ("(7) Exchange") only — operators also appear
+    # in the tree rendering, which would double every count
     return {
         "exchanges": len(re.findall(r"\(\d+\) Exchange", p)),
-        "bcast_joins": len(re.findall(r"BroadcastHashJoin", p)),
-        "smj": len(re.findall(r"SortMergeJoin", p)),
-        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", p)),
+        "bcast_joins": len(re.findall(r"\(\d+\) BroadcastHashJoin", p)),
+        "smj": len(re.findall(r"\(\d+\) SortMergeJoin", p)),
+        "bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)),
         "windows": len(re.findall(r"\(\d+\) Window\b", p)),
-        "scans": len(re.findall(r"Scan parquet", p)),
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", p)),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", p)),
         "python_eval": len(
-            re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", p)
+            re.findall(
+                r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+                r"FlatMapGroupsInPandas)",
+                p,
+            )
         ),
         "codegen_spans": len(re.findall(r"WholeStageCodegen", p)),
     }

@@ -1,0 +1,112 @@
+"""Corpus-assembly queries: sequence packing + temperature-based domain
+mixing over the documents table — the pass that turns a cleaned,
+deduplicated corpus into the actual training-data layout.
+
+Oracle SQL is generated from the same constants (hash, budget, alpha)
+as the Spark side so the two cannot drift.  Folded into one registry
+slot (driver's 50-entry CORRECTNESS window); each sub-query's full
+result set still hash-checks inside the suite union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import assembly as asm
+from ..operators import text as tx
+from ..session import Tables
+from .suites import SubQuery, register_suite
+from .text import _TOKS
+
+PACK_BUDGET = 512  # tokens per training sequence
+PACK_SHARDS = 16  # independent token streams (100k+ at corpus scale)
+MIX_ALPHA = 0.5  # temperature exponent (XLM-R uses ~0.3-0.7)
+MIX_TARGET = 0.3  # overall corpus fraction to keep
+
+
+def asm_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of the documents table: deterministic
+    id-hash shard -> per-shard token cumsum -> 512-token chunk id +
+    offset.  One shuffle on shard, all-integer assignment (see
+    operators/assembly.py)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", tx.token_count().alias("n_tokens"))
+    return asm.pack_sequences(
+        docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+_PACK_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             ({tx.hash31_sql("doc_id")} % {PACK_SHARDS}) AS shard
+      FROM documents
+    ),
+    cum AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM tok
+    )
+    SELECT doc_id, shard,
+           (c - n_tokens) // {PACK_BUDGET} AS seq_id,
+           (c - n_tokens) % {PACK_BUDGET} AS seq_offset,
+           n_tokens
+    FROM cum
+    """
+
+
+def asm_temperature_mix(spark, sf_dir):
+    """Temperature mixing over languages: keep ~MIX_TARGET of the corpus
+    with per-language shares flattened by alpha=0.5 (rare languages keep
+    a larger fraction of their rows).  |langs|-row aggregate broadcast
+    back; corpus side is map-only (see operators/assembly.py)."""
+    t = Tables(spark, sf_dir)
+    return asm.temperature_mix(
+        t.documents, alpha=MIX_ALPHA, target_frac=MIX_TARGET
+    )
+
+
+_MIX_SQL = f"""
+    WITH counts AS (
+      SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n) AS nn, sum(pow(n, {MIX_ALPHA})) AS s FROM counts
+    ),
+    rates AS (
+      SELECT dom,
+             least(100, CAST(round(100.0 * {MIX_TARGET} * pow(n, {MIX_ALPHA})
+                   / s * nn / n) AS BIGINT)) AS rate_pct
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang, r.rate_pct,
+           ({tx.hash31_sql("d.doc_id")} % 100) AS sample_bucket
+    FROM documents d JOIN rates r ON d.lang = r.dom
+    WHERE ({tx.hash31_sql("d.doc_id")} % 100) < r.rate_pct
+    """
+
+
+register_suite(
+    "suite_corpus_assembly",
+    [
+        SubQuery(
+            "asm_pack_sequences",
+            asm_pack_sequences,
+            _PACK_SQL,
+            [("doc_id", "s"), ("shard", "s"), ("seq_id", "s"),
+             ("seq_offset", "s"), ("n_tokens", "s")],
+        ),
+        SubQuery(
+            "asm_temperature_mix",
+            asm_temperature_mix,
+            _MIX_SQL,
+            [("doc_id", "s"), ("lang", "s"), ("rate_pct", "s"),
+             ("sample_bucket", "s")],
+        ),
+    ],
+    doc="""Corpus-assembly suite: concat-and-chunk sequence packing
+    (all-integer, one shard shuffle) + temperature-based domain mixing
+    (broadcast rates, map-only corpus pass) — each hash-checked
+    row-for-row against its DuckDB twin inside the suite union.""",
+)

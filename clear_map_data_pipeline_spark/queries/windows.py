@@ -12,6 +12,7 @@ from ..operators.rebase import rebase_censored
 from ..registry import register
 from ..session import Tables
 from .common import MOH_DAILY_SQL, POP_DIM_SQL, moh_daily, pop_dim
+from .suites import SubQuery, register_suite
 
 _REBASED_SQL = """
 rebased AS (
@@ -108,16 +109,6 @@ def w3_daily_delta(spark, sf_dir):
     )
 
 
-@register(
-    "w5_rolling_7d_sum",
-    sql=f"""
-    WITH {MOH_DAILY_SQL}
-    SELECT id, date,
-           CAST(sum(cases) OVER (PARTITION BY id ORDER BY date
-                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cases_7d
-    FROM daily
-    """,
-)
 def w5_rolling_7d_sum(spark, sf_dir):
     """W5 (ref latent :138,:141): trailing 7-day rolling sum."""
     t = Tables(spark, sf_dir)
@@ -126,22 +117,50 @@ def w5_rolling_7d_sum(spark, sf_dir):
     )
 
 
-@register(
-    "w6_lag_7",
-    sql=f"""
-    WITH {MOH_DAILY_SQL}
-    SELECT id, date,
-           CAST(lag(cases, 7, 0) OVER (PARTITION BY id ORDER BY date) AS BIGINT)
-             AS cases_lag7
-    FROM daily
-    """,
-)
 def w6_lag_7(spark, sf_dir):
     """W6 (ref latent :139): lag-7 with default 0 (shift(7, fill_value=0))."""
     t = Tables(spark, sf_dir)
     return stats.lag_k(moh_daily(t), "cases", "cases_lag7", 7, 0).select(
         "id", "date", F.col("cases_lag7").cast("long").alias("cases_lag7")
     )
+
+
+# Folded into one registry slot (driver's 50-entry CORRECTNESS window;
+# the freed slot hosts suite_corpus_assembly) — both latent ramzor
+# window primitives still hash-check row-for-row inside the union.
+register_suite(
+    "suite_window_latent",
+    [
+        SubQuery(
+            "w5_rolling_7d_sum",
+            w5_rolling_7d_sum,
+            f"""
+            WITH {MOH_DAILY_SQL}
+            SELECT id, date,
+                   CAST(sum(cases) OVER (PARTITION BY id ORDER BY date
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS cases_7d
+            FROM daily
+            """,
+            [("id", "s"), ("date", "s"), ("cases_7d", "s")],
+        ),
+        SubQuery(
+            "w6_lag_7",
+            w6_lag_7,
+            f"""
+            WITH {MOH_DAILY_SQL}
+            SELECT id, date,
+                   CAST(lag(cases, 7, 0) OVER (PARTITION BY id ORDER BY date)
+                        AS BIGINT) AS cases_lag7
+            FROM daily
+            """,
+            [("id", "s"), ("date", "s"), ("cases_lag7", "s")],
+        ),
+    ],
+    doc="Latent ramzor window suite: trailing 7-day rolling sum + lag-7 "
+    "with zero default (ref :138-141), each oracle-checked row-for-row "
+    "inside the union.",
+)
 
 
 @register(

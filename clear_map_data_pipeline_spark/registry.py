@@ -61,6 +61,7 @@ def load_all() -> dict[str, QueryDef]:
         from .queries import (  # noqa: F401
             windows,
             text,
+            assembly,
             curation,
             pipeline,
             streaming,

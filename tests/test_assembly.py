@@ -1,0 +1,111 @@
+"""Corpus-assembly operators: sequence packing + temperature mixing
+(operators/assembly.py).  Oracle parity is covered by
+``suite_corpus_assembly`` in tests/test_oracle.py; these tests pin the
+semantic invariants the hash can't express and the plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clear_map_data_pipeline_spark.operators import assembly as asm
+from clear_map_data_pipeline_spark.operators import text as tx
+from clear_map_data_pipeline_spark.plancheck import plan_summary
+from clear_map_data_pipeline_spark.session import Tables
+
+
+def _docs(spark, sf_dir):
+    return (
+        Tables(spark, sf_dir)
+        .documents.select("doc_id", "lang", tx.token_count().alias("n_tokens"))
+    )
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    budget, shards = 128, 4
+    rows = asm.pack_sequences(
+        _docs(spark, sf_dir), budget=budget, n_shards=shards
+    ).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < shards
+        assert 0 <= r["seq_offset"] < budget
+        # the chunk index is exactly the start offset divided down
+        start = r["seq_id"] * budget + r["seq_offset"]
+        by_shard.setdefault(r["shard"], []).append(
+            (r["doc_id"], start, r["n_tokens"])
+        )
+    # within a shard (id order) the layout is a gapless concatenation:
+    # each doc starts exactly where the previous one ended
+    for recs in by_shard.values():
+        recs.sort()
+        expect = 0
+        for _, start, n in recs:
+            assert start == expect
+            expect += n
+
+
+def test_pack_sequences_deterministic_and_validated(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = sorted(map(tuple, asm.pack_sequences(d, 64, 8).collect()))
+    b = sorted(map(tuple, asm.pack_sequences(d, 64, 8).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="positive"):
+        asm.pack_sequences(d, 0, 8)
+    with pytest.raises(ValueError, match="positive"):
+        asm.pack_sequences(d, 64, 0)
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    s = plan_summary(asm.pack_sequences(_docs(spark, sf_dir), 512, 16))
+    assert s["exchanges"] == 1  # one hash shuffle on shard, nothing else
+    assert s["windows"] == 1
+    assert s["python_eval"] == 0
+
+
+def test_temperature_mix_alpha_one_is_uniform(spark, sf_dir):
+    out = asm.temperature_mix(
+        Tables(spark, sf_dir).documents, alpha=1.0, target_frac=0.4
+    )
+    # alpha=1: every domain keeps the same target_frac rate
+    rates = {r["lang"]: r["rate_pct"] for r in out.select("lang", "rate_pct").distinct().collect()}
+    assert rates and set(rates.values()) == {40}
+
+
+def test_temperature_mix_flattens_domains(spark, sf_dir):
+    docs = Tables(spark, sf_dir).documents
+    shares = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    big = max(shares, key=shares.get)
+    small = min(shares, key=shares.get)
+    out = asm.temperature_mix(docs, alpha=0.3, target_frac=0.4)
+    rates = {r["lang"]: r["rate_pct"] for r in out.select("lang", "rate_pct").distinct().collect()}
+    # temperature < 1 keeps a LARGER fraction of the rare domain
+    assert rates[small] > rates[big]
+    # realized keep fraction tracks rate_pct (hash-bucket uniformity)
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_kept in kept.items():
+        realized = 100.0 * n_kept / shares[lang]
+        assert abs(realized - rates[lang]) <= 12  # 500-doc fixture noise
+
+    with pytest.raises(ValueError, match="target_frac"):
+        asm.temperature_mix(docs, alpha=0.5, target_frac=1.5)
+
+
+def test_temperature_mix_no_corpus_shuffle(spark, sf_dir):
+    s = plan_summary(
+        asm.temperature_mix(
+            Tables(spark, sf_dir).documents, alpha=0.5, target_frac=0.3
+        )
+    )
+    # the only exchanges belong to the |domains|-row rate aggregate (and
+    # its broadcast); the corpus side joins map-side — no SortMergeJoin,
+    # and exactly ONE scan per branch (rates + corpus): the totals come
+    # from a window over the tiny aggregate, not a second corpus pass
+    assert s["smj"] == 0 and s["bnlj"] == 0
+    assert s["bcast_joins"] >= 1
+    assert s["scans"] == 2
+    assert s["python_eval"] == 0
