@@ -196,10 +196,25 @@ def joined_stats_frame(t: Tables, geometry: bool = False) -> DataFrame:
         dissolve_fn = lambda case3: sp.dissolve(  # noqa: E731
             case3, key="city", geom="geometry"
         )
-    flags = city_case_flags(data, shape)
+    # flags and the reconciled shape are tiny (per-city / per-area rows)
+    # but each is consumed by SEVERAL branches (data rewrite + shape
+    # rewrite + dim join + the cutoff aggregate's re-derivation), and
+    # Catalyst does not share subplans across consumers: unpinned, every
+    # reference re-derives them from full fact scans (the weeks_* plans
+    # showed 58 scans / 80 exchanges; pinned: 18 / 24).  At sf0.1 on an
+    # idle local[32] the pin measures ~0.5s SLOWER (redundant branches
+    # run in parallel on spare cores, while cache population is a
+    # barrier) — but each avoided branch is a full fact-table scan +
+    # aggregation, so at cluster scale the 3x scan reduction dominates;
+    # cachereg releases the pins when the next registry query builds.
+    from ..cachereg import pin
+
+    flags = pin(city_case_flags(data, shape))
     data = reconcile_data(data, flags)
-    shape = reconcile_shape(shape, flags, dissolve_geometry=dissolve_fn).filter(
-        F.col("id").isNotNull()
+    shape = pin(
+        reconcile_shape(shape, flags, dissolve_geometry=dissolve_fn).filter(
+            F.col("id").isNotNull()
+        )
     )
     data = rebase_censored(data, {"cases": "new_case", "vaccine": "new_vaccine"})
     joined = data.join(
