@@ -39,6 +39,28 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     sc._cmdp_pkg_shipped = True
 
 
+def normalize_parquet_confs(spark: SparkSession) -> None:
+    """Runtime SQL confs every parquet read path needs (see ``Tables``):
+    nano-timestamp fixtures read as long, and TIMESTAMP_NTZ inference
+    off so naive-UTC fixture timestamps scan as plain TimestampType
+    (parity with the DuckDB oracle and with epoch-seconds casts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def normalize_ts(df, col: str = "ts"):
+    """Rebuild TimestampType from a nano-int64 fixture column (legacy
+    nanosAsLong read); no-op when the scan already yields a timestamp
+    (TIMESTAMP(MICROS) fixtures under ``normalize_parquet_confs``).
+    Exact integer ns -> us (DIV, not double division: values near 2^60
+    lose sub-us precision through a double)."""
+    if dict(df.dtypes).get(col) == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
 def get_spark(
     app_name: str = "clear_map_data_pipeline_spark",
     cpus: int | None = None,
@@ -70,6 +92,7 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    normalize_parquet_confs(spark)
     return spark
 
 
@@ -98,10 +121,18 @@ class Tables:
     ``{sf_dir}/lineitem.parquet``.  Reads are lazy logical plans; Catalyst
     prunes columns and pushes predicates into the parquet scan.
 
-    The fixtures store timestamps as parquet TIMESTAMP(NANOS), which Spark
-    has no native type for: we enable the legacy nanos-as-long read (a
-    runtime-settable SQL conf, so it works under any caller's session) and
-    rebuild TimestampType via exact integer division to microseconds.
+    Timestamp normalization (both confs are runtime-settable SQL confs,
+    so they work under any caller's session):
+
+    - Fixtures that store timestamps as parquet TIMESTAMP(NANOS) (no
+      native Spark type): legacy nanos-as-long read + exact integer
+      division rebuild to TimestampType.
+    - Fixtures that store TIMESTAMP(MICROS) without UTC adjustment:
+      Spark 4 infers TIMESTAMP_NTZ by default, which forbids the
+      epoch-seconds casts the engine and the DuckDB oracle both rely on
+      (``CAST(ts AS BIGINT)``).  We disable NTZ inference so scans
+      yield plain TimestampType interpreted in the session's UTC zone —
+      bit-identical to the naive-UTC reading DuckDB applies.
     """
 
     NAMES = (
@@ -118,21 +149,14 @@ class Tables:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self._spark = spark
         self._sf_dir = sf_dir
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        normalize_parquet_confs(spark)
 
     def __getattr__(self, name: str):
         if name not in self.NAMES:
             raise AttributeError(name)
         df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
         for c in self._NANO_TS_COLS.get(name, []):
-            if dict(df.dtypes).get(c) == "bigint":
-                # exact integer ns -> us (DIV, not double division: values
-                # near 2^60 lose sub-us precision through a double)
-                from pyspark.sql import functions as F
-
-                df = df.withColumn(
-                    c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
-                )
+            df = normalize_ts(df, c)
         return df
 
     def register_views(self) -> None:

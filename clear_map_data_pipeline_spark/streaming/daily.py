@@ -21,6 +21,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import normalize_parquet_confs, normalize_ts
+
 
 def daily_totals_stream(
     spark: SparkSession,
@@ -35,7 +37,7 @@ def daily_totals_stream(
     Output: one row per (date, event_type) with row counts and value
     sums — the streaming twin of the batch A14 daily totals.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize_parquet_confs(spark)
     # the file streaming source requires a DIRECTORY; stage a single
     # parquet file behind a symlink dir (zero-copy)
     if os.path.isfile(events_dir):
@@ -47,9 +49,7 @@ def daily_totals_stream(
         events_dir = staged
     batch_schema = spark.read.parquet(events_dir).schema
     stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
         .withWatermark("ts", watermark)
     )
     agg = (

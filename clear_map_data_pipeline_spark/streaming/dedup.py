@@ -17,6 +17,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import normalize_parquet_confs, normalize_ts
+
 
 def stage_backlog(events_file: str, copies: int = 1) -> str:
     """Stage a parquet file as a streaming source directory, optionally
@@ -39,14 +41,12 @@ def deduped_ingest_stream(
 ) -> DataFrame:
     """Drain the (possibly duplicated) backlog with exactly-once
     semantics on ``key``; returns the deduplicated per-type totals."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize_parquet_confs(spark)
     if os.path.isfile(events_dir):
         events_dir = stage_backlog(events_dir, copies=1)
     batch_schema = spark.read.parquet(events_dir).schema
     stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark([key])
     )

@@ -22,6 +22,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import normalize_parquet_confs, normalize_ts
+
 
 def export_daily_partitions(
     spark: SparkSession,
@@ -33,7 +35,7 @@ def export_daily_partitions(
     """Drain the events backlog and materialize per-day totals as a
     date-partitioned parquet dataset, overwriting only touched
     partitions.  Returns ``out_dir``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize_parquet_confs(spark)
     if os.path.isfile(events_dir):
         staged = tempfile.mkdtemp(prefix="clearmap_export_src_")
         os.symlink(
@@ -43,9 +45,7 @@ def export_daily_partitions(
         events_dir = staged
     batch_schema = spark.read.parquet(events_dir).schema
     stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
         .withWatermark("ts", watermark)
     )
     agg = (

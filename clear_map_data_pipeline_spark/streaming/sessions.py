@@ -29,6 +29,8 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..session import normalize_parquet_confs, normalize_ts
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -105,7 +107,7 @@ def user_sessions_stream(
     """Drain the events backlog with AvailableNow through the stateful
     sessionizer; returns the materialized closed-session table
     (user_id, session_start, session_end, n_events — epoch seconds)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize_parquet_confs(spark)
     if os.path.isfile(events_dir):
         staged = tempfile.mkdtemp(prefix="clearmap_stream_src_")
         os.symlink(
@@ -115,9 +117,7 @@ def user_sessions_stream(
         events_dir = staged
     batch_schema = spark.read.parquet(events_dir).schema
     stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
         .withWatermark("ts", watermark)
         .select("user_id", F.col("ts").cast("long").alias("ts_s"), "ts")
     )
