@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cachereg import pin
 from .text import hash31
 
 
@@ -81,6 +82,71 @@ def pack_sequences(
             (F.col("_start") % budget).alias("seq_offset"),
             tokens_col,
         )
+    )
+
+
+def global_shuffle_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 17,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle with a contiguous global index:
+    returns ``(id, global_index)`` where ``global_index`` is the row's
+    0-based rank under ``ORDER BY md5(seed || id), id`` — a stable
+    pseudo-random permutation of the corpus (what a training loader
+    wants: scramble source locality, same order on every run, no
+    ``rand()`` so task retries can't fork the permutation).
+
+    The naive formulation — ``row_number()`` over an unpartitioned
+    window — serializes the entire corpus through ONE task.  This
+    builds the same rank distributed, the trick
+    ``quantile_vector_distributed`` uses, minus its second shuffle:
+
+    1. range-repartition + in-partition sort on ``(key, id)`` —
+       partitions hold disjoint, ordered key ranges (ONE corpus
+       shuffle);
+    2. ``monotonically_increasing_id`` stamps ``pid << 33 | local_row``
+       in the same stage as the sort — within-partition rank comes from
+       id arithmetic, NOT a second window exchange;
+    3. per-partition row counts (one driver collect of ``n_ranges``
+       scalars, never data) prefix-sum into partition offsets,
+       broadcast-joined back:  ``global_index = offset[pid] + local``.
+
+    Memory per task is one range partition; the driver holds
+    ``n_ranges`` integers.  At 100 TB pick ``n_ranges`` so ranges are a
+    few hundred MB — the collect is still trivially small.
+
+    The sorted frame is pinned (cachereg): the count pass and the
+    returned frame's action share one materialization, and the range
+    boundaries — sampled once — stay consistent between the two.
+    """
+    spark = df.sparkSession
+    n_ranges = n_ranges or spark.sparkContext.defaultParallelism
+    key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    ranged = pin(
+        df.select(F.col(id_col), key.alias("_k"))
+        .repartitionByRange(n_ranges, "_k", id_col)
+        .sortWithinPartitions("_k", id_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright("_mid", 33)
+    counts = sorted(
+        (r["_pid"], r["_c"])
+        for r in ranged.groupBy(pid.alias("_pid"))
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for p, c in counts:
+        offsets.append((p, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_pid long, _off long")
+    local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        ranged.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .select(id_col, (F.col("_off") + local).alias("global_index"))
     )
 
 

@@ -22,6 +22,7 @@ PACK_BUDGET = 512  # tokens per training sequence
 PACK_SHARDS = 16  # independent token streams (100k+ at corpus scale)
 MIX_ALPHA = 0.5  # temperature exponent (XLM-R uses ~0.3-0.7)
 MIX_TARGET = 0.3  # overall corpus fraction to keep
+SHUFFLE_SEED = 17  # deterministic corpus-shuffle permutation seed
 
 
 def asm_pack_sequences(spark, sf_dir):
@@ -87,6 +88,24 @@ _MIX_SQL = f"""
     """
 
 
+def asm_global_shuffle_index(spark, sf_dir):
+    """Deterministic corpus shuffle: 0-based global rank under
+    ``ORDER BY md5(seed || doc_id), doc_id`` built from range partitions
+    + broadcast prefix-sum offsets — never an unpartitioned
+    ``row_number`` window (see operators/assembly.py)."""
+    t = Tables(spark, sf_dir)
+    return asm.global_shuffle_index(t.documents, seed=SHUFFLE_SEED)
+
+
+_SHUFFLE_SQL = f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)),
+                           doc_id) - 1 AS BIGINT) AS global_index
+    FROM documents
+    """
+
+
 register_suite(
     "suite_corpus_assembly",
     [
@@ -104,9 +123,17 @@ register_suite(
             [("doc_id", "s"), ("lang", "s"), ("rate_pct", "s"),
              ("sample_bucket", "s")],
         ),
+        SubQuery(
+            "asm_global_shuffle_index",
+            asm_global_shuffle_index,
+            _SHUFFLE_SQL,
+            [("doc_id", "s"), ("global_index", "s")],
+        ),
     ],
     doc="""Corpus-assembly suite: concat-and-chunk sequence packing
     (all-integer, one shard shuffle) + temperature-based domain mixing
-    (broadcast rates, map-only corpus pass) — each hash-checked
-    row-for-row against its DuckDB twin inside the suite union.""",
+    (broadcast rates, map-only corpus pass) + deterministic global
+    shuffle index (range sort + offset arithmetic, no single-partition
+    window) — each hash-checked row-for-row against its DuckDB twin
+    inside the suite union.""",
 )
