@@ -87,6 +87,48 @@ def exact_dedup_keep_best(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "content_hash",
+) -> DataFrame:
+    """Dedupe an INCOMING batch against an existing corpus snapshot —
+    the pass every continuously-ingesting training pipeline runs so a
+    re-crawled or re-delivered document is never added twice.
+
+    Two stages, both digest-only (bodies never shuffle):
+
+    1. within-batch exact dedup: group the batch's (digest, id) pairs,
+       min-id survivor per digest;
+    2. anti-join the survivors against ``seen`` (a frame carrying the
+       corpus's ``digest_col``) — whatever digest the corpus already
+       holds is dropped.
+
+    Returns (id, digest) of the genuinely-new documents.
+
+    Scale: stage 1's groupBy hash-partitions the batch on digest, and
+    the stage-2 join reuses that partitioning — only the ``seen`` side
+    shuffles.  Keep the corpus snapshot bucketed by digest (see
+    ``sources/bucketed``) and the join is zero-exchange on both sides;
+    either way the traffic is 16-byte digests + ids, never text.  The
+    asymmetry matters: ``batch`` is a day's crawl, ``seen`` is the
+    100 TB corpus — this plan shuffles at most digests of each, and the
+    anti-join's build side is the small batch.
+    """
+    digests = batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias(digest_col)
+    )
+    survivors = digests.groupBy(digest_col).agg(
+        F.min(id_col).alias(id_col)
+    )
+    fresh = survivors.join(
+        seen.select(digest_col), digest_col, "left_anti"
+    )
+    return fresh.select(id_col, digest_col)
+
+
 def shingle_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:

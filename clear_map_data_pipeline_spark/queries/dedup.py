@@ -237,8 +237,39 @@ def dd_keep_best(spark, sf_dir):
     return dd.exact_dedup_keep_best(t.documents)
 
 
+_INCREMENTAL_SQL = """
+    WITH batch AS (
+      SELECT doc_id, md5(text) AS content_hash
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    surv AS (
+      SELECT content_hash, min(doc_id) AS doc_id
+      FROM batch GROUP BY content_hash
+    )
+    SELECT s.doc_id, s.content_hash
+    FROM surv s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents c
+      WHERE c.doc_id % 2 = 0 AND md5(c.text) = s.content_hash
+    )
+    """
+
+
+def dd_incremental(spark, sf_dir):
+    """Incremental ingest dedup: odd-id documents play the incoming
+    batch, even-id documents the existing corpus snapshot; the batch is
+    deduped within itself (min-id survivor) then anti-joined against
+    the corpus digests (see operators/dedup.py: incremental_dedup)."""
+    t = Tables(spark, sf_dir)
+    batch = t.documents.filter(F.col("doc_id") % 2 == 1)
+    seen = t.documents.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("content_hash")
+    )
+    return dd.incremental_dedup(batch, seen)
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
-# both full result sets still hash-check inside the suite union.
+# all full result sets still hash-check inside the suite union.
 register_suite(
     "suite_dedup_exact",
     [
@@ -255,8 +286,15 @@ register_suite(
             _KEEP_BEST_SQL,
             [("doc_id", "s"), ("content_hash", "s"), ("group_n", "s")],
         ),
+        SubQuery(
+            "dd_incremental",
+            dd_incremental,
+            _INCREMENTAL_SQL,
+            [("doc_id", "s"), ("content_hash", "s")],
+        ),
     ],
     doc="Exact-dedup suite: content-digest duplicate marking (min-id "
-    "canonical) + keep-best survivor selection, each oracle-checked "
-    "row-for-row inside the union.",
+    "canonical) + keep-best survivor selection + incremental batch-vs-"
+    "corpus ingest dedup, each oracle-checked row-for-row inside the "
+    "union.",
 )

@@ -5,7 +5,12 @@ score ties, unknown strata, retry determinism, exact tier boundaries.
 
 from __future__ import annotations
 
-from clear_map_data_pipeline_spark.operators.dedup import exact_dedup_keep_best
+from pyspark.sql import functions as F
+
+from clear_map_data_pipeline_spark.operators.dedup import (
+    exact_dedup_keep_best,
+    incremental_dedup,
+)
 from clear_map_data_pipeline_spark.operators.text import stratified_sample
 
 
@@ -31,6 +36,36 @@ def test_keep_best_prefers_higher_score(spark):
     )
     (r,) = exact_dedup_keep_best(df).collect()
     assert r["doc_id"] == 2 and r["group_n"] == 2
+
+
+def test_incremental_dedup_drops_seen_and_within_batch_dups(spark):
+    batch = spark.createDataFrame(
+        [
+            (11, "already in corpus"),
+            (13, "brand new"),
+            (15, "brand new"),  # within-batch dup -> min id survives
+            (17, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("already in corpus",)], "text string"
+    ).select(F.md5("text").alias("content_hash"))
+    rows = {r["doc_id"] for r in incremental_dedup(batch, seen).collect()}
+    assert rows == {13, 17}
+
+
+def test_incremental_dedup_idempotent_redrain(spark):
+    # draining the same batch again after the corpus absorbed the first
+    # result yields nothing — the exactly-once ingest property
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    empty_seen = spark.createDataFrame([], "content_hash string")
+    first = incremental_dedup(batch, empty_seen)
+    assert first.count() == 2
+    again = incremental_dedup(batch, first.select("content_hash"))
+    assert again.count() == 0
 
 
 def test_stratified_sample_unknown_stratum_dropped_and_deterministic(spark):
