@@ -42,6 +42,34 @@ def test_ivf_trained_recall_beats_floor(spark, sf_dir):
     assert recall >= 0.4, f"recall@5 {recall:.3f} below floor"
 
 
+def test_ivf_trained_sampled_training(spark, sf_dir):
+    """train_mod trains centroids on the deterministic id-slice; the
+    result is still a complete top-k structure over ALL vectors (the
+    sample only affects where the centers land), and the slice makes
+    the fit partition-layout-independent."""
+    from clear_map_data_pipeline_spark.operators.similarity import (
+        ivf_topk_trained,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    full = ivf_topk_trained(emb, k_clusters=8, seed=42, train_mod=1)
+    sampled = ivf_topk_trained(emb, k_clusters=8, seed=42, train_mod=4)
+    n_queries = emb.filter(F.col("vec_id") % 100 == 0).count()
+    assert sampled.count() == full.count() == n_queries * 5
+    # sampled training is deterministic too
+    a = sorted(map(tuple, sampled.collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk_trained(
+                emb, k_clusters=8, seed=42, train_mod=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_cosine_pairs_guardrail(spark):
     from clear_map_data_pipeline_spark.operators.similarity import (
         cosine_pairs,
