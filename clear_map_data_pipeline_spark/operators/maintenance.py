@@ -18,7 +18,59 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 16, out: str = "_z"
+) -> DataFrame:
+    """Attach a Z-order (Morton) key over ``cols``: each column is
+    min/max-normalized to a ``bits``-bit integer and the bit planes are
+    interleaved, so sorting by ``out`` clusters rows that are close in
+    EVERY dimension — one sorted layout gives min/max file pruning on
+    all of the columns at once, where a lexicographic sort prunes only
+    its leading column.
+
+    Cost: one tiny min/max aggregate (1 row, broadcast back) + a static
+    per-row expression tree (shift/and/or — whole-stage codegen, no
+    UDF).  NULL normalizes to bucket 0; a constant column contributes
+    nothing (guarded against the max==min division).  ``bits *
+    len(cols)`` must fit a signed 64-bit key (<= 62).
+    """
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    span = (1 << bits) - 1
+    bounds = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    scaled = df.crossJoin(F.broadcast(bounds))
+    buckets: list[Column] = []
+    for c in cols:
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        frac = (F.col(c).cast("double") - lo) / (hi - lo)
+        buckets.append(
+            F.when(
+                hi > lo, F.floor(frac * span).cast("long")
+            ).otherwise(F.lit(0))
+        )
+    z = F.lit(0)
+    for b in range(bits):
+        for i, bucket in enumerate(buckets):
+            plane = F.shiftright(F.coalesce(bucket, F.lit(0)), b).bitwiseAND(
+                F.lit(1)
+            )
+            z = z + F.shiftleft(plane, b * len(buckets) + i)
+    return scaled.select(*df.columns, z.alias(out))
 
 
 @dataclass
@@ -55,6 +107,7 @@ def compact_parquet_dataset(
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     order_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``in_path`` to ``out_path`` with ~``target_file_bytes``
     output files.
@@ -65,13 +118,25 @@ def compact_parquet_dataset(
     - ``order_by`` additionally range-partitions + sorts (clustering:
       better min/max pruning for readers filtering on those columns, at
       the cost of a range-exchange instead of round-robin);
+    - ``zorder_by`` clusters on the interleaved Z-order key instead —
+      min/max pruning on ALL the listed columns at once (see
+      ``zorder_value``); mutually exclusive with ``order_by``;
     - rows are preserved exactly (asserted in tests); the write is to a
       fresh path — publish by swapping, never in place.
     """
+    if order_by and zorder_by:
+        raise ValueError("order_by and zorder_by are mutually exclusive")
     stats_in = dataset_stats(spark, in_path)
     n_out = max(1, math.ceil(stats_in.total_bytes / target_file_bytes))
     df = spark.read.parquet(in_path)
-    if order_by:
+    if zorder_by:
+        df = (
+            zorder_value(df, zorder_by)
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif order_by:
         df = df.repartitionByRange(n_out, *order_by).sortWithinPartitions(
             *order_by
         )

@@ -33,6 +33,97 @@ def test_compact_parquet_dataset_reduces_files_preserves_rows(
     assert s == w
 
 
+def test_zorder_clusters_all_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic layout over two independent uniform
+    columns: the x-sorted layout gives tight per-file x ranges but
+    useless (~full-span) y ranges; the Z-ordered layout must tighten
+    BOTH — the property that makes multi-column min/max pruning work."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.maintenance import (
+        compact_parquet_dataset,
+    )
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        # bit-reversal-ish scramble decorrelates x and y from row order
+        (F.col("id") * 48271 % n).alias("x"),
+        (F.col("id") * 16807 % n).alias("y"),
+    )
+    src = str(tmp_path / "grid")
+    df.repartition(8).write.parquet(src)
+    from clear_map_data_pipeline_spark.operators.maintenance import (
+        dataset_stats,
+    )
+
+    # ~64 output files: the z-curve's per-file bbox shrinks ~sqrt(1/F),
+    # so the contrast needs enough files to be unambiguous
+    target = max(1, dataset_stats(spark, src).total_bytes // 64)
+
+    def mean_fracs(path):
+        fx, fy = [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo:
+                        st = col.statistics
+                        lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                        hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            fx.append((hi["x"] - lo["x"]) / (n - 1))
+            fy.append((hi["y"] - lo["y"]) / (n - 1))
+        return sum(fx) / len(fx), sum(fy) / len(fy)
+
+    lex = str(tmp_path / "lex")
+    compact_parquet_dataset(
+        spark, src, lex, target_file_bytes=target, order_by=["x"]
+    )
+    zor = str(tmp_path / "zorder")
+    compact_parquet_dataset(
+        spark, src, zor, target_file_bytes=target, zorder_by=["x", "y"]
+    )
+    lex_x, lex_y = mean_fracs(lex)
+    z_x, z_y = mean_fracs(zor)
+    # lexicographic: x tight, y spans nearly everything
+    assert lex_x < 0.2 and lex_y > 0.8
+    # z-order: BOTH dimensions substantially tighter than full span
+    assert z_x < 0.5 and z_y < 0.5
+    # and rows survive exactly
+    got = spark.read.parquet(zor)
+    assert got.count() == n
+    assert got.select(F.sum("x")).first()[0] == df.select(F.sum("x")).first()[0]
+
+
+def test_zorder_value_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.maintenance import (
+        zorder_value,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.lit(7).alias("const")
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value(df, [])
+    with pytest.raises(ValueError, match="<= 62"):
+        zorder_value(df, ["a", "const"], bits=32)
+    # constant column contributes bucket 0 everywhere; key still ranks by a
+    rows = zorder_value(df, ["a", "const"], bits=8).collect()
+    by_a = sorted((r["a"], r["_z"]) for r in rows)
+    zs = [z for _, z in by_a]
+    assert zs == sorted(zs)  # monotone in the only varying column
+
+
 def test_compact_with_clustering_orders_within_files(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
