@@ -42,6 +42,7 @@ HEADLINE = [
     "st_daily_totals_incremental",
     "dd_lsh_clusters",
     "tpch_q3_shipping_priority",
+    "suite_corpus_assembly",
 ]
 
 
