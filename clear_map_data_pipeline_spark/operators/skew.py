@@ -11,8 +11,11 @@ materializes.  These operators handle the cases AQE can't:
 - ``salted_distinct_count``: exact per-key COUNT(DISTINCT v) in two
   stages — (key, hash(v) % salt) partial distinct, then sum — so a key
   with millions of distinct values never assembles them in one task.
+- ``salted_topk_per_group``: exact top-k per key in two window stages —
+  per-(key, salt) local top-k, then global top-k over the <= k*salt
+  survivors — so a hot key's rows never sort in one task.
 
-Both are pure compositions of built-in expressions (no UDF, no RDD).
+All are pure compositions of built-in expressions (no UDF, no RDD).
 """
 
 from __future__ import annotations
@@ -48,6 +51,52 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return big_salted.join(replicas, [key, "_salt"], how).drop("_salt")
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    key: str,
+    order_by: list,
+    k: int,
+    salt: int = 16,
+) -> DataFrame:
+    """Exact top-k rows per ``key`` (ordered by ``order_by`` Columns,
+    which must be a deterministic total order — include an id
+    tie-break), skew-safe.
+
+    The plain formulation — one ``row_number() OVER (PARTITION BY
+    key)`` — funnels EVERY row of a key through one task; a hot key
+    (power-law domain, sentinel id) stalls the stage.  Here stage 1
+    computes a local top-k within (key, salt-bucket): each bucket
+    holds ~1/salt of the hot key's rows, and any row outside its
+    bucket's top-k cannot be in the key's global top-k (the global
+    top-k's members each rank <= k within their own bucket).  Stage 2
+    re-ranks the <= k*salt survivors per key — a bounded set, so the
+    second window is safe no matter how hot the key was.
+
+    Salt comes from xxhash64 over the whole row: deterministic under
+    retry, uniform, no ``rand()``."""
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+            F.lit(salt),
+        ),
+    )
+    w_local = Window.partitionBy(key, "_salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w_global = Window.partitionBy(key).orderBy(*order_by)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w_global))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def salted_distinct_count(

@@ -237,6 +237,49 @@ def test_session_merge_never_rewinds_end():
     assert state2.get == (980, 1500, 4)
 
 
+def test_enriched_stream_matches_batch_join(spark, sf_dir):
+    """Stream-static enrichment must equal the batch join+agg for every
+    closed window: same broadcast dimension, same inner-join drops."""
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.streaming.enrich import (
+        enriched_daily_totals_stream,
+    )
+
+    events = Tables(spark, sf_dir).events
+    # static dim over the observed event types; one type deliberately
+    # missing so the inner-join drop path is exercised
+    types = sorted(
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+    )
+    assert len(types) >= 2
+    dim = spark.createDataFrame(
+        [(t, f"cat_{i % 2}") for i, t in enumerate(types[:-1])],
+        "event_type string, category string",
+    )
+    streamed = enriched_daily_totals_stream(
+        spark, f"{sf_dir}/events.parquet", dim, query_name="t_enrich_eq"
+    )
+    srows = {
+        (r["date"], r["category"]): (r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    assert len(srows) > 0, "no closed windows emitted"
+
+    batch = (
+        events.join(F.broadcast(dim), "event_type")
+        .groupBy(F.to_date("ts").alias("date"), "category")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    brows = {
+        (r["date"], r["category"]): (r["n"], r["s"]) for r in batch.collect()
+    }
+    for k, v in srows.items():
+        assert brows[k] == v, (k, v, brows[k])
+    # the dropped type never appears
+    assert all(c.startswith("cat_") for _, c in srows)
+
+
 def test_lsh_bands_rejects_nondivisible_params(spark):
     import pytest as _pytest
 
