@@ -280,6 +280,56 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir):
     assert all(c.startswith("cat_") for _, c in srows)
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch self-join's pairs (the backlog drains as one microbatch, so no
+    match straddles a watermark eviction)."""
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.streaming.join import (
+        interval_join_stream,
+    )
+
+    streamed = interval_join_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="t_ssjoin_eq"
+    )
+    srows = sorted(
+        (r["user_id"], r["left_id"], r["right_id"], r["seconds_between"])
+        for r in streamed.collect()
+    )
+    assert srows, "no joined pairs emitted"
+
+    ev = Tables(spark, sf_dir).events
+    left = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = left.join(
+        right,
+        F.expr(
+            "l_user = r_user AND r_ts > l_ts "
+            "AND r_ts <= l_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias(
+            "seconds_between"
+        ),
+    )
+    brows = sorted(
+        (r["user_id"], r["left_id"], r["right_id"], r["seconds_between"])
+        for r in batch.collect()
+    )
+    assert srows == brows
+
+
 def test_lsh_bands_rejects_nondivisible_params(spark):
     import pytest as _pytest
 
