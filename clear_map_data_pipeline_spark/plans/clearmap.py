@@ -274,16 +274,20 @@ def window_export(t: Tables, window: str) -> DataFrame:
     composes the geometry-carrying variant): window select -> period
     rebase -> delta -> per-100k -> export schema.
 
-    Cutoff strategy: the max-date aggregate shares the prefix lineage
-    with the window filter, so the plan shows the prefix twice — but
-    Catalyst column-prunes the cutoff branch down to the date lineage
-    (the stats windows' expressions drop out), and measured at sf0.1
-    that narrow recompute beats materializing the full prefix to cache
-    (3.0s vs 3.8s): a persist pays serialization + memory for a second
-    consumer that only needs one column.  For a MULTI-window pass the
-    trade flips — four consumers amortize one materialization — which
-    is exactly what ``run_pipeline`` does with its pinned persist."""
-    base = joined_stats_frame(t)
+    Cutoff strategy: the max-date aggregate and the window filter both
+    consume the stats prefix, and Catalyst does not share the subplan —
+    unpinned, the prefix runs twice (the cutoff copy column-pruned to
+    the date lineage).  Pinning the prefix was originally measured
+    SLOWER at sf0.1 (3.8s vs 3.0s recompute) but re-measured faster
+    (2.9s vs 3.3s) once the tiny flags/shape frames were themselves
+    pinned — the pruned recompute still re-derives those inputs' full
+    branches.  Pinned is also the plan that scales: ONE materialization
+    of the prefix instead of a second fact-table scan + window stack,
+    exactly like the multi-window ``run_pipeline``.  cachereg releases
+    the pin when the next registry query builds."""
+    from ..cachereg import pin
+
+    base = pin(joined_stats_frame(t))
     return _export_frame(_window_frame(base, window))
 
 
