@@ -45,6 +45,28 @@ def bpe_ish_token_count(col: str = "text") -> Column:
     return F.size(F.expr(f"regexp_extract_all({col}, '{pat}', 0)")).cast("long")
 
 
+def vocabulary(
+    df: DataFrame, col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace tokens
+    as (token, n), ordered by count desc with the token itself as the
+    deterministic tie-break — the counting pass tokenizer training
+    (BPE/unigram seeding, stopword discovery) starts from.
+
+    Scale: ``explode`` multiplies rows but the aggregation is map-side
+    partial, so the shuffle carries (token, partial_count) pairs — the
+    hot stopword tokens combine before they move.  The final ``ORDER BY
+    n LIMIT top_n`` plans as TakeOrderedAndProject: per-partition local
+    top-n merged on one task of ``top_n`` rows, never a global sort."""
+    return (
+        df.select(F.explode(tokens(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(top_n)
+    )
+
+
 def stopword_ratio(col: str = "text", lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang`` (0 if no tokens)."""
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])

@@ -136,8 +136,28 @@ def tx_fingerprint(spark, sf_dir):
     return tx.fingerprint(t.documents).select("doc_id", "fp")
 
 
+VOCAB_TOP_N = 100
+
+
+def tx_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: top-N tokens by count (token tie-break) —
+    explode + map-side-partial count + TakeOrdered, never a global
+    sort (see operators/text.py: vocabulary)."""
+    t = Tables(spark, sf_dir)
+    return tx.vocabulary(t.documents, top_n=VOCAB_TOP_N)
+
+
+_VOCAB_SQL = f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {VOCAB_TOP_N}
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
-# both full result sets still hash-check inside the suite union.
+# all full result sets still hash-check inside the suite union.
 register_suite(
     "suite_token_fingerprint",
     [
@@ -154,10 +174,16 @@ register_suite(
             _FINGERPRINT_SQL,
             [("doc_id", "s"), ("fp", "s")],
         ),
+        SubQuery(
+            "tx_vocabulary",
+            tx_vocabulary,
+            _VOCAB_SQL,
+            [("token", "s"), ("n", "s")],
+        ),
     ],
     doc="Token-accounting suite: whitespace/BPE-ish token counts + "
-    "rolling-hash document fingerprints, each oracle-checked "
-    "row-for-row inside the union.",
+    "rolling-hash document fingerprints + top-N corpus vocabulary, "
+    "each oracle-checked row-for-row inside the union.",
 )
 
 

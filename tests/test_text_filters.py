@@ -56,6 +56,29 @@ def test_url_stats_extracts_and_dedups_domains(spark):
     assert got[2]["n_urls"] == 0 and got[2]["first_domain"] is None
 
 
+def test_vocabulary_counts_and_plan(spark):
+    import contextlib
+    import io
+
+    from clear_map_data_pipeline_spark.operators.text import vocabulary
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b a c"),
+            (2, "a b B"),  # lowercased: b twice here
+            (3, "zz"),
+        ],
+    )
+    rows = [(r["token"], r["n"]) for r in vocabulary(df, top_n=3).collect()]
+    assert rows == [("a", 3), ("b", 3), ("c", 1)]  # count desc, token tiebreak
+    # the top-n must plan as TakeOrdered, not a global sort exchange
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vocabulary(df, top_n=3).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+
 def test_contamination_ids_shingle_overlap(spark):
     from clear_map_data_pipeline_spark.operators.text import (
         contamination_ids,
