@@ -274,20 +274,25 @@ def window_export(t: Tables, window: str) -> DataFrame:
     composes the geometry-carrying variant): window select -> period
     rebase -> delta -> per-100k -> export schema.
 
-    Cutoff strategy: the max-date aggregate and the window filter both
-    consume the stats prefix, and Catalyst does not share the subplan —
-    unpinned, the prefix runs twice (the cutoff copy column-pruned to
-    the date lineage).  Pinning the prefix was originally measured
-    SLOWER at sf0.1 (3.8s vs 3.0s recompute) but re-measured faster
-    (2.9s vs 3.3s) once the tiny flags/shape frames were themselves
-    pinned — the pruned recompute still re-derives those inputs' full
-    branches.  Pinned is also the plan that scales: ONE materialization
-    of the prefix instead of a second fact-table scan + window stack,
-    exactly like the multi-window ``run_pipeline``.  cachereg releases
-    the pin when the next registry query builds."""
-    from ..cachereg import pin
+    Cutoff strategy: for the day-bounded windows the max-date aggregate
+    and the window filter both consume the stats prefix, and Catalyst
+    does not share the subplan — unpinned, the prefix runs twice (the
+    cutoff copy column-pruned to the date lineage).  Pinning the prefix
+    was originally measured SLOWER at sf0.1 (3.8s vs 3.0s recompute)
+    but re-measured faster (2.9s vs 3.3s) once the tiny flags/shape
+    frames were themselves pinned — the pruned recompute still
+    re-derives those inputs' full branches.  Pinned is also the plan
+    that scales: ONE materialization of the prefix instead of a second
+    fact-table scan + window stack, exactly like the multi-window
+    ``run_pipeline``.  The "all" window has no cutoff branch — its
+    single consumer would pay the materialization for nothing, so it
+    stays a straight pipeline.  cachereg releases the pin when the next
+    registry query builds."""
+    base = joined_stats_frame(t)
+    if WINDOWS[window] is not None:  # cutoff aggregate = second consumer
+        from ..cachereg import pin
 
-    base = pin(joined_stats_frame(t))
+        base = pin(base)
     return _export_frame(_window_frame(base, window))
 
 
