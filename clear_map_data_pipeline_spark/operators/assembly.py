@@ -150,6 +150,52 @@ def global_shuffle_index(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Overlapping-window chunking: split each document into windows of
+    ``chunk_size`` tokens starting every ``stride = chunk_size -
+    overlap`` tokens — the standard prep for embedding / retrieval
+    corpora, where overlap keeps boundary-straddling context retrievable.
+
+    One row per (doc, chunk): (id, chunk_idx, chunk_start, chunk_len);
+    the final chunk may be short.  Documents with zero tokens produce no
+    chunks.  Chunk count per doc is ``1 + (n - 1) DIV stride`` — every
+    token is covered (stride <= chunk_size) and chunk k starts at
+    ``k * stride``.
+
+    Scale: map-only — ``sequence`` + ``explode`` inside one projection,
+    zero shuffle at any corpus size; the row expansion factor is
+    ~``n_tokens / stride`` per document, the same multiplier the
+    downstream embedder pays by construction."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must be in [0, chunk_size)")
+    stride = chunk_size - overlap
+    n = F.col(tokens_col).cast("long")
+    idx = F.explode(
+        F.sequence(F.lit(0), ((n - 1) / F.lit(stride)).cast("long"))
+    ).alias("chunk_idx")
+    start = F.col("chunk_idx") * stride
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), n.alias(tokens_col), idx)
+        .select(
+            id_col,
+            "chunk_idx",
+            start.alias("chunk_start"),
+            F.least(F.lit(chunk_size), F.col(tokens_col) - start).alias(
+                "chunk_len"
+            ),
+        )
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     alpha: float,

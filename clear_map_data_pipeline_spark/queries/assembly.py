@@ -88,6 +88,40 @@ _MIX_SQL = f"""
     """
 
 
+CHUNK_SIZE = 128  # tokens per chunk
+CHUNK_OVERLAP = 32  # boundary context shared between neighbours
+
+
+def asm_chunk_documents(spark, sf_dir):
+    """Overlapping-window chunking of the documents table: 128-token
+    chunks every 96 tokens — map-only, zero shuffle (see
+    operators/assembly.py: chunk_documents)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", tx.token_count().alias("n_tokens"))
+    return asm.chunk_documents(
+        docs, chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+_CHUNK_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {_CHUNK_STRIDE} AS chunk_start,
+           least({CHUNK_SIZE},
+                 n_tokens - chunk_idx * {_CHUNK_STRIDE}) AS chunk_len
+    FROM (
+      SELECT doc_id, n_tokens,
+             unnest(range(0, ((n_tokens - 1) // {_CHUNK_STRIDE}) + 1))
+               AS chunk_idx
+      FROM tok WHERE n_tokens > 0
+    )
+    """
+
+
 def asm_global_shuffle_index(spark, sf_dir):
     """Deterministic corpus shuffle: 0-based global rank under
     ``ORDER BY md5(seed || doc_id), doc_id`` built from range partitions
@@ -129,11 +163,19 @@ register_suite(
             _SHUFFLE_SQL,
             [("doc_id", "s"), ("global_index", "s")],
         ),
+        SubQuery(
+            "asm_chunk_documents",
+            asm_chunk_documents,
+            _CHUNK_SQL,
+            [("doc_id", "s"), ("chunk_idx", "s"), ("chunk_start", "s"),
+             ("chunk_len", "s")],
+        ),
     ],
     doc="""Corpus-assembly suite: concat-and-chunk sequence packing
     (all-integer, one shard shuffle) + temperature-based domain mixing
     (broadcast rates, map-only corpus pass) + deterministic global
     shuffle index (range sort + offset arithmetic, no single-partition
-    window) — each hash-checked row-for-row against its DuckDB twin
-    inside the suite union.""",
+    window) + overlapping-window document chunking (map-only) — each
+    hash-checked row-for-row against its DuckDB twin inside the suite
+    union.""",
 )

@@ -114,6 +114,42 @@ def test_global_shuffle_index_plan(spark, sf_dir):
     release_all()
 
 
+def test_chunk_documents_layout_invariants(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "n_tokens")
+    n_by_id = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    rows = asm.chunk_documents(docs, chunk_size=64, overlap=16).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = 64 - 16
+    for doc_id, chunks in by_doc.items():
+        n = n_by_id[doc_id]
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # contiguous indices, correct starts, full coverage, valid lens
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["chunk_start"] == c["chunk_idx"] * stride
+            assert 1 <= c["chunk_len"] <= 64
+            assert c["chunk_start"] + c["chunk_len"] <= n
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_len"] == n  # covers the tail
+        assert len(chunks) == 1 + (n - 1) // stride
+    # zero-token docs produce nothing
+    zero_ids = {d for d, n in n_by_id.items() if n == 0}
+    assert zero_ids.isdisjoint(by_doc)
+
+
+def test_chunk_documents_validation_and_plan(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "n_tokens")
+    with pytest.raises(ValueError, match="chunk_size"):
+        asm.chunk_documents(docs, chunk_size=0)
+    with pytest.raises(ValueError, match="overlap"):
+        asm.chunk_documents(docs, chunk_size=8, overlap=8)
+    s = plan_summary(asm.chunk_documents(docs, chunk_size=64, overlap=16))
+    assert s["exchanges"] == 0  # map-only at any scale
+    assert s["python_eval"] == 0
+
+
 def test_temperature_mix_alpha_one_is_uniform(spark, sf_dir):
     out = asm.temperature_mix(
         Tables(spark, sf_dir).documents, alpha=1.0, target_frac=0.4
