@@ -103,10 +103,16 @@ def user_sessions_stream(
     gap_s: int = 1800,
     query_name: str = "user_sessions",
     watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drain the events backlog with AvailableNow through the stateful
     sessionizer; returns the materialized closed-session table
-    (user_id, session_start, session_end, n_events — epoch seconds)."""
+    (user_id, session_start, session_end, n_events — epoch seconds).
+
+    ``max_files_per_trigger`` splits the drain into multiple
+    microbatches (file-source batching also applies under AvailableNow)
+    — production streams arrive in many batches, and the late-merge /
+    timeout paths only exercise across batch boundaries."""
     normalize_parquet_confs(spark)
     if os.path.isfile(events_dir):
         staged = tempfile.mkdtemp(prefix="clearmap_stream_src_")
@@ -116,8 +122,11 @@ def user_sessions_stream(
         )
         events_dir = staged
     batch_schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
+        normalize_ts(reader.parquet(events_dir))
         .withWatermark("ts", watermark)
         .select("user_id", F.col("ts").cast("long").alias("ts_s"), "ts")
     )

@@ -280,6 +280,68 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir):
     assert all(c.startswith("cat_") for _, c in srows)
 
 
+def test_stateful_sessions_multibatch_late_events(spark, tmp_path):
+    """Out-of-order events arriving in a LATER microbatch (but above the
+    watermark) must extend the open session's bounds, never rewind them
+    — a rewound end fakes a gap for the next event and splits the
+    session.  Forces two microbatches via maxFilesPerTrigger=1."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from clear_map_data_pipeline_spark.streaming.sessions import (
+        user_sessions_stream,
+    )
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    base = int(ts(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    # batch A: user 1 open session [1000, 2000]; user 2 lone event
+    a_rows = [(1, ts(1000)), (1, ts(2000)), (2, ts(1000))]
+    # batch B: user 1 gets a LATE 1100 (within the 1800s watermark of
+    # max-seen 2000) then 2900 — with the end preserved at 2000 the gap
+    # to 2900 is 900 <= 1000 and the session stays whole; a rewound end
+    # (1100) would fake an 1800s gap and split it.  user 2 jumps past
+    # the gap -> genuine split.  user 99 anchors the final watermark.
+    b_rows = [(1, ts(1100)), (1, ts(2900)), (2, ts(4000)), (99, ts(6000))]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, rows, age in (("a", a_rows, 100), ("b", b_rows, 0)):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.move(part, dest)
+        now = dt.datetime.now().timestamp()
+        os.utime(dest, (now - age, now - age))
+
+    out = user_sessions_stream(
+        spark,
+        str(src),
+        gap_s=1000,
+        watermark="30 minutes",
+        query_name="t_sessions_late",
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    )
+    # user 1: ONE unbroken session including the late event; closed by
+    # event-time timeout once the anchor pushes the watermark past
+    # end+gap.  user 2: the pre-gap singleton closed by the split; the
+    # post-gap session (4000+1000 > final watermark 4200) stays open.
+    assert got == [
+        (1, base + 1000, base + 2900, 4),
+        (2, base + 1000, base + 1000, 1),
+    ]
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     """The watermarked stream-stream interval join must emit exactly the
     batch self-join's pairs (the backlog drains as one microbatch, so no
