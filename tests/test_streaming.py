@@ -392,6 +392,54 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert srows == brows
 
 
+def test_streaming_merge_sink_maintains_keyed_table(spark, tmp_path):
+    """Two CDC microbatches through the foreachBatch merge sink must
+    leave exactly the table a single batch merge of all changes would:
+    batch-2 updates override batch-1 inserts, deletes remove keys, and
+    each epoch publishes a new version directory."""
+    import glob
+    import os
+    import shutil
+
+    from clear_map_data_pipeline_spark.streaming.merge_sink import (
+        latest_version,
+        streaming_merge_sink,
+    )
+
+    schema = "user_id long, name string, version long, op string"
+    batch1 = [(1, "alice", 1, "I"), (2, "bob", 1, "I"), (3, "carol", 1, "I")]
+    batch2 = [(2, "bobby", 2, "U"), (3, None, 2, "D"), (4, "dave", 2, "I")]
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    for name, rows, age in (("a", batch1, 100), ("b", batch2, 0)):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.move(part, dest)
+        import datetime as dt
+
+        now = dt.datetime.now().timestamp()
+        os.utime(dest, (now - age, now - age))
+
+    table_root = str(tmp_path / "table")
+    final = streaming_merge_sink(
+        spark,
+        str(src),
+        table_root,
+        key="user_id",
+        query_name="t_merge_sink",
+        max_files_per_trigger=1,
+    )
+    got = sorted((r["user_id"], r["name"]) for r in final.collect())
+    assert got == [(1, "alice"), (2, "bobby"), (4, "dave")]
+    # two published versions (one per microbatch), readers resolve max
+    assert latest_version(table_root) is not None
+    versions = sorted(d for d in os.listdir(table_root) if d.startswith("v"))
+    assert len(versions) == 2
+
+
 def test_lsh_bands_rejects_nondivisible_params(spark):
     import pytest as _pytest
 
