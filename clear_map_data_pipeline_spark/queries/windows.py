@@ -33,7 +33,9 @@ rebased AS (
     WITH {MOH_DAILY_SQL},
     {_REBASED_SQL},
     {POP_DIM_SQL}
-    SELECT r.id, r.date, r.cases AS cases_adj, r.vaccine AS vaccine_adj,
+    SELECT r.id, r.date,
+           CAST(r.cases AS BIGINT) AS cases_adj,
+           CAST(r.vaccine AS BIGINT) AS vaccine_adj,
            CAST(coalesce(r.cases - lag(r.cases) OVER (PARTITION BY r.id ORDER BY r.date),
                          r.cases) AS BIGINT) AS delta,
            CAST(round(r.cases / p.pop * 100000) AS BIGINT) AS normalized

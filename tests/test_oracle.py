@@ -42,6 +42,69 @@ def _normalize(rows, cols):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+#: DuckDB output types that fetch as non-native Python representations
+#: (int128 -> object/float, Decimal -> decimal.Decimal).  The driver's
+#: order-insensitive hash is representation-sensitive, so any of these in
+#: an oracle result flips hash_match even when every value is equal —
+#: exactly how w1_rebase_censored shipped green locally and red in r02.
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_DUCK_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+}
+
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date",
+}
+
+
+def _type_family(type_str: str, table: dict) -> str:
+    t = type_str.strip()
+    up = t.upper() if table is _DUCK_FAMILY else t.lower()
+    if up in table:
+        return table[up]
+    low = t.lower()
+    if low.startswith("timestamp"):
+        return "timestamp"
+    if low.startswith(("array", "list")) or low.endswith("[]"):
+        return "list"
+    if low.startswith(("struct", "map", "row")):
+        return "struct"
+    return f"other:{low}"
+
+
+def _assert_oracle_types(name, sdf, rel):
+    """Fail on oracle output types the driver's hash cannot reconcile.
+
+    Two layers: (1) forbid DuckDB types whose Python representation
+    diverges from Spark's (HUGEINT/DECIMAL); (2) diff type *families*
+    per column name against the Spark schema, so an oracle emitting
+    DOUBLE where Spark emits BIGINT (or vice versa) fails locally
+    instead of in the driver's CORRECTNESS gate."""
+    duck_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    for col, dt in duck_types.items():
+        assert not any(bad in dt.upper() for bad in _FORBIDDEN_DUCK_TYPES), (
+            f"{name}.{col}: oracle emits {dt}; CAST it in the oracle SQL "
+            "(DuckDB widens sum(BIGINT) to HUGEINT, which hash-mismatches)"
+        )
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for col in spark_types:
+        if col not in duck_types:
+            continue  # column-name mismatch reported separately
+        sfam = _type_family(spark_types[col], _SPARK_FAMILY)
+        dfam = _type_family(duck_types[col], _DUCK_FAMILY)
+        assert sfam == dfam, (
+            f"{name}.{col}: type-family drift spark={spark_types[col]} "
+            f"({sfam}) vs oracle={duck_types[col]} ({dfam}) — align the "
+            "casts on both sides or the driver hash will flip"
+        )
+
+
 def _param_names():
     return sorted(load_all().keys())
 
@@ -57,6 +120,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
         assert len(spark_rows) > 0, f"{name}: rows-only check got 0 rows"
         return
     con = _duck(sf_dir)
+    _assert_oracle_types(name, sdf, con.sql(qd.sql))
     res = con.execute(qd.sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
