@@ -96,10 +96,19 @@ def main() -> None:
         IVF_KMEANS_PARAMS,
     )
 
-    recall = ivf_recall_at_k(
-        Tables(spark, sf_dir).embeddings, k=5, trained=True,
-        **IVF_KMEANS_PARAMS,
+    emb = Tables(spark, sf_dir).embeddings
+    recall = ivf_recall_at_k(emb, k=5, trained=True, **IVF_KMEANS_PARAMS)
+
+    # same discipline for the LSH path: recall of the registered
+    # bucketing vs the exact all-pairs baseline, plus the repetitions=4
+    # point so the recall/cost knob's effect is measured, not asserted
+    from clear_map_data_pipeline_spark.operators.similarity import (
+        lsh_recall_vs_exact,
     )
+    from clear_map_data_pipeline_spark.queries.similarity import DIM
+
+    lsh_recall_r1 = lsh_recall_vs_exact(emb, DIM, threshold=0.2)
+    lsh_recall_r4 = lsh_recall_vs_exact(emb, DIM, threshold=0.2, repetitions=4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -115,6 +124,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "ivf_kmeans_recall_at_5": round(recall, 3),
+                "ann_lsh_recall": round(lsh_recall_r1, 3),
+                "ann_lsh_recall_reps4": round(lsh_recall_r4, 3),
             }
         )
     )

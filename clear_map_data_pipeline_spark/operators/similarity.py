@@ -139,16 +139,7 @@ def cosine_topk(
 
 def lsh_bucket(vec_col_dbl: str, dim: int, num_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: bit j = (v · h_j) > 0."""
-    terms = []
-    for j in range(num_planes):
-        plane = hyperplane(j, dim)
-        arr = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + ")"
-        d = (
-            f"aggregate(zip_with({vec_col_dbl}, {arr}, (x, y) -> x * y),"
-            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END")
-    return F.expr(" + ".join(terms)).cast("long")
+    return lsh_bucket_offset(vec_col_dbl, dim, num_planes, 0)
 
 
 def _ivf_from_centroids(
@@ -158,6 +149,7 @@ def _ivf_from_centroids(
     query_mod: int,
     nprobe: int,
     k: int,
+    n_assign: int = 1,
 ) -> DataFrame:
     """The IVF index/probe core, shared by the deterministic-sample and
     KMeans-trained centroid variants.  ``v`` is (id, _v); ``cents`` is
@@ -169,7 +161,16 @@ def _ivf_from_centroids(
     vector x centroid cross product.  The candidate join shuffles on
     centroid_id, i.e. only the probed inverted lists move.  Assignment
     scores round to 8 decimals (tie-break: lower centroid id) so engine
-    and oracle argmax agree bit-for-bit."""
+    and oracle argmax agree bit-for-bit.
+
+    ``n_assign`` > 1 indexes every base vector into its top-n lists
+    (multi-assignment): the index grows n-fold but recall at a fixed
+    probe fraction rises, because a neighbour straddling a Voronoi
+    boundary is reachable from both sides.  The top-n agg is a
+    collect_list + sort + slice whose partial state is one
+    (score, cid) entry per centroid — the same size as the broadcast
+    centroid set every task already holds, so the shuffle stays one
+    bounded row per vector."""
     from pyspark.sql import Window
 
     scored = v.crossJoin(F.broadcast(cents)).select(
@@ -177,11 +178,32 @@ def _ivf_from_centroids(
         "cid",
         F.round(cosine(F.col("_v"), F.col("_c")), 8).alias("_cs"),
     )
-    assign = scored.groupBy(id_col).agg(
-        F.max_by("cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))).alias(
-            "cid"
+    if n_assign <= 1:
+        assign = scored.groupBy(id_col).agg(
+            F.max_by(
+                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))
+            ).alias("cid")
         )
-    )
+    else:
+        top = scored.groupBy(id_col).agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_cs"),
+                            (-F.col("cid")).alias("_t"),
+                            F.col("cid").alias("cid"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                n_assign,
+            ).alias("_top")
+        )
+        assign = top.select(
+            id_col, F.explode(F.col("_top.cid")).alias("cid")
+        )
     probe = (
         scored.filter(F.col(id_col) % query_mod == 0)
         .withColumn(
@@ -199,6 +221,11 @@ def _ivf_from_centroids(
         .filter(F.col("va") != F.col("vb"))
         .select("va", "vb")
     )
+    if n_assign > 1:
+        # A pair can meet in several shared lists; dedupe before scoring
+        # so row_number ranks distinct neighbours.  Bounded by the probed
+        # candidate set (queries x nprobe lists), not the corpus.
+        cand = cand.distinct()
     pairs = (
         cand.join(v.toDF("va", "_a"), "va")
         .join(v.toDF("vb", "_b"), "vb")
@@ -297,6 +324,7 @@ def ivf_topk_trained(
     nprobe: int = 2,
     k: int = 5,
     train_mod: int = 1,
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF top-k over KMeans-trained centroids: better-balanced inverted
     lists than the id-sample variant (higher recall at equal nprobe).
@@ -310,7 +338,9 @@ def ivf_topk_trained(
     cents = kmeans_centroids(
         df, id_col, vec_col, k_clusters, seed, train_mod=train_mod
     )
-    return _ivf_from_centroids(v, cents, id_col, query_mod, nprobe, k)
+    return _ivf_from_centroids(
+        v, cents, id_col, query_mod, nprobe, k, n_assign=n_assign
+    )
 
 
 def ivf_recall_at_k(
@@ -345,20 +375,100 @@ def ann_lsh_pairs(
     vec_col: str = "embedding",
     num_planes: int = 8,
     threshold: float = 0.2,
+    repetitions: int = 1,
 ) -> DataFrame:
     """Approximate near-neighbour pairs: exact cosine evaluated ONLY
     within LSH buckets.  Trades recall (bucket-boundary misses) for a
-    ~2^planes candidate reduction."""
-    v = _vectors(df, id_col, vec_col).withColumn(
-        "bucket", lsh_bucket("_v", dim, num_planes)
-    )
-    a = v.select(F.col(id_col).alias("va"), F.col("_v").alias("_a"), "bucket")
-    b = v.select(F.col(id_col).alias("vb"), F.col("_v").alias("_b"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("va") < F.col("vb"))
-        .select(
-            "va", "vb", F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim")
+    ~2^planes candidate reduction.
+
+    ``repetitions`` is the recall/cost knob (the LSH analogue of IVF
+    nprobe): r independent plane-sets (plane indices offset by
+    r*num_planes) each bucket the corpus; a true pair is missed only if
+    EVERY plane-set splits it, so miss probability decays geometrically
+    in r while candidate volume grows ~linearly.  Buckets from
+    different repetitions are disjoint join keys (rep index folded into
+    the bucket id), and candidates met in several repetitions are
+    deduped before scoring.  Still fully map-side bucketing + one
+    equi-join — the 100 TB shape is unchanged."""
+    v = _vectors(df, id_col, vec_col)
+    if repetitions <= 1:
+        v = v.withColumn("bucket", lsh_bucket("_v", dim, num_planes))
+        a = v.select(F.col(id_col).alias("va"), F.col("_v").alias("_a"), "bucket")
+        b = v.select(F.col(id_col).alias("vb"), F.col("_v").alias("_b"), "bucket")
+        return (
+            a.join(b, "bucket")
+            .filter(F.col("va") < F.col("vb"))
+            .select(
+                "va",
+                "vb",
+                F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        .filter(F.col("cos_sim") >= threshold)
+    buckets = F.array(
+        *[
+            (
+                lsh_bucket_offset("_v", dim, num_planes, r * num_planes)
+                + F.lit(r * (1 << num_planes))
+            )
+            for r in range(repetitions)
+        ]
     )
+    vb = v.withColumn("bucket", F.explode(buckets))
+    a = vb.select(F.col(id_col).alias("va"), "bucket")
+    b = vb.select(F.col(id_col).alias("vb"), "bucket")
+    cand = (
+        a.join(b, "bucket").filter(F.col("va") < F.col("vb")).select("va", "vb")
+    ).distinct()
+    pairs = (
+        cand.join(v.toDF("va", "_a"), "va")
+        .join(v.toDF("vb", "_b"), "vb")
+        .select(
+            "va",
+            "vb",
+            F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def lsh_bucket_offset(
+    vec_col_dbl: str, dim: int, num_planes: int, plane_offset: int
+) -> Column:
+    """lsh_bucket with the plane indices shifted — gives each LSH
+    repetition an independent deterministic plane-set."""
+    terms = []
+    for j in range(num_planes):
+        plane = hyperplane(plane_offset + j, dim)
+        arr = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_col_dbl}, {arr}, (x, y) -> x * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def lsh_recall_vs_exact(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    threshold: float = 0.2,
+    repetitions: int = 1,
+    max_rows: int | None = BASELINE_MAX_ROWS,
+) -> float:
+    """Recall of ann_lsh_pairs against the exact all-pairs baseline at
+    the same threshold: |LSH ∩ exact| / |exact|.  Baseline-guarded —
+    a recall measurement is itself an O(N²) operation."""
+    exact = cosine_pairs(df, id_col, vec_col, threshold, max_rows).select(
+        "va", "vb"
+    )
+    approx = ann_lsh_pairs(
+        df, dim, id_col, vec_col, num_planes, threshold, repetitions
+    ).select("va", "vb")
+    n_exact = exact.count()
+    if n_exact == 0:
+        return 0.0
+    return exact.join(approx, ["va", "vb"], "left_semi").count() / n_exact
