@@ -185,6 +185,260 @@ def merge_edge_adjacent(polys: list[list[Ring]]) -> list[Ring] | None:
     return rings or None
 
 
+_EPS = 1e-9
+_SNAP = 1e-7  # vertex-snap tolerance for computed intersection points
+
+
+def _open_ring(ring: Ring) -> Ring:
+    return ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else list(ring)
+
+
+def _signed_area(ring: Ring) -> float:
+    r = _open_ring(ring)
+    s = 0.0
+    n = len(r)
+    for i in range(n):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def _snap_pt(pt: tuple[float, float]) -> tuple[float, float]:
+    return (round(pt[0], 9), round(pt[1], 9))
+
+
+def _on_seg(pt, a, b, tol=_SNAP) -> bool:
+    (px, py), (ax, ay), (bx, by) = pt, a, b
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 <= tol * tol:
+        return abs(px - ax) <= tol and abs(py - ay) <= tol
+    cross = dx * (py - ay) - dy * (px - ax)
+    if cross * cross > tol * tol * L2:  # distance to line > tol
+        return False
+    t = ((px - ax) * dx + (py - ay) * dy) / L2
+    return -tol <= t <= 1 + tol
+
+
+def _pt_in_rings(pt, rings: list[Ring]) -> str:
+    """'boundary' | 'in' | 'out' by ray casting over ALL rings of one
+    polygon — hole rings flip the crossing parity, so holes are handled
+    for free."""
+    x, y = pt
+    inside = False
+    for ring in rings:
+        r = _open_ring(ring)
+        n = len(r)
+        for i in range(n):
+            a, b = r[i], r[(i + 1) % n]
+            if _on_seg(pt, a, b):
+                return "boundary"
+            (ax, ay), (bx, by) = a, b
+            if (ay > y) != (by > y):
+                xin = ax + (y - ay) * (bx - ax) / (by - ay)
+                if xin > x:
+                    inside = not inside
+    return "in" if inside else "out"
+
+
+def _edge_splits(a, b, c, d) -> list[tuple[float, tuple[float, float]]]:
+    """Points strictly interior to segment (a, b) where (c, d) crosses
+    or collinearly overlaps it, as (t-along-ab, point).
+
+    The crossing point is computed from a CANONICALIZED ordering of the
+    two segments (endpoint-sorted), so when the roles of (a,b)/(c,d)
+    are swapped the resulting float is bitwise identical — both
+    polygons split at the same vertex and ring stitching never sees
+    near-duplicate coordinates.  Computed points additionally snap to
+    any input endpoint within tolerance (T-junction case)."""
+    (ax, ay), (bx, by) = a, b
+    (cx, cy), (dx, dy) = c, d
+    rX, rY = bx - ax, by - ay
+    sX, sY = dx - cx, dy - cy
+    denom = rX * sY - rY * sX
+    scale = max(1.0, abs(rX) + abs(rY), abs(sX) + abs(sY))
+    out: list[tuple[float, tuple[float, float]]] = []
+    qpX, qpY = cx - ax, cy - ay
+    if abs(denom) > _EPS * scale * scale:
+        t = (qpX * sY - qpY * sX) / denom
+        u = (qpX * rY - qpY * rX) / denom
+        if -_EPS <= t <= 1 + _EPS and -_EPS <= u <= 1 + _EPS:
+            s1, s2 = sorted([tuple(sorted((a, b))), tuple(sorted((c, d)))])
+            (x1, y1), (x2, y2) = s1
+            (x3, y3), (x4, y4) = s2
+            den2 = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+            if den2 == 0:
+                return out
+            det12 = x1 * y2 - y1 * x2
+            det34 = x3 * y4 - y3 * x4
+            px = (det12 * (x3 - x4) - (x1 - x2) * det34) / den2
+            py = (det12 * (y3 - y4) - (y1 - y2) * det34) / den2
+            pt = (px, py)
+            for q in (a, b, c, d):
+                if abs(px - q[0]) <= _SNAP and abs(py - q[1]) <= _SNAP:
+                    pt = q
+                    break
+            pt = _snap_pt(pt)
+            L2 = rX * rX + rY * rY
+            tt = ((pt[0] - ax) * rX + (pt[1] - ay) * rY) / L2
+            if _EPS < tt < 1 - _EPS and pt != a and pt != b:
+                out.append((tt, pt))
+    elif abs(qpX * rY - qpY * rX) <= _EPS * scale * scale:
+        # collinear: the other segment's endpoints subdivide (a, b)
+        L2 = rX * rX + rY * rY
+        if L2 > 0:
+            for q in (c, d):
+                tt = ((q[0] - ax) * rX + (q[1] - ay) * rY) / L2
+                if _EPS < tt < 1 - _EPS and q != a and q != b:
+                    out.append((tt, q))
+    return out
+
+
+def polygon_union(
+    polys: list[list[Ring]],
+) -> list[list[Ring]] | None:
+    """Exact union of possibly interior-overlapping polygons, pure
+    Python — the clipping step the reference gets from shapely's
+    ``unary_union`` (il_analysis_git.py:97-101).
+
+    Arrangement-based boundary trace: (1) orient outer rings CCW and
+    holes CW; (2) split every edge at its intersections with the other
+    polygons' edges (canonical crossing points — see _edge_splits);
+    (3) drop sub-edges whose midpoint lies strictly inside another
+    polygon; (4) cancel opposite directed duplicates (shared
+    boundaries) and collapse stacked same-direction copies; (5) stitch
+    the surviving directed edges into closed rings, taking the leftmost
+    turn at multi-out vertices (pinch points); (6) classify rings by
+    signed area (CCW outer / CW hole) and nest holes into their
+    smallest containing outer.
+
+    Returns a list of polygons (each ``[outer, *holes]``), or ``None``
+    when the input is outside the certifiable class (degenerate rings,
+    open chains after cancellation) — callers fall back to the hull
+    branch.  O(E²) per call: intended for per-group dissolve payloads
+    (a city's polygons), where E is tiny; the 100 TB parallelism comes
+    from the groupBy around it, not from within."""
+    import math
+
+    norm: list[list[Ring]] = []
+    for p in polys:
+        rings: list[Ring] = []
+        for i, ring in enumerate(p):
+            r = [_snap_pt(pt) for pt in _open_ring(ring)]
+            dedup = [pt for k, pt in enumerate(r) if pt != r[k - 1]]
+            if len(dedup) < 3:
+                return None
+            area = _signed_area(dedup + [dedup[0]])
+            if abs(area) <= _EPS:
+                return None
+            if (area > 0) != (i == 0):  # outer CCW, holes CW
+                dedup = list(reversed(dedup))
+            rings.append(dedup)
+        if not rings:
+            return None
+        norm.append(rings)
+
+    from collections import Counter
+
+    edges: Counter = Counter()
+    for pi, rings in enumerate(norm):
+        others = [norm[qi] for qi in range(len(norm)) if qi != pi]
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                a, b = ring[i], ring[(i + 1) % n]
+                cuts: list[tuple[float, tuple[float, float]]] = []
+                for orings in others:
+                    for oring in orings:
+                        m = len(oring)
+                        for j in range(m):
+                            cuts.extend(
+                                _edge_splits(a, b, oring[j], oring[(j + 1) % m])
+                            )
+                pts = [a] + [pt for _, pt in sorted(cuts)] + [b]
+                for u, v in zip(pts, pts[1:]):
+                    if u == v:
+                        continue
+                    mid = ((u[0] + v[0]) / 2, (u[1] + v[1]) / 2)
+                    if any(
+                        _pt_in_rings(mid, orings) == "in" for orings in others
+                    ):
+                        continue
+                    edges[(u, v)] += 1
+
+    out_map: dict[tuple[float, float], set] = {}
+    for (a, b), cnt in edges.items():
+        if cnt - min(cnt, edges.get((b, a), 0)) >= 1:
+            out_map.setdefault(a, set()).add(b)
+
+    unused = {a: set(bs) for a, bs in out_map.items()}
+
+    def take(a, b):
+        unused[a].discard(b)
+        if not unused[a]:
+            del unused[a]
+
+    rings_out: list[Ring] = []
+    while unused:
+        start = min(unused)
+        first = min(unused[start])
+        take(start, first)
+        ring = [start, first]
+        prev, cur = start, first
+        while cur != start:
+            cands = unused.get(cur)
+            if not cands:
+                return None  # open chain
+            if len(cands) == 1:
+                nxt = next(iter(cands))
+            else:
+                din = math.atan2(cur[1] - prev[1], cur[0] - prev[0])
+
+                def turn(c):
+                    ang = math.atan2(c[1] - cur[1], c[0] - cur[0]) - din
+                    while ang <= -math.pi:
+                        ang += 2 * math.pi
+                    while ang > math.pi:
+                        ang -= 2 * math.pi
+                    return ang
+
+                nxt = max(cands, key=lambda c: (turn(c), c))
+            take(cur, nxt)
+            ring.append(nxt)
+            prev, cur = cur, nxt
+        if len(ring) >= 4:  # closed triangle minimum
+            rings_out.append(ring)
+
+    return rings_to_polygons(rings_out)
+
+
+def rings_to_polygons(rings: list[Ring]) -> list[list[Ring]] | None:
+    """Classify stitched rings by winding (CCW outer / CW hole) and
+    nest each hole into its smallest containing outer."""
+    outers: list[Ring] = []
+    holes: list[Ring] = []
+    for ring in rings:
+        a = _signed_area(ring)
+        if abs(a) <= _EPS:
+            continue
+        (outers if a > 0 else holes).append(ring)
+    if not outers:
+        return None
+    result: list[list[Ring]] = [[o] for o in outers]
+    for h in holes:
+        best, best_area = None, None
+        for idx, o in enumerate(outers):
+            if _pt_in_rings(h[0], [o]) != "out":
+                ar = abs(_signed_area(o))
+                if best is None or ar < best_area:
+                    best, best_area = idx, ar
+        if best is None:
+            return None
+        result[best].append(h)
+    return result
+
+
 def union_dissolve(wkts: list[str]) -> str:
     """B1+B3 (ref :97-101): union a city's polygons; if the union is a
     MultiPolygon, take its convex hull (exact, monotone chain);
@@ -201,16 +455,28 @@ def union_dissolve(wkts: list[str]) -> str:
     if len(polys) == 1:
         return polygon_wkt(polys[0])
     # edge-adjacent polygons (touching along complete shared edges)
-    # merge to ONE ring -> a true single-Polygon union, matching the
-    # reference's `unary_union` non-MultiPolygon branch
+    # merge exactly via directed edge cancellation — the cheap path for
+    # grid/tile adjacency; one CCW ring (plus CW holes, e.g. a ring of
+    # tiles enclosing an empty middle) is a single-Polygon union,
+    # matching the reference's `unary_union` non-MultiPolygon branch
     merged = merge_edge_adjacent(polys)
-    if merged is not None and len(merged) == 1:
-        return polygon_wkt(merged)
-    # still >1 component (or outside the edge-adjacency class) ->
-    # MultiPolygon -> the reference's convex-hull branch.  hull(union)
-    # == hull(all points), so the fallback is exact for that branch;
-    # only overlapping-interior unions (needing real clipping) diverge
-    # — those require shapely/Sedona.
+    if merged is not None:
+        if len(merged) == 1:
+            return polygon_wkt(merged)
+        classified = rings_to_polygons(merged)
+        if classified is not None and len(classified) == 1:
+            return polygon_wkt(classified[0])
+    # >1 ring from the merge does NOT imply disjoint — polygons that
+    # overlap without sharing directed edges survive cancellation as
+    # separate rings.  Real clipping via the arrangement-based boundary
+    # trace decides: one component -> exact union Polygon (what shapely
+    # unary_union returns), several -> genuine MultiPolygon.
+    clipped = polygon_union(polys)
+    if clipped is not None and len(clipped) == 1:
+        return polygon_wkt(clipped[0])
+    # genuinely >1 disjoint component (or outside both certifiable
+    # classes) -> MultiPolygon -> the reference's convex-hull branch.
+    # hull(union) == hull(all points), so the fallback is exact there.
     pts = [pt for p in polys for r in p for pt in r]
     return polygon_wkt([convex_hull(pts)])
 

@@ -97,3 +97,49 @@ def test_union_boundary_edges_match_tile_edge_cancellation(data):
         for a, b in zip(ring, ring[1:]):
             got.add(frozenset((a, b)))
     assert got == expected
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_polygon_union_membership_property(data):
+    """For ANY pile of random axis-aligned rectangles (overlapping,
+    nested, adjacent, disjoint): when polygon_union certifies a result,
+    point-in-union == point-in-any-input on a sample grid, and total
+    area (shoelace, holes negative) == inclusion-exclusion area of the
+    rectangle arrangement measured on the same lattice."""
+    from clear_map_data_pipeline_spark.operators.spatial import (
+        _pt_in_rings,
+        _signed_area,
+        polygon_union,
+    )
+
+    n = data.draw(st.integers(min_value=2, max_value=4))
+    rects = []
+    for _ in range(n):
+        x0 = data.draw(st.integers(min_value=0, max_value=6))
+        y0 = data.draw(st.integers(min_value=0, max_value=6))
+        w = data.draw(st.integers(min_value=1, max_value=4))
+        h = data.draw(st.integers(min_value=1, max_value=4))
+        rects.append(
+            [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]]
+        )
+    u = polygon_union(rects)
+    if u is None:
+        return  # outside the certifiable class — caller falls back
+    # membership equivalence on an off-lattice grid (avoids boundaries)
+    for i in range(23):
+        for j in range(23):
+            p = (i * 0.5 - 0.263, j * 0.5 - 0.281)
+            want = any(_pt_in_rings(p, r) != "out" for r in rects)
+            got = any(_pt_in_rings(p, poly) != "out" for poly in u)
+            assert want == got, (p, rects)
+    # area identity: sum of signed ring areas (outer +, holes -)
+    got_area = sum(_signed_area(ring) for poly in u for ring in poly)
+    # inclusion-exclusion via unit-cell counting (all coords integral)
+    cells = {
+        (cx + 0.5, cy + 0.5)
+        for cx in range(-1, 12)
+        for cy in range(-1, 12)
+        if any(_pt_in_rings((cx + 0.5, cy + 0.5), r) == "in" for r in rects)
+    }
+    assert abs(got_area - len(cells)) < 1e-6, (got_area, len(cells), rects)
