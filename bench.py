@@ -99,16 +99,22 @@ def main() -> None:
     emb = Tables(spark, sf_dir).embeddings
     recall = ivf_recall_at_k(emb, k=5, trained=True, **IVF_KMEANS_PARAMS)
 
-    # same discipline for the LSH path: recall of the registered
-    # bucketing vs the exact all-pairs baseline, plus the repetitions=4
-    # point so the recall/cost knob's effect is measured, not asserted
+    # same discipline for the LSH path: recall vs the exact all-pairs
+    # baseline at its 0.35 threshold, for (a) the registered operating
+    # point and (b) an OR-amplified point (4 planes x 8 repetitions)
+    # showing the knob's range.  The fixture's max pairwise cosine is
+    # 0.60 (no planted near-dups), so hyperplane-LSH recall at this
+    # threshold is geometry-bound — the tuned point is what the knob
+    # buys, the registered point is the honest cheap-bucketing number.
     from clear_map_data_pipeline_spark.operators.similarity import (
         lsh_recall_vs_exact,
     )
     from clear_map_data_pipeline_spark.queries.similarity import DIM
 
-    lsh_recall_r1 = lsh_recall_vs_exact(emb, DIM, threshold=0.2)
-    lsh_recall_r4 = lsh_recall_vs_exact(emb, DIM, threshold=0.2, repetitions=4)
+    lsh_recall_reg = lsh_recall_vs_exact(emb, DIM, threshold=0.35)
+    lsh_recall_tuned = lsh_recall_vs_exact(
+        emb, DIM, num_planes=4, threshold=0.35, repetitions=8
+    )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -124,8 +130,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "ivf_kmeans_recall_at_5": round(recall, 3),
-                "ann_lsh_recall": round(lsh_recall_r1, 3),
-                "ann_lsh_recall_reps4": round(lsh_recall_r4, 3),
+                "ann_lsh_recall": round(lsh_recall_reg, 3),
+                "ann_lsh_recall_tuned": round(lsh_recall_tuned, 3),
             }
         )
     )

@@ -13,7 +13,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .windows import by_key_ordered, full_partition, rolling, unpartitioned
+from .windows import by_key_ordered, full_partition, rolling
 
 
 def last_value_ratio(
@@ -278,16 +278,25 @@ def daily_total_delta(
     """A14+W7 (ref :169): country-wide daily totals, first-differenced,
     first row falling back to its own total.
 
-    Partial (map-side) aggregation shrinks the frame to <= #dates rows
-    BEFORE the single-partition lag window — the unpartitioned window is
-    safe because it runs on the tiny aggregate, never the raw data.
-    """
+    Partial (map-side) aggregation shrinks the frame to <= #dates rows;
+    the diff then runs as sort_array + an indexed ``transform`` over ONE
+    collected array — same single-reducer cost as the former
+    unpartitioned lag window, but with no ``WindowExec: No Partition
+    Defined`` noise, so a genuine single-partition regression elsewhere
+    stays visible in the logs (VERDICT r02 task #5)."""
     totals = df.groupBy(date).agg(F.sum(value).alias("_total"))
-    w = unpartitioned(date)
-    return totals.select(
-        F.col(date),
-        F.coalesce(F.col("_total") - F.lag("_total").over(w), F.col("_total")).alias(out),
+    packed = totals.agg(
+        F.sort_array(F.collect_list(F.struct(date, "_total"))).alias("_a")
     )
+    return packed.select(
+        F.explode(
+            F.expr(
+                f"transform(_a, (x, i) -> struct(x.{date} AS {date}, "
+                f"CASE WHEN i = 0 THEN x._total "
+                f"ELSE x._total - _a[i-1]._total END AS {out}))"
+            )
+        ).alias("_s")
+    ).select("_s.*")
 
 
 def distinct_ordered_dates(df: DataFrame, date: str = "date") -> DataFrame:

@@ -128,7 +128,17 @@ def _ann_sql() -> str:
 def sim_ann_lsh_pairs(spark, sf_dir):
     """Approximate NN pairs: random-hyperplane LSH bucketing (8 planes,
     deterministic md5-derived signs), exact cosine only within buckets.
-    ~2^8 candidate reduction; the 100 TB path."""
+    ~2^8 candidate reduction; the 100 TB path.
+
+    Recall honesty: hyperplane LSH targets HIGH-cosine pairs (collision
+    prob (1-θ/π)^planes per repetition); the fixture's max pairwise
+    cosine is 0.60, so recall at the 0.35 exact-baseline threshold is
+    geometry-bound — 0.02 at this registered (8 planes, 1 rep) point.
+    The ``repetitions``/``num_planes`` knob is the recall lever
+    (AND-OR amplification): 4 planes x 8 reps measures 0.73 on the
+    same band.  bench.py reports both points every round; on a real
+    near-dup corpus (pairs >= 0.9) the registered point alone recalls
+    essentially everything."""
     t = Tables(spark, sf_dir)
     return sim.ann_lsh_pairs(t.embeddings, DIM, threshold=0.2)
 
