@@ -100,53 +100,57 @@ def global_shuffle_index(
 
     The naive formulation — ``row_number()`` over an unpartitioned
     window — serializes the entire corpus through ONE task.  This
-    builds the same rank distributed, the trick
-    ``quantile_vector_distributed`` uses, minus its second shuffle:
+    builds the same rank distributed, and — unlike a
+    repartitionByRange + monotonically_increasing_id formulation —
+    every step is a PURE FUNCTION of the row data, so a lost cache or
+    released pin can only recompute the same answer, never a different
+    permutation (the r02 ADVICE defect: sampled range boundaries +
+    materialization-dependent id stamps joined against stale offsets):
 
-    1. range-repartition + in-partition sort on ``(key, id)`` —
-       partitions hold disjoint, ordered key ranges (ONE corpus
-       shuffle);
-    2. ``monotonically_increasing_id`` stamps ``pid << 33 | local_row``
-       in the same stage as the sort — within-partition rank comes from
-       id arithmetic, NOT a second window exchange;
-    3. per-partition row counts (one driver collect of ``n_ranges``
-       scalars, never data) prefix-sum into partition offsets,
-       broadcast-joined back:  ``global_index = offset[pid] + local``.
+    1. the shuffle key is already ``md5(seed || id)`` — uniform by
+       construction — so range buckets need NO boundary sampling:
+       ``bucket = top-32-hash-bits * n_ranges >> 32`` is a
+       deterministic, balanced, data-independent expression;
+    2. ``row_number()`` over ``(bucket ORDER BY key, id)`` — one hash
+       shuffle on bucket + in-partition sort, the same exchange a
+       range-repartition would pay, each bucket far smaller than an
+       executor;
+    3. per-bucket row counts (one driver collect of ``n_ranges``
+       scalars, never data — and itself a deterministic aggregate)
+       prefix-sum into bucket offsets, broadcast-joined back:
+       ``global_index = offset[bucket] + rank``.
 
-    Memory per task is one range partition; the driver holds
-    ``n_ranges`` integers.  At 100 TB pick ``n_ranges`` so ranges are a
-    few hundred MB — the collect is still trivially small.
+    Memory per task is one bucket; the driver holds ``n_ranges``
+    integers.  At 100 TB pick ``n_ranges`` so buckets are a few
+    hundred MB — the collect is still trivially small.
 
-    The sorted frame is pinned (cachereg): the count pass and the
-    returned frame's action share one materialization, and the range
-    boundaries — sampled once — stay consistent between the two.
+    The keyed frame is pinned (cachereg) purely as an optimization —
+    the count pass and the returned frame's action share one scan;
+    correctness no longer depends on the pin's lifetime.
     """
     spark = df.sparkSession
     n_ranges = n_ranges or spark.sparkContext.defaultParallelism
     key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
-    ranged = pin(
-        df.select(F.col(id_col), key.alias("_k"))
-        .repartitionByRange(n_ranges, "_k", id_col)
-        .sortWithinPartitions("_k", id_col)
-        .withColumn("_mid", F.monotonically_increasing_id())
+    bucket = F.shiftright(
+        F.conv(F.substring("_k", 1, 8), 16, 10).cast("long") * n_ranges, 32
     )
-    pid = F.shiftright("_mid", 33)
+    keyed = pin(
+        df.select(F.col(id_col), key.alias("_k")).withColumn("_pid", bucket)
+    )
     counts = sorted(
         (r["_pid"], r["_c"])
-        for r in ranged.groupBy(pid.alias("_pid"))
-        .agg(F.count("*").alias("_c"))
-        .collect()
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
     )
     offsets, acc = [], 0
     for p, c in counts:
         offsets.append((p, acc))
         acc += c
     off_df = spark.createDataFrame(offsets, "_pid long, _off long")
-    local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    w = Window.partitionBy("_pid").orderBy("_k", id_col)
     return (
-        ranged.withColumn("_pid", pid)
+        keyed.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "_pid")
-        .select(id_col, (F.col("_off") + local).alias("global_index"))
+        .select(id_col, (F.col("_off") + F.col("_rn")).alias("global_index"))
     )
 
 

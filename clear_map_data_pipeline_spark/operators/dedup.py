@@ -114,8 +114,11 @@ def incremental_dedup(
     ``sources/bucketed``) and the join is zero-exchange on both sides;
     either way the traffic is 16-byte digests + ids, never text.  The
     asymmetry matters: ``batch`` is a day's crawl, ``seen`` is the
-    100 TB corpus — this plan shuffles at most digests of each, and the
-    anti-join's build side is the small batch.
+    100 TB corpus.  For a LEFT ANTI join the build side is the RIGHT
+    side (``seen``) — far too big to broadcast — so at scale the plan
+    is a sort-merge (or shuffled-hash) anti join on digests; the real
+    levers are that only 16-byte digests travel, and that a corpus
+    snapshot bucketed by digest eliminates its exchange entirely.
     """
     digests = batch.select(
         F.col(id_col), F.md5(F.col(text_col)).alias(digest_col)

@@ -32,36 +32,77 @@ def zorder_value(
     all of the columns at once, where a lexicographic sort prunes only
     its leading column.
 
-    Cost: one tiny min/max aggregate (1 row, broadcast back) + a static
-    per-row expression tree (shift/and/or — whole-stage codegen, no
-    UDF).  NULL normalizes to bucket 0; a constant column contributes
-    nothing (guarded against the max==min division).  ``bits *
-    len(cols)`` must fit a signed 64-bit key (<= 62).
+    Cost: one tiny min/max aggregate (1 row, collected and inlined as
+    literals — one corpus pass either way, and inlining beats a
+    crossJoin: the per-row expression stays a pure codegen tree) + a
+    static shift/and/or expression per row, no UDF.  NULL normalizes to
+    bucket 0; a constant column contributes nothing (guarded against
+    the max==min division).  ``bits * len(cols)`` must fit a signed
+    64-bit key (<= 62).
+
+    Column types are validated UP FRONT (r02 ADVICE): only orderable
+    scalar types participate — numerics/boolean directly, date via
+    day-number, timestamp via epoch micros.  A string (or other
+    non-castable) column would min/max to NULL and silently contribute
+    bucket 0 everywhere — clustering that looks successful but prunes
+    nothing; that now raises instead, as does an all-NULL column
+    (degenerate bounds) and an ``out`` name colliding with ``df``.
+
+    Note: triggers the bounds job eagerly — this is a maintenance
+    operator, not a composable transform.
     """
     if not cols:
         raise ValueError("zorder_value needs at least one column")
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must be <= 62")
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists in df")
+    types = dict(df.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    as_double: dict[str, Column] = {}
+    for c in cols:
+        dt = types.get(c)
+        if dt is None:
+            raise ValueError(f"zorder column {c!r} not in df")
+        if dt in numeric or dt.startswith("decimal"):
+            as_double[c] = F.col(c).cast("double")
+        elif dt == "boolean":
+            as_double[c] = F.col(c).cast("int").cast("double")
+        elif dt == "date":
+            as_double[c] = F.unix_date(F.col(c)).cast("double")
+        elif dt == "timestamp":
+            as_double[c] = F.unix_micros(F.col(c)).cast("double")
+        else:
+            raise ValueError(
+                f"zorder column {c!r} has unorderable type {dt}: only "
+                "numeric/boolean/date/timestamp columns can be Z-ordered"
+            )
     span = (1 << bits) - 1
-    bounds = df.agg(
+    row = df.agg(
         *[
             f
             for c in cols
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+                F.min(as_double[c]).alias(f"lo_{c}"),
+                F.max(as_double[c]).alias(f"hi_{c}"),
             )
         ]
-    )
-    scaled = df.crossJoin(F.broadcast(bounds))
+    ).collect()[0]
+    n_rows_known_empty = all(row[f"lo_{c}"] is None for c in cols)
     buckets: list[Column] = []
     for c in cols:
-        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
-        frac = (F.col(c).cast("double") - lo) / (hi - lo)
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None and not n_rows_known_empty:
+            raise ValueError(
+                f"zorder column {c!r} is entirely NULL: bounds are "
+                "degenerate and the column would not cluster anything"
+            )
+        if lo is None or hi <= lo:  # empty input / constant column
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        frac = (as_double[c] - F.lit(lo)) / F.lit(hi - lo)
         buckets.append(
-            F.when(
-                hi > lo, F.floor(frac * span).cast("long")
-            ).otherwise(F.lit(0))
+            F.least(F.lit(span), F.floor(frac * span)).cast("long")
         )
     z = F.lit(0)
     for b in range(bits):
@@ -70,7 +111,7 @@ def zorder_value(
                 F.lit(1)
             )
             z = z + F.shiftleft(plane, b * len(buckets) + i)
-    return scaled.select(*df.columns, z.alias(out))
+    return df.select(*df.columns, z.alias(out))
 
 
 @dataclass

@@ -32,24 +32,38 @@ def merge_upsert(
     key: str,
     version_col: str = "version",
     op_col: str = "op",
+    keep_version: bool = False,
 ) -> DataFrame:
     """Apply ``changes`` (columns: base columns + version + op in
     {'I','U','D'}) onto ``base``; returns the merged table with base's
-    columns.
+    data columns (plus the winning per-key version when
+    ``keep_version``).
 
-    Latest version per key wins; delete wins remove the key.  Base rows
-    are treated as version 0 upserts, so unchanged keys pass through."""
-    cols = base.columns
-    b = base.select(*cols).withColumn(
-        version_col, F.lit(0).cast("long")
-    ).withColumn(op_col, F.lit("U"))
+    Latest version per key wins; delete wins remove the key.  If the
+    base carries a ``version_col`` it is used as each base row's
+    version (an incrementally-maintained table feeding its own state
+    back — see streaming/merge_sink.py); otherwise base rows are
+    version-0 upserts, so unchanged keys pass through.  Callers that
+    re-merge onto the output across batches MUST use
+    ``keep_version=True`` and publish the version, or a late
+    lower-version change in a later batch would beat a higher-version
+    value applied earlier (the base would have been reset to 0)."""
+    cols = [c for c in base.columns if c not in (version_col, op_col)]
+    base_ver = (
+        F.col(version_col).cast("long")
+        if version_col in base.columns
+        else F.lit(0).cast("long")
+    )
+    b = base.select(*cols, base_ver.alias(version_col)).withColumn(
+        op_col, F.lit("U")
+    )
     c = changes.select(*cols, F.col(version_col).cast("long"), F.col(op_col))
     w = Window.partitionBy(key).orderBy(
         F.col(version_col).desc(), F.col(op_col)
     )
-    return (
+    merged = (
         b.unionByName(c)
         .withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
-        .select(*cols)
     )
+    return merged.select(*cols, version_col) if keep_version else merged.select(*cols)

@@ -41,11 +41,16 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
 
 def normalize_parquet_confs(spark: SparkSession) -> None:
     """Runtime SQL confs every parquet read path needs (see ``Tables``):
-    nano-timestamp fixtures read as long, and TIMESTAMP_NTZ inference
-    off so naive-UTC fixture timestamps scan as plain TimestampType
-    (parity with the DuckDB oracle and with epoch-seconds casts)."""
+    nano-timestamp fixtures read as long, TIMESTAMP_NTZ inference off
+    so naive-UTC fixture timestamps scan as plain TimestampType, and
+    the session timezone pinned to UTC — all three are runtime-settable,
+    so date bucketing (``to_date``/``window('1 day')``) agrees with the
+    DuckDB naive-UTC oracle under ANY caller's session, not only ones
+    built by ``get_spark`` (r02 ADVICE: an embedding caller's local-zone
+    session would otherwise shift day boundaries)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def normalize_ts(df, col: str = "ts"):

@@ -8,6 +8,10 @@ readers always resolve the highest published version, so they never see
 a half-written table.  Batch retries are safe twice over: the epoch's
 directory is overwritten in place, and ``merge_upsert`` is idempotent
 for a replayed change set (highest version per key wins either way).
+The published table carries each key's winning ``version`` and feeds
+it back as the next batch's base, so highest-version-wins holds ACROSS
+microbatch boundaries too — change streams need not arrive per-key
+version-ordered.
 
 This is the file-system rendition of what a lakehouse table format does
 with a transaction log — the merge plan itself (one hash exchange on
@@ -66,7 +70,14 @@ def streaming_merge_sink(
             )
         else:
             base = spark.read.parquet(f"{table_root}/v{cur}")
-        merged = merge_upsert(base, batch_df, key, version_col, op_col)
+        # keep_version: the published table carries each key's winning
+        # version, and the next batch's base feeds it back — so a late
+        # LOWER-version change arriving in a later microbatch can no
+        # longer beat a higher-version value applied earlier (the r02
+        # ADVICE defect: the base was reset to version 0 every batch)
+        merged = merge_upsert(
+            base, batch_df, key, version_col, op_col, keep_version=True
+        )
         merged.write.mode("overwrite").parquet(
             f"{table_root}/v{epoch_id + 1}"
         )

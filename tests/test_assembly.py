@@ -92,14 +92,15 @@ def test_global_shuffle_index_plan(spark, sf_dir):
 
     df = asm.global_shuffle_index(Tables(spark, sf_dir).documents, seed=17)
     s = plan_summary(df)
-    # the corpus moves through the RANGE exchange inside the pinned sort
-    # and nothing else: offsets come back as a broadcast join — no
-    # SortMergeJoin, no hash-partitioned corpus shuffle, no window at
-    # all.  (plan_summary counts the range exchange twice: once in the
-    # live lineage and once replayed inside the InMemoryRelation's
-    # stored plan — a single materialization executes it once.)
+    # the corpus moves through ONE hash exchange on the deterministic
+    # bucket column feeding the per-bucket row_number window; offsets
+    # come back as a broadcast join — no SortMergeJoin, no second
+    # corpus shuffle.  (plan_summary can count the bucket exchange
+    # twice: once in the live lineage and once replayed inside the
+    # InMemoryRelation's stored plan — a single materialization
+    # executes it once.)
     assert s["exchanges"] <= 2
-    assert s["windows"] == 0
+    assert s["windows"] == 1  # PARTITIONED by bucket — never global
     assert s["smj"] == 0 and s["bnlj"] == 0
     assert s["bcast_joins"] == 1
     assert s["python_eval"] == 0
@@ -107,8 +108,11 @@ def test_global_shuffle_index_plan(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "rangepartitioning" in plan
-    assert "hashpartitioning" not in plan
+    # the one corpus exchange is the hash shuffle on the deterministic
+    # bucket (no sampled rangepartitioning anywhere), and the window is
+    # partitioned on it — never a global window
+    assert "hashpartitioning(_pid" in plan
+    assert "rangepartitioning" not in plan
     from clear_map_data_pipeline_spark.cachereg import release_all
 
     release_all()
@@ -195,3 +199,23 @@ def test_temperature_mix_no_corpus_shuffle(spark, sf_dir):
     assert s["bcast_joins"] >= 1
     assert s["scans"] == 2
     assert s["python_eval"] == 0
+
+
+def test_global_shuffle_index_survives_pin_release(spark, sf_dir):
+    """The r02 ADVICE defect class: a consumer holding the returned
+    frame past the pin window.  Every step is now a pure function of
+    the data, so collecting the SAME frame again after release_all()
+    (forcing full recompute) must reproduce the identical permutation
+    — no duplicates, no gaps, no reshuffled ranks."""
+    from clear_map_data_pipeline_spark import cachereg
+    from clear_map_data_pipeline_spark.operators import assembly as asm
+    from clear_map_data_pipeline_spark.session import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    out = asm.global_shuffle_index(docs, seed=23, n_ranges=8)
+    first = sorted(map(tuple, out.collect()))
+    cachereg.release_all()  # drop the pin -> next action recomputes
+    second = sorted(map(tuple, out.collect()))
+    assert first == second
+    idxs = sorted(i for _, i in first)
+    assert idxs == list(range(len(first)))

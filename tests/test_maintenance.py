@@ -123,6 +123,28 @@ def test_zorder_value_validation(spark):
     zs = [z for _, z in by_a]
     assert zs == sorted(zs)  # monotone in the only varying column
 
+    # r02 ADVICE: unorderable / degenerate inputs must raise, not
+    # silently cluster nothing
+    sdf = df.withColumn("s", F.lit("text"))
+    with pytest.raises(ValueError, match="unorderable type"):
+        zorder_value(sdf, ["a", "s"])
+    with pytest.raises(ValueError, match="not in df"):
+        zorder_value(df, ["missing"])
+    with pytest.raises(ValueError, match="already exists"):
+        zorder_value(df.withColumn("_z", F.lit(1)), ["a"])
+    nulls = df.withColumn("n", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="entirely NULL"):
+        zorder_value(nulls, ["a", "n"])
+    # date columns are orderable via day-number
+    dated = df.select(
+        "a", F.date_add(F.lit("2024-01-01").cast("date"), F.col("a").cast("int")).alias("d")
+    )
+    drows = sorted(
+        (r["a"], r["_z"]) for r in zorder_value(dated, ["d"], bits=8).collect()
+    )
+    dzs = [z for _, z in drows]
+    assert dzs == sorted(dzs)
+
 
 def test_compact_with_clustering_orders_within_files(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F

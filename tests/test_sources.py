@@ -176,3 +176,17 @@ def test_sql_surface_via_views(spark, sf_dir):
         """
     ).collect()
     assert len(got) == 3 and all(r["n"] > 0 for r in got)
+
+
+def test_normalize_parquet_confs_pins_utc(spark):
+    """r02 ADVICE: an embedding caller's non-UTC session must not shift
+    to_date()/window('1 day') bucketing relative to the naive-UTC
+    oracle — normalize_parquet_confs pins the session timezone too."""
+    from clear_map_data_pipeline_spark.session import normalize_parquet_confs
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Jerusalem")
+    try:
+        normalize_parquet_confs(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -450,3 +450,44 @@ def test_lsh_bands_rejects_nondivisible_params(spark):
     )
     with _pytest.raises(ValueError, match="divisible"):
         lsh_bands(sigs, num_hashes=3, bands=2)
+
+
+def test_streaming_merge_sink_late_lower_version_loses(spark, tmp_path):
+    """Cross-batch version ordering (r02 ADVICE): a LOWER-version change
+    arriving in a LATER microbatch must not beat the higher-version
+    value already applied — the published table persists per-key
+    versions and feeds them back as the next base."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from clear_map_data_pipeline_spark.streaming.merge_sink import (
+        streaming_merge_sink,
+    )
+
+    schema = "user_id long, name string, version long, op string"
+    batch1 = [(1, "alice_v3", 3, "U"), (2, "bob_v2", 2, "U")]
+    batch2 = [(1, "alice_v1_late", 1, "U"), (2, "bob_v4", 4, "U")]
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    for name, rows, age in (("a", batch1, 100), ("b", batch2, 0)):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.move(part, dest)
+        now = dt.datetime.now().timestamp()
+        os.utime(dest, (now - age, now - age))
+
+    final = streaming_merge_sink(
+        spark,
+        str(src),
+        str(tmp_path / "table"),
+        key="user_id",
+        query_name="t_merge_sink_late",
+        max_files_per_trigger=1,
+    )
+    got = {r["user_id"]: (r["name"], r["version"]) for r in final.collect()}
+    assert got == {1: ("alice_v3", 3), 2: ("bob_v4", 4)}, got
