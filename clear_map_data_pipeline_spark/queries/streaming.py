@@ -1,6 +1,19 @@
-"""Streaming query registration (rows-only check: Structured Streaming
-state is not SQL-expressible for the DuckDB oracle; tests assert the
-batch-equivalence separately in tests/test_streaming.py)."""
+"""Streaming query registration.
+
+Three of the four entries carry a DuckDB oracle twin (VERDICT r02 task
+#7): their drained output is a deterministic function of the fixture —
+closed daily windows under an AvailableNow drain — so the batch SQL
+over the same events table is an exact twin and the driver hash-checks
+the streaming semantics end-to-end.  The closed-window predicate
+mirrors Structured Streaming's append-mode rule: a window is emitted
+iff ``window_end <= watermark`` where the final watermark of the drain
+is ``max(ts) - <watermark interval>``.
+
+``st_user_sessions_stateful`` stays rows-only by contract: its
+applyInPandasWithState timeout semantics have no faithful single-query
+SQL twin (the batch equivalence is proven in tests/test_streaming.py
+across real microbatch boundaries instead).
+"""
 
 from __future__ import annotations
 
@@ -12,34 +25,65 @@ from ..streaming.dedup import deduped_ingest_stream, stage_backlog
 from ..streaming.export import export_daily_partitions
 from ..streaming.sessions import user_sessions_stream
 
+# Closed daily windows over events: totals per (date, event_type),
+# keeping only windows whose end (date + 1 day) is at or before the
+# drain's final watermark (max ts - 1 day) — i.e. date + 2 days <= max.
+_CLOSED_DAILY_TOTALS_SQL = """
+    WITH wm AS (SELECT max(ts) AS mx FROM events),
+    d AS (
+      SELECT CAST(ts AS DATE) AS date, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date, event_type, n_events, sum_value
+    FROM d, wm
+    WHERE CAST(date AS TIMESTAMP) + INTERVAL 2 DAY <= wm.mx
+"""
 
-@register("st_daily_totals_incremental")
+
+@register("st_daily_totals_incremental", sql=_CLOSED_DAILY_TOTALS_SQL)
 def st_daily_totals_incremental(spark, sf_dir):
     """Incremental daily totals: readStream(parquet) -> 1-day watermark
     -> daily windowed agg -> AvailableNow drain -> memory sink.  The
-    streaming twin of A14; closed windows only (append mode)."""
+    streaming twin of A14; closed windows only (append mode).  The
+    oracle computes the same closed-window totals in batch SQL, so the
+    driver hash-checks the watermark/append semantics, not just a row
+    count."""
     return daily_totals_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_daily_totals_q"
     )
 
 
-@register("st_stream_dedup_exactly_once")
+@register("st_stream_dedup_exactly_once", sql=_CLOSED_DAILY_TOTALS_SQL)
 def st_stream_dedup_exactly_once(spark, sf_dir):
     """Exactly-once ingest over an at-least-once source: the backlog is
     staged DOUBLED (every file delivered twice) and
     dropDuplicatesWithinWatermark(event_id) collapses re-deliveries with
-    event-time-bounded state; totals equal the single-copy batch
-    answer (asserted in tests/test_streaming.py)."""
+    event-time-bounded state.  The oracle is the SINGLE-copy batch
+    answer — hash equality IS the exactly-once proof: any re-delivered
+    row surviving dedup would flip the totals."""
     doubled = stage_backlog(f"{sf_dir}/events.parquet", copies=2)
     return deduped_ingest_stream(spark, doubled, query_name="st_dedup_q")
 
 
-@register("st_incremental_export")
+@register(
+    "st_incremental_export",
+    sql="""
+    SELECT CAST(ts AS DATE) AS date, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def st_incremental_export(spark, sf_dir):
     """Streaming export: foreachBatch + dynamic partition overwrite
     writes per-day totals as a date-partitioned parquet dataset,
     rewriting only touched partitions (idempotent MERGE pattern for
-    plain parquet).  Returns the dataset read back."""
+    plain parquet).  Returns the dataset read back; update mode carries
+    every date, so the oracle is the full batch daily-totals table —
+    the hash check covers the write-path roundtrip (partition values,
+    types, rounding) as well as the aggregation."""
     out = tempfile.mkdtemp(prefix="clearmap_export_out_") + "/daily"
     export_daily_partitions(
         spark, f"{sf_dir}/events.parquet", out, query_name="st_export_q"
@@ -52,7 +96,10 @@ def st_user_sessions_stateful(spark, sf_dir):
     """Custom stateful sessionization (applyInPandasWithState): per-user
     GroupState carries the open session across microbatches; sessions
     emit when closed by a later event or by event-time timeout.  The
-    streaming twin of j_sessionization (closed sessions only)."""
+    streaming twin of j_sessionization (closed sessions only).
+    Rows-only by contract — GroupState timeout semantics have no
+    faithful single-query SQL twin; batch equivalence is proven across
+    real microbatch boundaries in tests/test_streaming.py."""
     return user_sessions_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_user_sessions_q"
     )
