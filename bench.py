@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pipeline_export_all",
     "w1_rebase_censored",
-    "tpch_q1_pricing_summary",
+    "suite_tpch",
     "j1_broadcast_join_revenue",
     "a13_quantile_vector",
     "a11_last_value_ratio",
@@ -41,7 +41,6 @@ HEADLINE = [
     "sim_ivf_kmeans_topk",
     "st_daily_totals_incremental",
     "dd_lsh_clusters",
-    "tpch_q3_shipping_priority",
     "suite_corpus_assembly",
 ]
 

@@ -67,6 +67,47 @@ def vocabulary(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by TF-IDF — the classic
+    keyword/relevance scoring a corpus pipeline uses for topic tagging
+    and quality filtering.  tfidf = tf * ln(N / df), rounded to 4
+    decimals BEFORE ranking so the rank tie-break (token asc) is
+    engine-stable.
+
+    Scale shape: explode -> (doc, token) counts with map-side combine;
+    document frequencies aggregate the already-distinct (doc, token)
+    pairs, so the df pass shuffles vocabulary-sized data; the corpus
+    row count N rides in as a broadcast 1-row aggregate; the tf⋈df
+    join keys on token (AQE picks broadcast when the vocabulary fits,
+    shuffled-hash otherwise); ranking windows per doc_id.  No
+    driver-side loops, no UDFs."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "token", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def stopword_ratio(col: str = "text", lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang`` (0 if no tokens)."""
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])

@@ -156,6 +156,34 @@ _VOCAB_SQL = f"""
     """
 
 
+TFIDF_TOP_N = 3
+
+
+def tx_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-3 terms by TF-IDF (tf * ln(N/df), rounded before
+    ranking; token asc tie-break) — see operators/text.py:
+    tfidf_top_terms for the scale shape."""
+    t = Tables(spark, sf_dir)
+    return tx.tfidf_top_terms(t.documents, top_n=TFIDF_TOP_N)
+
+
+_TFIDF_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+    scored AS (
+      SELECT doc_id, token, round(tf * ln(_n / df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token) AS rn FROM scored)
+    WHERE rn <= {TFIDF_TOP_N}
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -180,10 +208,17 @@ register_suite(
             _VOCAB_SQL,
             [("token", "s"), ("n", "s")],
         ),
+        SubQuery(
+            "tx_tfidf_topterms",
+            tx_tfidf_topterms,
+            _TFIDF_SQL,
+            [("doc_id", "s"), ("token", "s"), ("tfidf", "d4"), ("rank", "s")],
+        ),
     ],
     doc="Token-accounting suite: whitespace/BPE-ish token counts + "
-    "rolling-hash document fingerprints + top-N corpus vocabulary, "
-    "each oracle-checked row-for-row inside the union.",
+    "rolling-hash document fingerprints + top-N corpus vocabulary + "
+    "per-doc TF-IDF top terms, each oracle-checked row-for-row inside "
+    "the union.",
 )
 
 

@@ -1,8 +1,12 @@
-"""Extra TPC-H shapes beyond the registered q1/q3 — oracle-verified via
-``tests/test_tpch_extra.py`` (the driver registry is capped at 50
-entries, COVERAGE.md "driver cap", so these ship with the same
-Spark-vs-DuckDB hash check run by pytest instead of a registry slot).
+"""TPC-H query shapes, folded into ONE registered suite (r03): q1, q3,
+q5, q6 each hash-check their full result set inside ``suite_tpch``
+against the canonicalized UNION of their DuckDB twins — 4 driver-green
+queries for one registry slot (the r02 layout spent 2 slots on q1/q3
+and left q5/q6 tests-only).
 
+- Q1 (pricing summary): the headline scan+agg benchmark.
+- Q3 (shipping priority): selective dim -> fact-fact join -> global
+  top-k via TakeOrderedAndProject.
 - Q5 (local supplier volume): the six-table join with a CYCLE in the
   join graph (customer and supplier must share a nation) — the shape
   that stresses join ordering.  All four dimension sides broadcast;
@@ -106,3 +110,59 @@ EXTRA: dict[str, QueryDef] = {
     ),
     "tpch_q6_forecast_revenue": QueryDef(tpch_q6_forecast_revenue, TPCH_Q6_SQL),
 }
+
+
+def _register_suite() -> None:
+    from .core import TPCH_Q1_SQL, tpch_q1_pricing_summary
+    from .joins import TPCH_Q3_SQL, tpch_q3_shipping_priority
+    from .suites import SubQuery, register_suite
+
+    register_suite(
+        "suite_tpch",
+        [
+            SubQuery(
+                "tpch_q1_pricing_summary",
+                tpch_q1_pricing_summary,
+                TPCH_Q1_SQL,
+                [
+                    ("l_returnflag", "s"),
+                    ("l_linestatus", "s"),
+                    ("sum_qty", "d2"),
+                    ("sum_base_price", "d2"),
+                    ("sum_disc_price", "d2"),
+                    ("avg_qty", "d4"),
+                    ("avg_price", "d2"),
+                    ("count_order", "s"),
+                ],
+            ),
+            SubQuery(
+                "tpch_q3_shipping_priority",
+                tpch_q3_shipping_priority,
+                TPCH_Q3_SQL,
+                [
+                    ("l_orderkey", "s"),
+                    ("revenue", "d2"),
+                    ("o_orderdate", "s"),
+                    ("o_orderpriority", "s"),
+                ],
+            ),
+            SubQuery(
+                "tpch_q5_local_supplier_volume",
+                tpch_q5_local_supplier_volume,
+                TPCH_Q5_SQL,
+                [("n_name", "s"), ("revenue", "d2")],
+            ),
+            SubQuery(
+                "tpch_q6_forecast_revenue",
+                tpch_q6_forecast_revenue,
+                TPCH_Q6_SQL,
+                [("revenue", "d2"), ("n_items", "s")],
+            ),
+        ],
+        doc="Folded TPC-H suite: q1 scan+agg, q3 top-k join, q5 cyclic "
+        "six-table join, q6 pushdown scan — each sub-result hash-checked "
+        "row-for-row inside the union (one driver slot for four shapes).",
+    )
+
+
+_register_suite()

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QueryDef]:
             spatial,
             core,
             joins,
+            tpch_extra,
             olap,
             dedup,
             similarity,

@@ -190,11 +190,11 @@ def test_q3_topk_is_heap_not_sort(spark, sf_dir):
     # the global top-10 must compile to TakeOrderedAndProject
     # (per-partition heaps, driver merges 10 rows) — a full global Sort
     # would shuffle every group at 100 TB
-    from clear_map_data_pipeline_spark.registry import load_all
-
-    plan = _formatted_plan(
-        load_all()["tpch_q3_shipping_priority"].builder(spark, sf_dir)
+    from clear_map_data_pipeline_spark.queries.joins import (
+        tpch_q3_shipping_priority,
     )
+
+    plan = _formatted_plan(tpch_q3_shipping_priority(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     # filtered customer broadcasts; lineitem⋈orders may broadcast at
     # fixture scale, but nothing may fall back to nested-loop
