@@ -1,18 +1,16 @@
 """Streaming query registration.
 
-Three of the four entries carry a DuckDB oracle twin (VERDICT r02 task
-#7): their drained output is a deterministic function of the fixture —
-closed daily windows under an AvailableNow drain — so the batch SQL
-over the same events table is an exact twin and the driver hash-checks
-the streaming semantics end-to-end.  The closed-window predicate
-mirrors Structured Streaming's append-mode rule: a window is emitted
-iff ``window_end <= watermark`` where the final watermark of the drain
-is ``max(ts) - <watermark interval>``.
+ALL four entries carry a DuckDB oracle twin (VERDICT r02 task #7):
+their drained output is a deterministic function of the fixture, so
+batch SQL over the same events table is an exact twin and the driver
+hash-checks the streaming semantics end-to-end.  Two rules encode
+Structured Streaming's emission behavior in SQL:
 
-``st_user_sessions_stateful`` stays rows-only by contract: its
-applyInPandasWithState timeout semantics have no faithful single-query
-SQL twin (the batch equivalence is proven in tests/test_streaming.py
-across real microbatch boundaries instead).
+- append-mode windows: emitted iff ``window_end <= watermark``, where
+  the drain's final watermark is ``max(ts) - <delay>``;
+- EventTimeTimeout (stateful sessionizer): a trailing session emits
+  iff the final watermark strictly passes ``session_end + gap``
+  (compared at millisecond precision — the watermark's own clock).
 """
 
 from __future__ import annotations
@@ -91,15 +89,56 @@ def st_incremental_export(spark, sf_dir):
     return spark.read.parquet(out)
 
 
-@register("st_user_sessions_stateful")
+# Batch twin of the stateful sessionizer's drained output: gap-based
+# sessions (same 1800 s rule as j_sessionization, on truncated epoch
+# seconds — the stateful op's own clock), emitted iff closed by a later
+# event (not the user's last session) OR timed out (EventTimeTimeout
+# fires when the final watermark strictly passes the session's
+# end + gap; watermark = ms-truncated max event time minus the 30 min
+# delay, so the predicate compares at ms precision).
+_SESSIONS_SQL = """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ),
+    g AS (
+      SELECT user_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+    ),
+    sids AS (
+      SELECT user_id, ts_s,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid, min(ts_s) AS session_start,
+             max(ts_s) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sids GROUP BY 1, 2
+    ),
+    wm AS (SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) AS max_ms
+           FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid
+          FROM sess), wm
+    WHERE sid < max_sid OR (session_end + 3600) * 1000 < max_ms
+    """
+
+
+@register("st_user_sessions_stateful", sql=_SESSIONS_SQL)
 def st_user_sessions_stateful(spark, sf_dir):
     """Custom stateful sessionization (applyInPandasWithState): per-user
     GroupState carries the open session across microbatches; sessions
     emit when closed by a later event or by event-time timeout.  The
-    streaming twin of j_sessionization (closed sessions only).
-    Rows-only by contract — GroupState timeout semantics have no
-    faithful single-query SQL twin; batch equivalence is proven across
-    real microbatch boundaries in tests/test_streaming.py."""
+    streaming twin of j_sessionization.
+
+    The oracle (r03) reconstructs the drained output in batch SQL —
+    gap sessions plus the event-time-timeout rule at millisecond
+    precision — so ALL four streaming queries are now hash-checked;
+    the cross-microbatch late-merge behavior is additionally proven in
+    tests/test_streaming.py with forced multi-batch drains."""
     return user_sessions_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_user_sessions_q"
     )
