@@ -16,13 +16,17 @@ from ..session import Tables
 
 def _nation_squares(spark, sf_dir):
     """One disjoint unit square per nation at (3*(key%5), 3*(key//5));
-    region key as the dissolve group."""
+    region key as the dissolve group.  Coordinates render as integers
+    ("0 0", not "0.0 0.0") — the canonical `%g` form every WKT the
+    geometry operators emit uses, so encode/decode round-trips are
+    string-identical (r03 fix: the double-rendered input WKT made
+    roundtrip_ok false for every row, invisible to a rows-only check)."""
     t = Tables(spark, sf_dir)
     n = t.nation.select(
         "n_nationkey",
         "n_regionkey",
-        (F.col("n_nationkey") % 5 * 3).cast("double").alias("_x"),
-        (F.expr("n_nationkey DIV 5") * 3).cast("double").alias("_y"),
+        (F.col("n_nationkey") % 5 * 3).cast("long").alias("_x"),
+        (F.expr("n_nationkey DIV 5") * 3).cast("long").alias("_y"),
     )
     wkt = F.concat(
         F.lit("POLYGON (("),
@@ -72,9 +76,34 @@ def sp_geometry_suite(spark, sf_dir):
     return dis.unionByName(bnd)
 
 
-@register("sp_geojson_roundtrip")
+@register(
+    "sp_geojson_roundtrip",
+    sql="""
+    WITH n AS (
+      SELECT n_nationkey,
+             CAST(n_nationkey % 5 * 3 AS DOUBLE) AS x,
+             CAST((n_nationkey // 5) * 3 AS DOUBLE) AS y
+      FROM nation
+    )
+    SELECT n_nationkey,
+           concat('{"type": "Polygon", "coordinates": [[[', x, ', ', y,
+                  '], [', x + 1, ', ', y, '], [', x + 1, ', ', y + 1,
+                  '], [', x, ', ', y + 1, '], [', x, ', ', y, ']]]}')
+             AS geojson,
+           true AS roundtrip_ok
+    FROM n
+    """,
+)
 def sp_geojson_roundtrip(spark, sf_dir):
-    """B5 (ref :76,:173): WKT -> GeoJSON -> WKT round-trip fidelity."""
+    """B5 (ref :76,:173): WKT -> GeoJSON -> WKT round-trip fidelity.
+
+    SQL-checked since r03: the squares are synthesized from nation
+    keys, so the expected GeoJSON string is constructible in pure SQL
+    (json.dumps renders the parsed coordinates as N.0 doubles; DuckDB's
+    double-to-varchar matches) and roundtrip_ok must be TRUE — the
+    hash now proves both the encoder's exact output and the decoder's
+    identity, where the old rows-only check silently tolerated
+    roundtrip_ok=false (caught while writing this oracle)."""
     squares = _nation_squares(spark, sf_dir)
     gj = sp.st_asgeojson_udf()(F.col("geometry"))
     back = sp.st_geomfromgeojson_udf()(gj)
