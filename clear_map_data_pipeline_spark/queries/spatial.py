@@ -42,12 +42,61 @@ def _nation_squares(spark, sf_dir):
     )
 
 
+def _ranked_nations(spark, sf_dir):
+    """(region, 0-based rank within region by nationkey) — the layouts
+    below place each nation's square as a function of its rank."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    return t.nation.select(
+        "n_nationkey",
+        F.col("n_regionkey").alias("city"),
+        (F.row_number().over(w) - 1).alias("_k"),
+    )
+
+
+def _square_wkt(x: F.Column, y: F.Column) -> F.Column:
+    """Unit-square WKT at (x, y), canonical rendering."""
+    return F.concat(
+        F.lit("POLYGON (("),
+        x.cast("string"), F.lit(" "), y.cast("string"), F.lit(", "),
+        (x + 1).cast("string"), F.lit(" "), y.cast("string"), F.lit(", "),
+        (x + 1).cast("string"), F.lit(" "), (y + 1).cast("string"), F.lit(", "),
+        x.cast("string"), F.lit(" "), (y + 1).cast("string"), F.lit(", "),
+        x.cast("string"), F.lit(" "), y.cast("string"),
+        F.lit("))"),
+    )
+
+
+def sp_dissolve_clip(spark, sf_dir):
+    """B1 via REAL CLIPPING: each region's squares overlap in a strip
+    (rank k at x = 0.5k), so merge_edge_adjacent bails and the
+    arrangement-based polygon_union produces the exact single-polygon
+    outline.  applyInPandas grouped-map — one shuffle on the group
+    key."""
+    n = _ranked_nations(spark, sf_dir)
+    strip = n.select(
+        "city",
+        _square_wkt(
+            F.col("_k") * F.lit(0.5), (F.col("city") * 3).cast("long")
+        ).alias("geometry"),
+    )
+    return sp.dissolve(strip, key="city", geom="geometry")
+
+
 def sp_dissolve_hull(spark, sf_dir):
-    """B1+B2+B3 (ref :97-101): per-region dissolve of member polygons;
-    multi-polygon unions collapse to their convex hull (monotone chain,
-    exact).  applyInPandas grouped-map — one shuffle on the group key."""
-    squares = _nation_squares(spark, sf_dir)
-    return sp.dissolve(squares, key="city", geom="geometry")
+    """B1+B2+B3 (ref :97-101): disjoint squares on a diagonal dissolve
+    to a MultiPolygon, which the reference branch collapses to its
+    convex hull (monotone chain, exact)."""
+    n = _ranked_nations(spark, sf_dir)
+    diag = n.select(
+        "city",
+        _square_wkt(
+            (F.col("_k") * 3).cast("long"), (F.col("_k") * 3).cast("long")
+        ).alias("geometry"),
+    )
+    return sp.dissolve(diag, key="city", geom="geometry")
 
 
 def sp_boundary(spark, sf_dir):
@@ -58,11 +107,72 @@ def sp_boundary(spark, sf_dir):
     )
 
 
-@register("sp_geometry_suite")
+# DuckDB twin of the suite: all three layouts are deterministic
+# functions of (region, member count / nation key), so the expected
+# WKTs are pure SQL.  printf('%g') mirrors the operators' canonical
+# coordinate rendering.
+_GEOMETRY_SUITE_SQL = """
+    WITH rc AS (
+      SELECT n_regionkey AS r, count(*) AS cnt FROM nation GROUP BY 1
+    ),
+    clip AS (
+      SELECT 'sp_dissolve_clip' AS q, CAST(r AS VARCHAR) AS key,
+             CASE WHEN cnt = 1 THEN
+               printf('POLYGON ((0 %d, 1 %d, 1 %d, 0 %d, 0 %d))',
+                      r * 3, r * 3, r * 3 + 1, r * 3 + 1, r * 3)
+             ELSE
+               'POLYGON ((' || array_to_string(list_concat(
+                 list_transform(range(0, CAST(cnt + 2 AS INTEGER)),
+                   k -> printf('%g %g', k * 0.5, CAST(r * 3 AS DOUBLE))),
+                 list_concat(
+                   list_transform(range(CAST(cnt + 1 AS INTEGER), -1, -1),
+                     k -> printf('%g %g', k * 0.5, CAST(r * 3 + 1 AS DOUBLE))),
+                   [printf('%g %g', 0.0, CAST(r * 3 AS DOUBLE))])
+               ), ', ') || '))'
+             END AS wkt
+      FROM rc
+    ),
+    hull AS (
+      SELECT 'sp_dissolve_hull' AS q, CAST(r AS VARCHAR) AS key,
+             CASE WHEN cnt = 1 THEN 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'
+             ELSE printf(
+               'POLYGON ((0 0, 1 0, %d %d, %d %d, %d %d, 0 1, 0 0))',
+               3 * (cnt - 1) + 1, 3 * (cnt - 1),
+               3 * (cnt - 1) + 1, 3 * (cnt - 1) + 1,
+               3 * (cnt - 1), 3 * (cnt - 1) + 1)
+             END AS wkt
+      FROM rc
+    ),
+    bnd AS (
+      SELECT 'sp_boundary' AS q, CAST(n_nationkey AS VARCHAR) AS key,
+             printf('LINESTRING (%d %d, %d %d, %d %d, %d %d, %d %d)',
+                    n_nationkey % 5 * 3, (n_nationkey // 5) * 3,
+                    n_nationkey % 5 * 3 + 1, (n_nationkey // 5) * 3,
+                    n_nationkey % 5 * 3 + 1, (n_nationkey // 5) * 3 + 1,
+                    n_nationkey % 5 * 3, (n_nationkey // 5) * 3 + 1,
+                    n_nationkey % 5 * 3, (n_nationkey // 5) * 3) AS wkt
+      FROM nation
+    )
+    SELECT * FROM clip
+    UNION ALL SELECT * FROM hull
+    UNION ALL SELECT * FROM bnd
+    """
+
+
+@register("sp_geometry_suite", sql=_GEOMETRY_SUITE_SQL)
 def sp_geometry_suite(spark, sf_dir):
-    """Folded spatial suite (driver rows-only; exact goldens in
-    tests/test_spatial.py): per-region dissolve-or-hull + per-polygon
-    boundary, normalized to (q, key, wkt) rows."""
+    """Folded spatial suite, SQL-checked since r03: the synthesized
+    layouts make every expected WKT a pure function of the nation
+    table, so the driver hash-verifies all three geometry paths —
+    exact clipping union (overlapping strip), MultiPolygon -> convex
+    hull (diagonal squares), and per-polygon boundary — through the
+    applyInPandas/pandas-UDF machinery.  Exact goldens and property
+    tests remain in tests/test_spatial*.py."""
+    clip = sp_dissolve_clip(spark, sf_dir).select(
+        F.lit("sp_dissolve_clip").alias("q"),
+        F.col("city").cast("string").alias("key"),
+        F.col("geometry").alias("wkt"),
+    )
     dis = sp_dissolve_hull(spark, sf_dir).select(
         F.lit("sp_dissolve_hull").alias("q"),
         F.col("city").cast("string").alias("key"),
@@ -73,7 +183,7 @@ def sp_geometry_suite(spark, sf_dir):
         F.col("n_nationkey").cast("string").alias("key"),
         F.col("boundary_wkt").alias("wkt"),
     )
-    return dis.unionByName(bnd)
+    return clip.unionByName(dis).unionByName(bnd)
 
 
 @register(
