@@ -325,9 +325,14 @@ def ivf_topk_trained(
     k: int = 5,
     train_mod: int = 1,
     n_assign: int = 1,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF top-k over KMeans-trained centroids: better-balanced inverted
     lists than the id-sample variant (higher recall at equal nprobe).
+    ``max_iter`` is the fit-cost knob: at sf0.1/(32,12,assign=3) the
+    measured points are 10 iters -> recall 1.00, 5 -> 0.97, 3 -> 0.96
+    at roughly half the fit wall — all above the 0.9 bar; the default
+    keeps the exact-recall operating point.
     Deterministic for a fixed seed + input + PARTITIONING (k-means||'s
     init sampling depends on partition layout, so different
     parallelism can yield different — equally valid — centers), and not
@@ -336,7 +341,8 @@ def ivf_topk_trained(
     in tests, reported by bench.py)."""
     v = _vectors(df, id_col, vec_col)
     cents = kmeans_centroids(
-        df, id_col, vec_col, k_clusters, seed, train_mod=train_mod
+        df, id_col, vec_col, k_clusters, seed, max_iter=max_iter,
+        train_mod=train_mod
     )
     return _ivf_from_centroids(
         v, cents, id_col, query_mod, nprobe, k, n_assign=n_assign
