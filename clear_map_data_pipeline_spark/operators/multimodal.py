@@ -2,10 +2,14 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema, partition sizing, UDF signatures,
-batch shapes — is real and tested.  The actual media decode is STUBBED
-(no PIL/ffmpeg/torchaudio in this container): ``decode_stub`` derives
-deterministic pseudo-features from the bytes, and ``decode_real`` raises
-NotImplementedError at the exact seam where a real decoder plugs in.
+batch shapes — is real and tested.  Decode (r03): PNG and RIFF/WAV
+payloads decode for REAL with pure-stdlib decoders (``decode_png``:
+zlib inflate + scanline unfilter incl. Paeth, 8-bit gray/RGB/RGBA;
+``decode_wav``: PCM 8/16-bit) — operators sniff magic bytes and use
+them automatically.  Formats that need codec libraries (JPEG, WebP,
+video) still fall back to the deterministic ``decode_stub``
+pseudo-features, with ``decode_real`` as the documented seam where
+PIL/ffmpeg plug in.
 
 Scale notes:
 - payloads stay in executor memory one Arrow batch at a time; tune
@@ -55,11 +59,174 @@ def attach_binary_payload(
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode, pure stdlib (zlib inflate + per-row unfilter):
+    8-bit depth, grayscale/RGB/RGBA, non-interlaced — the common
+    training-data cases.  Returns (width, height, channels, pixels)
+    with pixels in row-major scanline order.
+
+    This replaces the r02 NotImplementedError seam for PNG payloads;
+    formats needing codec libraries (JPEG, WebP) still raise at
+    ``decode_real``."""
+    import struct
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = ctype = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or inter != 0 or ctype not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, "
+                    f"color={ctype}, interlace={inter})"
+                )
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(idat)
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _row in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def encode_png(w: int, h: int, ch: int, pixels: bytes) -> bytes:
+    """Minimal PNG encoder (filter-0 scanlines) — the test/round-trip
+    companion of ``decode_png`` and a usable sink for small artifacts."""
+    import struct
+
+    if len(pixels) != w * h * ch:
+        raise ValueError("pixel buffer does not match dimensions")
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * w * ch : (r + 1) * w * ch] for r in range(h)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL WAV (RIFF PCM) decode, pure stdlib: 8-bit unsigned or
+    16-bit signed little-endian PCM.  Returns (n_channels,
+    sample_rate, bits, samples) with samples interleaved."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    n_ch = rate = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits not in (8, 16):
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            pcm = body
+    if n_ch is None or pcm is None:
+        raise ValueError("truncated WAV")
+    if bits == 8:
+        samples = list(pcm)
+    else:
+        n = len(pcm) // 2
+        samples = list(struct.unpack(f"<{n}h", pcm[: n * 2]))
+    return n_ch, rate, bits, samples
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Minimal mono PCM WAV encoder — test companion of decode_wav."""
+    import struct
+
+    if bits == 8:
+        pcm = bytes(s & 0xFF for s in samples)
+    else:
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
+                      sample_rate * bits // 8, bits // 8, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_real(payload: bytes):
-    """The real-decoder seam: PIL.Image.open(io.BytesIO(payload)) etc.
-    Media libraries are not in this container."""
+    """The real-decoder dispatch: PNG decodes natively (``decode_png``,
+    pure stdlib); formats that require codec libraries (JPEG/WebP/
+    video) still raise at this seam — plug PIL/ffmpeg in here."""
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "real image decode requires PIL/ffmpeg; plug in here"
+        "non-PNG image decode requires PIL/ffmpeg; plug in here"
     )
 
 
@@ -74,12 +241,24 @@ def image_features(
     df: DataFrame, id_col: str = "doc_id", use_real_decoder: bool = False
 ) -> DataFrame:
     """Batch feature extraction over the binary column via mapInPandas.
-    Output is narrow — the payload column never survives the operator."""
+    Output is narrow — the payload column never survives the operator.
+
+    Payloads are sniffed by magic bytes: PNG decodes for REAL
+    (``decode_png``, pure stdlib — checksum is the adler32 of the
+    decoded pixel buffer, width/height are the image's true
+    dimensions); other formats fall back to the deterministic stub.
+    ``use_real_decoder=True`` forces the real path (raising on formats
+    that still need codec libraries)."""
+
+    def _one(p: bytes) -> tuple[int, int, int]:
+        if p[:8] == PNG_MAGIC or use_real_decoder:
+            w, h, _ch, pixels = decode_real(p)
+            return zlib.adler32(pixels), w, h
+        return decode_stub(p)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = decode_real if use_real_decoder else decode_stub
         for pdf in it:
-            feats = [decode(p) for p in pdf["payload"]]
+            feats = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -105,21 +284,34 @@ def image_resize(
     id_col: str = "doc_id",
     use_real_decoder: bool = False,
 ) -> DataFrame:
-    """Resize plumbing: decode -> resample -> re-encode over the binary
-    column, one Arrow batch at a time.  The stub "resamples" by strided
-    byte subsampling to exactly out_w*out_h bytes (deterministic); the
-    real seam is PIL ``Image.resize`` at ``decode_real``.  Output is
-    fixed-size small payloads — the wide input column dies here."""
+    """Resize plumbing: decode -> resample -> emit over the binary
+    column, one Arrow batch at a time.  PNG payloads (magic-sniffed)
+    decode for real and resample by nearest-neighbor over the true
+    pixel grid (first channel, so output is a fixed out_w*out_h
+    grayscale buffer); other formats "resample" by the deterministic
+    strided-byte stub.  Output is fixed-size small payloads — the wide
+    input column dies here."""
+
+    def _resize_png(p: bytes, n_out: int) -> bytes:
+        w, h, ch, pixels = decode_real(p)
+        out = bytearray()
+        for j in range(out_h):
+            src_y = j * h // out_h
+            for i in range(out_w):
+                src_x = i * w // out_w
+                out.append(pixels[(src_y * w + src_x) * ch])
+        return bytes(out)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = out_w * out_h
         for pdf in it:
-            if use_real_decoder:
-                decode_real(b"")
             pixels = []
             for p in pdf["payload"]:
-                stride = max(len(p) // n_out, 1)
-                pixels.append(bytes(p[::stride][:n_out]))
+                if p[:8] == PNG_MAGIC or use_real_decoder:
+                    pixels.append(_resize_png(p, n_out))
+                else:
+                    stride = max(len(p) // n_out, 1)
+                    pixels.append(bytes(p[::stride][:n_out]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -140,23 +332,33 @@ AUDIO_FEATURE_SCHEMA = (
 def audio_features(
     df: DataFrame, sample_rate: int = 16000, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Audio feature extraction: the payload is interpreted as unsigned
-    8-bit PCM (the stub stand-in for a torchaudio/ffmpeg decode) and
-    reduced to duration + amplitude stats with vectorized numpy per
-    batch.  Same scale shape as image_features: map-side only, narrow
-    output, payload pruned immediately after."""
+    """Audio feature extraction, reduced to duration + amplitude stats
+    with vectorized numpy per batch.  RIFF/WAVE payloads (magic-
+    sniffed) decode for REAL via ``decode_wav`` — true sample rate,
+    channel-interleaved PCM, absolute amplitudes for 16-bit signed;
+    other payloads are interpreted as headerless unsigned 8-bit PCM at
+    ``sample_rate`` (the stub stand-in).  Same scale shape as
+    image_features: map-side only, narrow output, payload pruned
+    immediately after."""
     import numpy as np
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ns, dur, mean, peak = [], [], [], []
             for p in pdf["payload"]:
-                arr = np.frombuffer(p, dtype=np.uint8)
-                n = len(arr)
-                ns.append(n)
-                dur.append(round(n / sample_rate, 6))
-                mean.append(round(float(arr.mean()) if n else 0.0, 4))
-                peak.append(int(arr.max()) if n else 0)
+                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    n_ch, rate, _bits, samples = decode_wav(p)
+                    arr = np.abs(np.asarray(samples, dtype=np.int64))
+                    n = len(arr) // max(n_ch, 1)
+                    ns.append(n)
+                    dur.append(round(n / rate, 6))
+                else:
+                    arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                    n = len(arr)
+                    ns.append(n)
+                    dur.append(round(n / sample_rate, 6))
+                mean.append(round(float(arr.mean()) if len(arr) else 0.0, 4))
+                peak.append(int(arr.max()) if len(arr) else 0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -67,3 +67,153 @@ def test_frame_sample_expansion(spark, sf_dir):
     assert len(rows) == 4 * n_docs
     assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
     assert all(len(r["frame_bytes"]) > 0 for r in rows)
+
+
+# ---- real decoders (r03): pure-stdlib PNG + WAV
+
+
+def _forward_filter(f, line, prev, ch):
+    """Apply PNG forward filter f to a raw scanline (test helper for
+    exercising every unfilter branch of decode_png)."""
+    out = bytearray()
+    for i in range(len(line)):
+        a = line[i - ch] if i >= ch else 0
+        b = prev[i]
+        c = prev[i - ch] if i >= ch else 0
+        if f == 0:
+            out.append(line[i])
+        elif f == 1:
+            out.append((line[i] - a) & 0xFF)
+        elif f == 2:
+            out.append((line[i] - b) & 0xFF)
+        elif f == 3:
+            out.append((line[i] - ((a + b) >> 1)) & 0xFF)
+        elif f == 4:
+            pp = a + b - c
+            pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+    return bytes(out)
+
+
+def test_png_roundtrip_all_channel_counts():
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for ch in (1, 3, 4):
+        w, h = 7, 5
+        pixels = bytes((i * 37 + ch * 11) % 256 for i in range(w * h * ch))
+        data = encode_png(w, h, ch, pixels)
+        gw, gh, gch, gpix = decode_png(data)
+        assert (gw, gh, gch) == (w, h, ch)
+        assert gpix == pixels
+
+
+def test_png_decode_every_filter_type():
+    """Hand-filter scanlines with filters 0-4 (incl. Paeth) and check
+    decode_png reconstructs the original pixels exactly."""
+    import struct
+    import zlib as _zlib
+
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    w, h, ch = 6, 5, 3
+    stride = w * ch
+    pixels = bytes((i * 29 + 7) % 256 for i in range(w * h * ch))
+    rows = [pixels[r * stride : (r + 1) * stride] for r in range(h)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, f in zip(rows, [0, 1, 2, 3, 4]):
+        raw += bytes([f]) + _forward_filter(f, r, prev, ch)
+        prev = r
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", _zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, gch, gpix = decode_png(data)
+    assert (gw, gh, gch) == (w, h, ch) and gpix == pixels
+
+
+def test_wav_roundtrip_8_and_16_bit():
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s16 = [0, 100, -100, 32767, -32768, 5]
+    n_ch, rate, bits, got = decode_wav(encode_wav(s16, 8000, 16))
+    assert (n_ch, rate, bits) == (1, 8000, 16) and got == s16
+    s8 = [0, 1, 255, 128]
+    n_ch, rate, bits, got = decode_wav(encode_wav(s8, 16000, 8))
+    assert (n_ch, rate, bits) == (1, 16000, 8) and got == s8
+
+
+def test_image_features_decodes_real_png(spark):
+    from pyspark.sql import functions as F
+    import zlib as _zlib
+
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+        image_features,
+    )
+
+    w, h, ch = 9, 4, 3
+    pixels = bytes((i * 13) % 256 for i in range(w * h * ch))
+    png = encode_png(w, h, ch, pixels)
+    df = spark.createDataFrame([(1, png), (2, b"not an image")],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in image_features(df).collect()}
+    # PNG payload: true dimensions + adler of the DECODED pixel buffer
+    assert rows[1]["width"] == w and rows[1]["height"] == h
+    assert rows[1]["checksum"] == _zlib.adler32(pixels)
+    # non-PNG payload: deterministic stub features (not a crash)
+    assert rows[2]["n_bytes"] == len(b"not an image")
+
+
+def test_image_resize_real_png_nearest_neighbor(spark):
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+        image_resize,
+    )
+
+    w, h, ch = 8, 8, 1
+    pixels = bytes((x + 16 * y) % 256 for y in range(h) for x in range(w))
+    png = encode_png(w, h, ch, pixels)
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    (row,) = image_resize(df, out_w=4, out_h=4).collect()
+    got = bytes(row["pixels"])
+    want = bytes(
+        pixels[(j * 8 // 4) * 8 + (i * 8 // 4)]
+        for j in range(4)
+        for i in range(4)
+    )
+    assert got == want
+
+
+def test_audio_features_decodes_real_wav(spark):
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    samples = [0, 1000, -2000, 30000, -5]
+    wav = encode_wav(samples, sample_rate=8000, bits=16)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    (row,) = audio_features(df).collect()
+    assert row["n_samples"] == len(samples)
+    assert row["duration_s"] == round(len(samples) / 8000, 6)
+    assert row["peak_amp"] == 30000  # abs of signed PCM
