@@ -129,6 +129,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "ivf_kmeans_recall_at_5": round(recall, 3),
+                # the honest cost metric next to the recall: fraction of
+                # inverted lists each query probes, and the index
+                # multiplier from multi-assignment
+                "ivf_probe_fraction": round(
+                    IVF_KMEANS_PARAMS["nprobe"]
+                    / IVF_KMEANS_PARAMS["k_clusters"],
+                    3,
+                ),
+                "ivf_n_assign": IVF_KMEANS_PARAMS.get("n_assign", 1),
                 "ann_lsh_recall": round(lsh_recall_reg, 3),
                 "ann_lsh_recall_tuned": round(lsh_recall_tuned, 3),
             }

@@ -56,3 +56,29 @@ def test_merge_single_exchange(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_merge_upsert_keep_version_reassociates(spark):
+    """keep_version: the output carries each key's winning version, and
+    feeding the output back as the base preserves cross-batch
+    highest-version-wins (the streaming sink contract)."""
+    from clear_map_data_pipeline_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+    c1 = spark.createDataFrame(
+        [(1, "a3", 3, "U"), (2, "b2", 2, "U")],
+        "k long, val string, version long, op string",
+    )
+    t1 = merge_upsert(base, c1, "k", keep_version=True)
+    assert {(r["k"], r["val"], r["version"]) for r in t1.collect()} == {
+        (1, "a3", 3), (2, "b2", 2)
+    }
+    # late lower-version change must lose against the persisted version
+    c2 = spark.createDataFrame(
+        [(1, "a1_late", 1, "U"), (2, "b4", 4, "U")],
+        "k long, val string, version long, op string",
+    )
+    t2 = merge_upsert(t1, c2, "k", keep_version=True)
+    assert {(r["k"], r["val"], r["version"]) for r in t2.collect()} == {
+        (1, "a3", 3), (2, "b4", 4)
+    }

@@ -217,3 +217,36 @@ def test_audio_features_decodes_real_wav(spark):
     assert row["n_samples"] == len(samples)
     assert row["duration_s"] == round(len(samples) / 8000, 6)
     assert row["peak_amp"] == 30000  # abs of signed PCM
+
+
+def test_png_roundtrip_property():
+    """Hypothesis: encode->decode is identity for arbitrary small
+    images across channel counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        ch=st.sampled_from([1, 3, 4]),
+        data=st.data(),
+    )
+    def run(w, h, ch, data):
+        pixels = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        assert decode_png(encode_png(w, h, ch, pixels)) == (w, h, ch, pixels)
+
+    run()
