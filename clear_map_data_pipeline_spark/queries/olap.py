@@ -148,6 +148,95 @@ def olap_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_SQL = "\nUNION ALL\n".join(_kmv_one_sql(c) for c in _KMV_COLS)
 
 
+# --- CountMin heavy hitters -------------------------------------------
+
+CMS_D, CMS_W, CMS_TOP = 4, 512, 20
+
+# Portable hex-prefix-to-int: both engines turn the first 8 hex chars of
+# md5("r|token") into an integer via digit arithmetic (neither shares a
+# native hex-parse), giving bit-identical CMS buckets.
+_SPARK_BUCKET = (
+    "CAST(aggregate(transform(sequence(1, 8), i -> "
+    "(instr('0123456789abcdef', substring(md5(concat('{r}|', token)), i, 1))"
+    " - 1) * pow(16D, 8 - i)), cast(0 as double), (a, x) -> a + x) AS BIGINT)"
+    " % {w}"
+)
+_DUCK_BUCKET = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5(concat(r, '|', token)), "
+    "CAST(i AS INTEGER), 1)) - 1) * pow(16.0, 8 - i))) AS BIGINT) % {w}"
+)
+
+
+def olap_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin-sketch heavy hitters over document tokens: a d x w
+    counter matrix (d=4 md5-salted hash rows, w=512 buckets) estimates
+    any token's frequency as the MIN of its d bucket counters —
+    one-sided error (est >= true), bounded by the other tokens
+    colliding into its buckets.  Reported next to the true counts of
+    the top-20 tokens so the driver hash-checks both the sketch
+    CONSTRUCTION and its estimates.
+
+    Scale shape: the sketch build is one map-side-combined groupBy of
+    (row, bucket) pairs — d small ints per token, collapsing to at
+    most d*w rows regardless of corpus size (the whole point of the
+    sketch); the candidate probe broadcast-joins that <= 2 K-row
+    matrix.  Deterministic by construction — like the KMV sketch, the
+    hash is shared with the oracle, not implementation-defined."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(F.explode(tx.tokens("text")).alias("token"))
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.expr(_SPARK_BUCKET.format(r=r, w=CMS_W)).alias("b"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    pairs = toks.select(F.explode(bucket_structs).alias("rb")).select(
+        F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
+    sketch = pairs.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_true"))
+        .orderBy(F.col("n_true").desc(), "token")
+        .limit(CMS_TOP)
+    )
+    cand = top.select(
+        "token", "n_true", F.explode(bucket_structs).alias("rb")
+    ).select("token", "n_true", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        cand.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token", "n_true")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+
+
+_CMS_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_CMS_SQL = f"""
+WITH toks AS (SELECT unnest({_CMS_TOKS}) AS token FROM documents),
+pairs AS (
+  SELECT r, {_DUCK_BUCKET.format(w=CMS_W)} AS b
+  FROM toks CROSS JOIN range(0, {CMS_D}) t(r)
+),
+sketch AS (SELECT r, b, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_true
+  FROM toks GROUP BY 1 ORDER BY n_true DESC, token LIMIT {CMS_TOP}
+),
+cand AS (
+  SELECT token, n_true, r, {_DUCK_BUCKET.format(w=CMS_W)} AS b
+  FROM top CROSS JOIN range(0, {CMS_D}) t(r)
+)
+SELECT c.token, c.n_true, CAST(min(s.cnt) AS BIGINT) AS cms_est
+FROM cand c JOIN sketch s USING (r, b)
+GROUP BY 1, 2
+"""
+
+
 register_suite(
     "suite_olap_grouping",
     [
@@ -170,8 +259,15 @@ register_suite(
             _KMV_SQL,
             [("key_col", "s"), ("n_exact", "s"), ("kmv_est", "s")],
         ),
+        SubQuery(
+            "olap_cms_heavy_hitters",
+            olap_cms_heavy_hitters,
+            _CMS_SQL,
+            [("token", "s"), ("n_true", "s"), ("cms_est", "s")],
+        ),
     ],
     doc="OLAP grouping + sketch suite: single-pass ROLLUP subtotals, "
-    "wide event pivot, and the deterministic KMV distinct-count "
-    "sketch, each oracle-checked row-for-row inside the union.",
+    "wide event pivot, the deterministic KMV distinct-count sketch, "
+    "and CountMin heavy-hitter estimates, each oracle-checked "
+    "row-for-row inside the union.",
 )

@@ -115,3 +115,20 @@ def test_curation_pipeline_shape(spark, sf_dir):
     # no Exchange row should list the raw text column — only digests/ids
     for seg in plan.split("Exchange hashpartitioning"):
         assert "text#" not in seg.split("\n")[0], seg.split("\n")[0]
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    """CountMin property: the estimate can only OVERcount (min of d
+    counters each >= the true count), and the top-1 token's estimate
+    is close at this sketch width."""
+    from clear_map_data_pipeline_spark.queries.olap import (
+        olap_cms_heavy_hitters,
+    )
+
+    rows = olap_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_est"] >= r["n_true"], (r["token"], r["n_true"], r["cms_est"])
+    top = max(rows, key=lambda r: r["n_true"])
+    # heavy hitters dominate their buckets: relative error small
+    assert top["cms_est"] <= top["n_true"] * 1.5
