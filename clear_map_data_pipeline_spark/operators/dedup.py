@@ -111,7 +111,8 @@ def incremental_dedup(
     Scale: stage 1's groupBy hash-partitions the batch on digest, and
     the stage-2 join reuses that partitioning — only the ``seen`` side
     shuffles.  Keep the corpus snapshot bucketed by digest (see
-    ``sources/bucketed``) and the join is zero-exchange on both sides;
+    ``sources/writers.py: write_bucketed_table``) and the join is
+    zero-exchange on both sides;
     either way the traffic is 16-byte digests + ids, never text.  The
     asymmetry matters: ``batch`` is a day's crawl, ``seen`` is the
     100 TB corpus.  For a LEFT ANTI join the build side is the RIGHT

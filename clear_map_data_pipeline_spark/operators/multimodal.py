@@ -377,22 +377,93 @@ def audio_features(
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
 
 
+def gif_frames(data: bytes) -> list[bytes]:
+    """REAL GIF frame extraction by walking the container's block
+    structure — no LZW decode needed to FIND frames, because every GIF
+    block is length-prefixed: extensions are (0x21, label, sub-blocks),
+    image descriptors are (0x2C, 9-byte header, optional local color
+    table, LZW min-code byte, sub-blocks), and sub-blocks are
+    (len, payload)* terminated by 0x00.  Returns each frame's raw bytes
+    (descriptor through its data terminator); decoding the pixels
+    themselves would need an LZW inflater — that remains at the
+    ``decode_real`` seam."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    # logical screen descriptor: 7 bytes after the 6-byte signature
+    pos = 6
+    if pos + 7 > len(data):
+        raise ValueError("truncated GIF header")
+    packed = data[pos + 4]
+    pos += 7
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data):
+            ln = data[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+        raise ValueError("truncated GIF sub-blocks")
+
+    frames: list[bytes] = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: introducer, label, sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            start = pos
+            p = pos + 10  # 0x2C + 9-byte descriptor
+            ipacked = data[pos + 9]
+            if ipacked & 0x80:  # local color table
+                p += 3 * (2 << (ipacked & 0x07))
+            p += 1  # LZW minimum code size
+            p = skip_subblocks(p)
+            frames.append(data[start:p])
+            pos = p
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
+    return frames
+
+
 def frame_sample(
     df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Frame sampling for video-like payloads: emit ``n_frames`` evenly
-    spaced byte-slices per payload (a real impl samples decoded frames).
-    Row-expanding mapInPandas — frames stream out batch by batch."""
+    """Frame sampling for video-like payloads, row-expanding
+    mapInPandas — frames stream out batch by batch.
+
+    GIF payloads (magic-sniffed) get REAL frames: the container's
+    block structure is walked to per-frame byte regions, and
+    ``n_frames`` evenly spaced frames are emitted (all of them when
+    the animation is shorter).  Other payloads emit ``n_frames``
+    evenly spaced byte-slices (the deterministic stub); MP4/WebM
+    demuxing stays at the decoder seam."""
+
+    def _frames_of(p: bytes) -> list[bytes]:
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            all_frames = gif_frames(p)
+            if not all_frames:
+                return []
+            if len(all_frames) <= n_frames:
+                return all_frames
+            return [
+                all_frames[k * len(all_frames) // n_frames]
+                for k in range(n_frames)
+            ]
+        step = max(len(p) // n_frames, 1)
+        return [bytes(p[k * step : k * step + step]) for k in range(n_frames)]
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, blobs = [], [], []
             for i, p in zip(pdf[id_col], pdf["payload"]):
-                step = max(len(p) // n_frames, 1)
-                for k in range(n_frames):
+                for k, fb in enumerate(_frames_of(p)):
                     ids.append(i)
                     idxs.append(k)
-                    blobs.append(bytes(p[k * step : k * step + step]))
+                    blobs.append(fb)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
             )

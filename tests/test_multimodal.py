@@ -250,3 +250,51 @@ def test_png_roundtrip_property():
         assert decode_png(encode_png(w, h, ch, pixels)) == (w, h, ch, pixels)
 
     run()
+
+
+def _tiny_gif(n_frames):
+    """Build a minimal valid GIF with n single-pixel frames (test
+    helper; pixel data is a trivial LZW stream for a 2-color image)."""
+    import struct
+
+    sig = b"GIF89a"
+    screen = struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)  # global table flag
+    gct = b"\x00\x00\x00\xff\xff\xff"  # 2-entry global color table
+    frames = b""
+    for _ in range(n_frames):
+        # graphic control extension (0x21 0xF9, 4-byte block, term)
+        frames += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        # LZW min code 2; one 2-byte sub-block; terminator
+        frames += desc + b"\x02\x02\x44\x01\x00"
+    return sig + screen + gct + frames + b"\x3b"
+
+
+def test_gif_frames_walks_container():
+    from clear_map_data_pipeline_spark.operators.multimodal import gif_frames
+
+    for n in (1, 3, 7):
+        frames = gif_frames(_tiny_gif(n))
+        assert len(frames) == n
+        assert all(f[0] == 0x2C for f in frames)  # image separator
+
+
+def test_frame_sample_real_gif(spark):
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    gif7 = _tiny_gif(7)   # more frames than sampled -> evenly spaced 4
+    gif2 = _tiny_gif(2)   # fewer -> all of them
+    df = spark.createDataFrame(
+        [(1, gif7), (2, gif2), (3, b"rawbytesnotagif!")],
+        "doc_id long, payload binary",
+    )
+    rows = frame_sample(df, n_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 4
+    assert all(bytes(r["frame_bytes"])[0] == 0x2C for r in by_doc[1])
+    assert len(by_doc[2]) == 2
+    assert len(by_doc[3]) == 4  # stub path: byte slices
