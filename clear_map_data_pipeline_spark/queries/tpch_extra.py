@@ -1,6 +1,6 @@
-"""TPC-H query shapes, folded into ONE registered suite (r03): q1, q3,
-q5, q6 each hash-check their full result set inside ``suite_tpch``
-against the canonicalized UNION of their DuckDB twins — 4 driver-green
+"""TPC-H query shapes, folded into ONE registered suite (r03): seven
+queries hash-check their full result sets inside ``suite_tpch``
+against the canonicalized UNION of their DuckDB twins — 7 driver-green
 queries for one registry slot (the r02 layout spent 2 slots on q1/q3
 and left q5/q6 tests-only).
 
@@ -14,6 +14,14 @@ and left q5/q6 tests-only).
 - Q6 (forecast revenue change): pure scan-filter-aggregate; every
   predicate must reach the parquet scan (the plan-audit shows
   PushedFilters) and the aggregate is a single map-side-combined pass.
+- Q8 (market share): the widest tree — 8 relations, two roles for
+  nation; conditional-sum ratio per year.
+- Q10 (returned items): quarter filter + returnflag filter + top-20.
+- Q14 (promo revenue): conditional-sum percentage over one ship-month.
+
+Queries whose TPC-H originals need columns the fixtures lack
+(l_shipmode/l_commitdate/l_receiptdate/p_container/partsupp — q2, q4,
+q12, q19 and friends) are out of scope by data, not by engine.
 """
 
 from __future__ import annotations
@@ -104,6 +112,153 @@ TPCH_Q6_SQL = """
     """
 
 
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned items in a quarter,
+    ranked by lost revenue — fact⋈fact⋈dim with a selective returnflag
+    filter and a deterministic global top-20 (TakeOrderedAndProject).
+
+    The revenue sums through DECIMAL(18,6): each line's double product
+    is identical on both engines, the double->decimal cast of an
+    identical double is identical, and decimal addition is exact —
+    so the per-customer total is independent of summation order.  A
+    plain double sum hit a .xx5 rounding boundary for one customer at
+    sf0.01 (engine-order-dependent last ulp flipping round(...,2))."""
+    t = Tables(spark, sf_dir)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            t.lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue share for one ship-month — a
+    conditional-sum ratio over a broadcast part join, one scan."""
+    t = Tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """
+
+
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier-nation's share of a region's market
+    for a part type, by order year — the widest join tree in the suite
+    (part, lineitem, supplier, orders, customer, nation x2, region);
+    every dimension side broadcasts, lineitem⋈orders is the only
+    shuffle join, and the share is a conditional-sum ratio per year."""
+    t = Tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    lines = (
+        t.part.filter(F.col("p_type") == "STANDARD")
+        .hint("broadcast")
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        lines.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+TPCH_Q8_SQL = """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_2'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    GROUP BY 1
+    """
+
+
 EXTRA: dict[str, QueryDef] = {
     "tpch_q5_local_supplier_volume": QueryDef(
         tpch_q5_local_supplier_volume, TPCH_Q5_SQL
@@ -158,10 +313,31 @@ def _register_suite() -> None:
                 TPCH_Q6_SQL,
                 [("revenue", "d2"), ("n_items", "s")],
             ),
+            SubQuery(
+                "tpch_q8_market_share",
+                tpch_q8_market_share,
+                TPCH_Q8_SQL,
+                [("o_year", "s"), ("mkt_share", "d6")],
+            ),
+            SubQuery(
+                "tpch_q10_returned_items",
+                tpch_q10_returned_items,
+                TPCH_Q10_SQL,
+                [("c_custkey", "s"), ("c_name", "s"), ("revenue", "d2"),
+                 ("n_name", "s")],
+            ),
+            SubQuery(
+                "tpch_q14_promo_revenue",
+                tpch_q14_promo_revenue,
+                TPCH_Q14_SQL,
+                [("promo_revenue_pct", "d4")],
+            ),
         ],
         doc="Folded TPC-H suite: q1 scan+agg, q3 top-k join, q5 cyclic "
-        "six-table join, q6 pushdown scan — each sub-result hash-checked "
-        "row-for-row inside the union (one driver slot for four shapes).",
+        "six-table join, q6 pushdown scan, q8 eight-way market-share "
+        "ratio, q10 returned-items top-k, q14 promo-revenue ratio — "
+        "each sub-result hash-checked row-for-row inside the union "
+        "(one driver slot for seven shapes).",
     )
 
 
