@@ -49,3 +49,30 @@ def test_q5_broadcasts_every_dimension(spark, sf_dir):
     # and never a nested loop
     assert s["bcast_joins"] >= 4
     assert s["smj"] <= 1 and s["bnlj"] == 0
+
+
+def test_q8_single_shuffle_join_among_eight_relations(spark, sf_dir):
+    from clear_map_data_pipeline_spark.plancheck import plan_summary
+    from clear_map_data_pipeline_spark.queries.tpch_extra import (
+        tpch_q8_market_share,
+    )
+
+    s = plan_summary(tpch_q8_market_share(spark, sf_dir))
+    # seven of the eight relations broadcast; lineitem⋈orders is the
+    # only join allowed to shuffle, and nothing nested-loops
+    assert s["bcast_joins"] >= 6
+    assert s["smj"] <= 1 and s["bnlj"] == 0
+
+
+def test_q10_topk_is_heap_not_sort(spark, sf_dir):
+    import contextlib
+    import io
+
+    from clear_map_data_pipeline_spark.queries.tpch_extra import (
+        tpch_q10_returned_items,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tpch_q10_returned_items(spark, sf_dir).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
