@@ -148,6 +148,29 @@ def olap_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_SQL = "\nUNION ALL\n".join(_kmv_one_sql(c) for c in _KMV_COLS)
 
 
+# --- CUBE --------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): all 2^2 grouping sets in
+    ONE pass — like rollup, a single ExpandExec + one aggregation
+    exchange; the fact is read and shuffled once for every subtotal
+    combination."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 # --- CountMin heavy hitters -------------------------------------------
 
 CMS_D, CMS_W, CMS_TOP = 4, 512, 20
@@ -260,14 +283,21 @@ register_suite(
             [("key_col", "s"), ("n_exact", "s"), ("kmv_est", "s")],
         ),
         SubQuery(
+            "olap_cube",
+            olap_cube,
+            _CUBE_SQL,
+            [("l_returnflag", "s"), ("l_linestatus", "s"),
+             ("sum_qty", "d2"), ("n_rows", "s")],
+        ),
+        SubQuery(
             "olap_cms_heavy_hitters",
             olap_cms_heavy_hitters,
             _CMS_SQL,
             [("token", "s"), ("n_true", "s"), ("cms_est", "s")],
         ),
     ],
-    doc="OLAP grouping + sketch suite: single-pass ROLLUP subtotals, "
-    "wide event pivot, the deterministic KMV distinct-count sketch, "
-    "and CountMin heavy-hitter estimates, each oracle-checked "
+    doc="OLAP grouping + sketch suite: single-pass ROLLUP and CUBE "
+    "subtotals, wide event pivot, the deterministic KMV distinct-count "
+    "sketch, and CountMin heavy-hitter estimates, each oracle-checked "
     "row-for-row inside the union.",
 )

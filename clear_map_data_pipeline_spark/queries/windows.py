@@ -127,6 +127,37 @@ def w6_lag_7(spark, sf_dir):
     )
 
 
+def w_rank_family(spark, sf_dir):
+    """Ranking-window breadth (beyond-reference §2.5): ntile quartiles,
+    percent_rank, cume_dist and dense_rank over the shared (id, date)
+    spec — all stack on the same single exchange as every other
+    per-id window."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("date")
+    return moh_daily(t).select(
+        "id",
+        "date",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+_W_RANK_SQL = f"""
+    WITH {MOH_DAILY_SQL}
+    SELECT id, date,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM daily
+    WINDOW w AS (PARTITION BY id ORDER BY date)
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window;
 # the freed slot hosts suite_corpus_assembly) — both latent ramzor
 # window primitives still hash-check row-for-row inside the union.
@@ -158,10 +189,18 @@ register_suite(
             """,
             [("id", "s"), ("date", "s"), ("cases_lag7", "s")],
         ),
+        SubQuery(
+            "w_rank_family",
+            w_rank_family,
+            _W_RANK_SQL,
+            [("id", "s"), ("date", "s"), ("quartile", "s"),
+             ("pct_rank", "d6"), ("cume", "d6"), ("drank", "s")],
+        ),
     ],
-    doc="Latent ramzor window suite: trailing 7-day rolling sum + lag-7 "
-    "with zero default (ref :138-141), each oracle-checked row-for-row "
-    "inside the union.",
+    doc="Window-function suite: trailing 7-day rolling sum + lag-7 with "
+    "zero default (latent ramzor, ref :138-141) + the ranking family "
+    "(ntile/percent_rank/cume_dist/dense_rank), each oracle-checked "
+    "row-for-row inside the union.",
 )
 
 
