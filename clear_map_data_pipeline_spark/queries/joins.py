@@ -353,6 +353,53 @@ def o_rollup(spark, sf_dir):
     )
 
 
+def o_intersect_custkeys(spark, sf_dir):
+    """Set-op breadth (§2.7): customers appearing in BOTH the BUILDING
+    segment and the 1996 order log — INTERSECT plans as a distinct +
+    left-semi (one exchange per side, no row explosion)."""
+    t = Tables(spark, sf_dir)
+    building = t.customer.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("k"))
+    ordered = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("k"))
+    return building.intersect(ordered)
+
+
+O_INTERSECT_SQL = """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS k FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def o_except_custkeys(spark, sf_dir):
+    """EXCEPT complement of the intersect: BUILDING customers with NO
+    1996 order — distinct + left-anti under the hood."""
+    t = Tables(spark, sf_dir)
+    building = t.customer.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("k"))
+    ordered = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("k"))
+    return building.subtract(ordered)  # EXCEPT DISTINCT semantics
+
+
+O_EXCEPT_SQL = """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS k FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
 register_suite(
     "suite_semi_anti_join",
     [
@@ -360,10 +407,14 @@ register_suite(
                  [("c_custkey", "s")]),
         SubQuery("j_anti_join", j_anti_join, J_ANTI_SQL,
                  [("c_custkey", "s")]),
+        SubQuery("o_intersect_custkeys", o_intersect_custkeys,
+                 O_INTERSECT_SQL, [("k", "s")]),
+        SubQuery("o_except_custkeys", o_except_custkeys,
+                 O_EXCEPT_SQL, [("k", "s")]),
     ],
-    doc="""Folded semi/anti join suite (J2/F5 + churn complement) —
-    folded to keep the registry at the driver's 50-entry cap while
-    the corpus-filter suite joins the registry (COVERAGE.md).""",
+    doc="""Folded semi/anti/set-op suite (J2/F5 + churn complement +
+    §2.7 INTERSECT/EXCEPT) — folded to keep the registry at the
+    driver's 50-entry cap (COVERAGE.md).""",
 )
 
 register_suite(
