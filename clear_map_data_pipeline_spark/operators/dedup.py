@@ -393,3 +393,148 @@ def simhash(
     return df.withColumn(
         out, F.expr(" + ".join(bit_terms)).cast("long")
     )
+
+
+# --- Exact-substring (repeated passage) dedup --------------------------
+#
+# The dedup the near-dup family can't do: MinHash/SimHash score WHOLE
+# documents, but training corpora are poisoned by shared PASSAGES inside
+# otherwise-distinct documents (licenses, boilerplate, quoted chunks) —
+# the failure mode that motivates suffix-style exact-substring dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better").  The distributed re-expression: every word k-gram is a
+# candidate passage; a k-gram occurring in >= 2 distinct documents marks
+# a duplicated span, and maximal duplicated substrings are exactly the
+# runs of consecutive duplicated k-grams.
+
+
+def positional_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """(id, pos, shingle, shingle_hash) for EVERY word k-gram — unlike
+    ``text.word_shingles`` these keep position and multiplicity, which
+    passage detection needs.  ``pos`` is the 1-based token offset.
+    Docs shorter than k tokens emit nothing."""
+    gram = " || ' ' || ".join(f"element_at(_toks, i + {j})" for j in range(k))
+    arr = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN"
+        f" transform(sequence(1, size(_toks) - {k - 1}), i -> {gram})"
+        f" ELSE array() END"
+    )
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.posexplode(arr).alias("_p0", "shingle"))
+        .select(
+            id_col,
+            (F.col("_p0") + 1).alias("pos"),
+            "shingle",
+            F.md5("shingle").alias("shingle_hash"),
+        )
+    )
+
+
+# first-occurrence encoding shared with the SQL twin: positions are
+# bounded far below this, so (id, pos) orders correctly inside one int.
+_POS_ENC = 1_000_000
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated passages: every word k-gram occurring
+    in >= ``min_docs`` DISTINCT documents, with its occurrence stats and
+    the passage text of its first occurrence.
+
+    Returns (passage, n_docs, n_occ, first_doc, first_pos).
+
+    Scale shape: the aggregation shuffles only (16-byte digest, id,
+    encoded pos) — never text; the passage sample comes from a second
+    scan broadcast-joined against the (small, duplicated-only) stats
+    frame, the standard digest-first/rejoin-sample pattern.  No suffix
+    array is materialized: consecutive-k-gram runs reconstruct maximal
+    duplicated substrings downstream if needed."""
+    sh = positional_shingles(df, id_col, text_col, k)
+    occ = sh.select(
+        F.col(id_col),
+        "pos",
+        "shingle_hash",
+        (F.col(id_col) * _POS_ENC + F.col("pos")).alias("_enc"),
+    )
+    stats = (
+        occ.groupBy("shingle_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("_enc").alias("_first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "shingle_hash",
+            "n_docs",
+            "n_occ",
+            (F.col("_first") / _POS_ENC).cast("long").alias("first_doc"),
+            (F.col("_first") % _POS_ENC).alias("first_pos"),
+        )
+    )
+    return (
+        sh.join(
+            F.broadcast(stats),
+            (sh.shingle_hash == stats.shingle_hash)
+            & (F.col(id_col) == stats.first_doc)
+            & (sh.pos == stats.first_pos),
+        )
+        .select(
+            F.col("shingle").alias("passage"),
+            "n_docs",
+            "n_occ",
+            "first_doc",
+            "first_pos",
+        )
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    word k-grams that also occur in ANOTHER document — the curation
+    signal for dropping boilerplate-heavy documents wholesale (vs
+    surgically cutting the spans).
+
+    Returns (id, n_shingles, n_dup, dup_frac); docs with < k tokens
+    emit nothing (no spans to score).
+
+    Scale shape: one digest-only aggregation builds the per-shingle
+    document-frequency, one digest equi-join (sort-merge at corpus
+    scale — the DF table is corpus-sized, NOT broadcastable) stamps it
+    back on occurrences, one groupBy(id) folds per-doc counts."""
+    occ = positional_shingles(df, id_col, text_col, k).select(
+        F.col(id_col), "shingle_hash"
+    )
+    docfreq = occ.groupBy("shingle_hash").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    return (
+        occ.join(docfreq, "shingle_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 4).alias("dup_frac"),
+        )
+    )

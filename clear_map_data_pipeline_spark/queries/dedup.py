@@ -268,6 +268,71 @@ def dd_incremental(spark, sf_dir):
     return dd.incremental_dedup(batch, seen)
 
 
+# --- Exact-substring (repeated passage) dedup --------------------------
+
+# word-10-gram positional shingles (mirror of positional_shingles);
+# range end is exclusive, DuckDB list slices are inclusive-inclusive.
+_PASSAGE_CTES = f"""
+ptoks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+psh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 10 THEN
+      list_transform(range(1, len(tk) - 8),
+        i -> struct_pack(pos := i, shingle := array_to_string(tk[i:i+9], ' ')))
+    ELSE [] END) AS s
+  FROM ptoks),
+pflat AS (SELECT doc_id, s.pos AS pos, s.shingle AS shingle FROM psh)"""
+
+_REPEATED_SQL = f"""
+    WITH {_PASSAGE_CTES},
+    g AS (
+      SELECT shingle,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ,
+             min(doc_id * 1000000 + pos) AS first_enc
+      FROM pflat GROUP BY shingle
+      HAVING count(DISTINCT doc_id) >= 2)
+    SELECT shingle AS passage, n_docs, n_occ,
+           CAST(first_enc // 1000000 AS BIGINT) AS first_doc,
+           CAST(first_enc % 1000000 AS BIGINT) AS first_pos
+    FROM g
+    """
+
+
+def dd_repeated_passages(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022 re-expressed): word
+    10-grams occurring in >= 2 distinct documents, i.e. the shared
+    boilerplate/quoted passages whole-document near-dup scoring cannot
+    see.  Digest-only aggregation shuffle + broadcast rejoin for the
+    first-occurrence passage text."""
+    t = Tables(spark, sf_dir)
+    return dd.repeated_passages(t.documents, k=10)
+
+
+_COVERAGE_SQL = f"""
+    WITH {_PASSAGE_CTES},
+    dfreq AS (SELECT shingle, count(DISTINCT doc_id) AS nd
+              FROM pflat GROUP BY 1),
+    cov AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM pflat f JOIN dfreq d USING (shingle) GROUP BY 1)
+    SELECT doc_id, n_shingles, n_dup,
+           round(n_dup / n_shingles, 4) AS dup_frac
+    FROM cov
+    """
+
+
+def dd_dup_span_coverage(spark, sf_dir):
+    """Per-document duplicated-span coverage — fraction of a doc's
+    10-grams that also occur in another document; the drop-or-keep
+    curation signal derived from the same digest-only shuffles."""
+    t = Tables(spark, sf_dir)
+    return dd.duplicate_span_coverage(t.documents, k=10)
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -292,9 +357,24 @@ register_suite(
             _INCREMENTAL_SQL,
             [("doc_id", "s"), ("content_hash", "s")],
         ),
+        SubQuery(
+            "dd_repeated_passages",
+            dd_repeated_passages,
+            _REPEATED_SQL,
+            [("passage", "s"), ("n_docs", "s"), ("n_occ", "s"),
+             ("first_doc", "s"), ("first_pos", "s")],
+        ),
+        SubQuery(
+            "dd_dup_span_coverage",
+            dd_dup_span_coverage,
+            _COVERAGE_SQL,
+            [("doc_id", "s"), ("n_shingles", "s"), ("n_dup", "s"),
+             ("dup_frac", "d4")],
+        ),
     ],
     doc="Exact-dedup suite: content-digest duplicate marking (min-id "
     "canonical) + keep-best survivor selection + incremental batch-vs-"
-    "corpus ingest dedup, each oracle-checked row-for-row inside the "
-    "union.",
+    "corpus ingest dedup + exact-substring repeated-passage detection "
+    "with per-doc duplicated-span coverage, each oracle-checked "
+    "row-for-row inside the union.",
 )

@@ -187,3 +187,67 @@ def test_range_bucket_below_range_matches_no_tier(spark, tmp_path):
         for r in j_range_bucket_join(spark, sf).collect()
     }
     assert got == {"low": 1}  # only the 10.0 row; -5.0 matched nothing
+
+
+# --- exact-substring (repeated passage) dedup --------------------------
+
+
+def _passage_docs(spark):
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "one two three " + shared),
+            (3, "totally unrelated words that repeat nothing from others x y z"),
+            (4, "short doc"),  # < k tokens -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_repeated_passages_finds_planted_span(spark):
+    from clear_map_data_pipeline_spark.operators.dedup import repeated_passages
+
+    docs = _passage_docs(spark)
+    rows = repeated_passages(docs, k=10).collect()
+    passages = {r.passage: r for r in rows}
+    shared = "the quick brown fox jumps over the lazy dog today"
+    assert shared in passages
+    hit = passages[shared]
+    assert hit.n_docs == 2 and hit.n_occ == 2
+    # first occurrence: doc 1, tokens 'alpha beta' precede -> pos 3
+    assert (hit.first_doc, hit.first_pos) == (1, 3)
+    # no passage from the unrelated doc
+    assert all(r.n_docs >= 2 for r in rows)
+
+
+def test_repeated_passages_counts_within_doc_occurrences(spark):
+    from clear_map_data_pipeline_spark.operators.dedup import repeated_passages
+
+    span = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, span + " filler " + span), (2, span)], ["doc_id", "text"]
+    )
+    rows = {r.passage: r for r in repeated_passages(docs, k=10).collect()}
+    hit = rows[span]
+    assert hit.n_docs == 2
+    assert hit.n_occ == 3  # twice in doc 1, once in doc 2
+    assert (hit.first_doc, hit.first_pos) == (1, 1)
+
+
+def test_duplicate_span_coverage_fractions(spark):
+    from clear_map_data_pipeline_spark.operators.dedup import (
+        duplicate_span_coverage,
+    )
+
+    docs = _passage_docs(spark)
+    cov = {r.doc_id: r for r in duplicate_span_coverage(docs, k=10).collect()}
+    assert 4 not in cov  # too short to have any span
+    assert cov[3].n_dup == 0 and cov[3].dup_frac == 0.0
+    # doc 2: tokens = 3 + 10 = 13 -> 4 shingles; only the exact shared
+    # 10-gram (pos 4) also occurs in doc 1
+    assert cov[2].n_shingles == 4
+    assert cov[2].n_dup == 1
+    assert cov[2].dup_frac == 0.25
+    # every doc's dup count bounded by its shingle count
+    assert all(r.n_dup <= r.n_shingles for r in cov.values())
