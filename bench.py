@@ -42,6 +42,7 @@ HEADLINE = [
     "st_daily_totals_incremental",
     "dd_lsh_clusters",
     "suite_corpus_assembly",
+    "suite_sketches",
 ]
 
 

@@ -30,13 +30,10 @@ HLL_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
 
 def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL(64 registers) distinct estimates for three lineitem keys,
-    next to exact counts and exact-integer register evidence."""
+    next to exact counts and exact-integer register evidence — all
+    three sketches (and the exact counts) from ONE lineitem scan."""
     t = Tables(spark, sf_dir)
-    out = None
-    for col in HLL_COLS:
-        part = sk.hll_distinct(t.lineitem, col)
-        out = part if out is None else out.unionByName(part)
-    return out
+    return sk.hll_distinct_many(t.lineitem, HLL_COLS)
 
 
 _HLL_SQL = "\nUNION ALL\n".join(
