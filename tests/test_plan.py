@@ -219,3 +219,45 @@ def test_connected_components_shuffles_only_pairs(spark):
     # one aggregate (the per-node min) and its exchange; the join side
     # reuses the same exchange output — no extra wide operators
     assert "HashAggregate" in plan, plan
+
+
+def test_registry_wide_plan_lint(spark):
+    """Fleet-wide plan lint: NO registered query may compile to a
+    cartesian product or a row-at-a-time Python UDF (BatchEvalPython),
+    and every BroadcastNestedLoopJoin must be the documented
+    1-row/centroid/bounds crossJoin pattern — the audit the round-2
+    review ran by hand, pinned as a test.  SinglePartition exchanges
+    are NOT flagged: the canonical partial->final global aggregate
+    requires one and only ever moves pre-aggregated rows."""
+    from clear_map_data_pipeline_spark.registry import load_all
+
+    # conditional (non-cross) BNLJs that are correct BY DESIGN:
+    conditional_bnlj_ok = {
+        # the guarded brute-force cosine baseline IS all-pairs — that's
+        # what guard_baseline_rows exists for (similarity.py)
+        "suite_cosine_exact",
+        # range comparison against a broadcast ONE-ROW bounds aggregate
+        # (o_orderdate >= scalar from a 1-row frame)
+        "suite_semi_anti_join",
+    }
+    registry = load_all()
+    offenders = {}
+    for name, qd in registry.items():
+        df = qd.builder(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time PythonUDF")
+        # BNLJ is allowed when its build side is a broadcast of a
+        # bounded 1-row/centroid/bounds frame (the documented pattern);
+        # any NEW conditional BNLJ must be adjudicated here — an
+        # unreviewed one is a scale bug until proven otherwise.
+        if name not in conditional_bnlj_ok:
+            for line in plan.splitlines():
+                if "BroadcastNestedLoopJoin" in line and "Cross" not in line:
+                    flags.append(f"conditional BNLJ: {line.strip()[:80]}")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
