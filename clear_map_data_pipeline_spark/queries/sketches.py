@@ -101,6 +101,30 @@ GROUP BY 1
 """
 
 
+# --- One-scan table profile -------------------------------------------
+
+# 'lang_nn' plants real NULLs (the majority class nulled out) so the
+# profile's null-accounting path is driver-hash-checked, not just
+# unit-tested; documents itself ships null-free.
+_PROFILE_INT = ["doc_id", "n_chars"]
+_PROFILE_STR = ["text", "lang", "source", "lang_nn"]
+_PROFILE_VIEW = "(SELECT *, nullif(lang, 'en') AS lang_nn FROM documents)"
+
+
+def sk_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of documents in ONE scan: rows, nulls,
+    exact distincts, HLL estimate, numeric min/max (see
+    operators/sketches.py: profile_table)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "lang_nn", F.expr("nullif(lang, 'en')")
+    )
+    return sk.profile_table(docs, _PROFILE_INT, _PROFILE_STR)
+
+
+_PROFILE_SQL = sk.profile_table_sql(_PROFILE_VIEW, _PROFILE_INT, _PROFILE_STR)
+
+
 register_suite(
     "suite_sketches",
     [
@@ -121,6 +145,20 @@ register_suite(
             sk_bloom_pruned_join,
             _BLOOM_SQL,
             [("o_orderpriority", "s"), ("n_orders", "s"), ("revenue", "d2")],
+        ),
+        SubQuery(
+            "sk_profile_documents",
+            sk_profile_documents,
+            _PROFILE_SQL,
+            [
+                ("col_name", "s"),
+                ("n_rows", "s"),
+                ("n_nulls", "s"),
+                ("n_distinct", "s"),
+                ("hll_est", "d2"),
+                ("min_num", "d2"),
+                ("max_num", "d2"),
+            ],
         ),
     ],
     doc="Sketch suite: deterministic 64-register HyperLogLog distinct "

@@ -134,3 +134,37 @@ def test_bloom_build_is_dense_word_array(spark, sf_dir):
     assert len(words) == sk.BLOOM_M // 64
     set_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
     assert 1 <= set_bits <= 10 * sk.BLOOM_K
+
+
+def test_profile_table_exact_stats(spark):
+    """Counts/nulls/min/max/exact-distinct on a hand-built frame with
+    planted nulls and duplicates."""
+    from clear_map_data_pipeline_spark.operators.sketches import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (7, "a"), (9, None)],
+        ["num", "cat"],
+    )
+    prof = {r.col_name: r for r in profile_table(df, ["num"], ["cat"]).collect()}
+    n = prof["num"]
+    assert (n.n_rows, n.n_nulls, n.n_distinct) == (5, 0, 4)
+    assert (n.min_num, n.max_num) == (1.0, 9.0)
+    c = prof["cat"]
+    assert (c.n_rows, c.n_nulls, c.n_distinct) == (5, 2, 2)
+    assert c.min_num is None and c.max_num is None
+    # HLL estimates exist and are positive for both columns
+    assert n.hll_est > 0 and c.hll_est > 0
+
+
+def test_profile_table_all_null_column(spark):
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.sketches import profile_table
+
+    df = spark.range(4).select(
+        F.col("id").alias("num"), F.lit(None).cast("string").alias("cat")
+    )
+    prof = {r.col_name: r for r in profile_table(df, ["num"], ["cat"]).collect()}
+    c = prof["cat"]
+    assert (c.n_rows, c.n_nulls, c.n_distinct) == (4, 4, 0)
+    assert c.hll_est is None  # no observed keys -> no registers -> NULL
