@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _PINS: list[DataFrame] = []
+_EPOCH = 0
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -31,8 +32,18 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def epoch() -> int:
+    """Monotone counter bumped by every ``release_all``.  Callers that
+    memoize a pinned frame (e.g. a suite sharing one digest scan across
+    sub-queries) key their memo on this so a released pin is never
+    served from the memo as if it were still cached."""
+    return _EPOCH
+
+
 def release_all() -> None:
     """Unpersist every pinned frame (no-op for never-materialized ones)."""
+    global _EPOCH
+    _EPOCH += 1
     while _PINS:
         df = _PINS.pop()
         try:

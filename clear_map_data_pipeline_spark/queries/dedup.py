@@ -299,6 +299,29 @@ _REPEATED_SQL = f"""
     """
 
 
+# One tokenize+digest scan shared by dd_repeated_passages and
+# dd_dup_span_coverage (both consume the same (id, pos, shingle_hash)
+# frame): the first builder pins it, the second reuses the cache.  The
+# memo is keyed on the cachereg epoch so a released pin is rebuilt, not
+# served stale (ADVICE r02 class of bug).
+_OCC_MEMO: dict[tuple, object] = {}
+
+
+def _shared_occ_digests(spark, sf_dir):
+    from .. import cachereg
+
+    key = (id(spark), sf_dir, cachereg.epoch())
+    df = _OCC_MEMO.get(key)
+    if df is None:
+        t = Tables(spark, sf_dir)
+        df = cachereg.pin(
+            dd.positional_shingles(t.documents, k=10, with_text=False)
+        )
+        _OCC_MEMO.clear()  # at most one live epoch's entry
+        _OCC_MEMO[key] = df
+    return df
+
+
 def dd_repeated_passages(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2022 re-expressed): word
     10-grams occurring in >= 2 distinct documents, i.e. the shared
@@ -306,7 +329,9 @@ def dd_repeated_passages(spark, sf_dir):
     see.  Digest-only aggregation shuffle + broadcast rejoin for the
     first-occurrence passage text."""
     t = Tables(spark, sf_dir)
-    return dd.repeated_passages(t.documents, k=10)
+    return dd.repeated_passages(
+        t.documents, k=10, shingles=_shared_occ_digests(spark, sf_dir)
+    )
 
 
 _COVERAGE_SQL = f"""
@@ -330,7 +355,9 @@ def dd_dup_span_coverage(spark, sf_dir):
     10-grams that also occur in another document; the drop-or-keep
     curation signal derived from the same digest-only shuffles."""
     t = Tables(spark, sf_dir)
-    return dd.duplicate_span_coverage(t.documents, k=10)
+    return dd.duplicate_span_coverage(
+        t.documents, k=10, shingles=_shared_occ_digests(spark, sf_dir)
+    )
 
 
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
