@@ -26,7 +26,7 @@ HEADLINE = [
     "a11_last_value_ratio",
     "w_ramzor_score",
     "j_asof_join",
-    "j_sessionization",
+    "suite_events_analytics",
     "dd_minhash_lsh_pairs",
     "suite_dedup_exact",
     "suite_dedup_fingerprints",

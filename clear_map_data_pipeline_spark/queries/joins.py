@@ -202,9 +202,7 @@ def j_asof_join(spark, sf_dir):
     )
 
 
-@register(
-    "j_sessionization",
-    sql="""
+_SESSIONIZATION_SQL = """
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -222,8 +220,9 @@ def j_asof_join(spark, sf_dir):
     SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
            CAST(count(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id
-    """,
-)
+    """
+
+
 def j_sessionization(spark, sf_dir):
     """Sessionization: lag-gap > 30 min starts a new session; cumulative
     sum of the boundary flags numbers the sessions.  One shuffle on
@@ -246,6 +245,112 @@ def j_sessionization(spark, sf_dir):
         F.countDistinct("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def ev_funnel_stages(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase): first
+    completion time of each stage strictly after the previous stage —
+    one shuffle on user_id, stacked same-spec windows (see
+    operators/events.py: funnel_user_stages)."""
+    from ..operators.events import funnel_user_stages
+
+    t = Tables(spark, sf_dir)
+    return funnel_user_stages(t.events, steps=FUNNEL_STEPS)
+
+
+_FUNNEL_SQL = """
+    WITH c1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN ts END AS q0
+      FROM events
+    ),
+    c2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                      AND min(q0) OVER w IS NOT NULL THEN ts END AS q1
+      FROM c1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    c3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                      AND min(q1) OVER w IS NOT NULL THEN ts END AS q2
+      FROM c2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    agg AS (
+      SELECT user_id,
+             epoch_us(min(q0)) AS t_view,
+             epoch_us(min(q1)) AS t_click,
+             epoch_us(min(q2)) AS t_purchase
+      FROM c3 GROUP BY user_id
+    )
+    SELECT user_id, t_view, t_click, t_purchase,
+           CAST(CAST(t_view IS NOT NULL AS INTEGER)
+                + CAST(t_click IS NOT NULL AS INTEGER)
+                + CAST(t_purchase IS NOT NULL AS INTEGER) AS INTEGER) AS stage
+    FROM agg WHERE t_view IS NOT NULL
+    """
+
+
+def ev_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts over first-active date (see
+    operators/events.py: retention_cohorts)."""
+    from ..operators.events import retention_cohorts
+
+    t = Tables(spark, sf_dir)
+    return retention_cohorts(t.events, period_days=7)
+
+
+_RETENTION_SQL = """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(d) AS cohort_date FROM activity GROUP BY user_id
+    )
+    SELECT f.cohort_date,
+           CAST((a.d - f.cohort_date) // 7 AS BIGINT) AS period_n,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """
+
+
+# Folded into one registry slot (driver's 50-entry CORRECTNESS window):
+# the sessionizer plus the two product-analytics shapes every event
+# table gets asked — ordered funnel conversion and retention cohorts.
+register_suite(
+    "suite_events_analytics",
+    [
+        SubQuery(
+            "j_sessionization",
+            j_sessionization,
+            _SESSIONIZATION_SQL,
+            [("user_id", "s"), ("n_sessions", "s"), ("n_events", "s")],
+        ),
+        SubQuery(
+            "ev_funnel_stages",
+            ev_funnel_stages,
+            _FUNNEL_SQL,
+            [("user_id", "s"), ("t_view", "s"), ("t_click", "s"),
+             ("t_purchase", "s"), ("stage", "s")],
+        ),
+        SubQuery(
+            "ev_retention_cohorts",
+            ev_retention_cohorts,
+            _RETENTION_SQL,
+            [("cohort_date", "s"), ("period_n", "s"), ("active_users", "s")],
+        ),
+    ],
+    doc="Event-analytics suite: gap-based sessionization + ordered "
+    "funnel conversion (strictly-after cascade, one shuffle on user) + "
+    "weekly retention cohorts, each oracle-checked row-for-row inside "
+    "the union.",
+)
 
 
 @register(
