@@ -365,6 +365,71 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") re-expressed on Spark:
+    cluster embeddings, then mark as duplicates the items that sit
+    within ``threshold`` cosine of a LOWER-ID item in the SAME cluster
+    (lowest id per near-dup group survives — deterministic, no RNG).
+
+    Returns (id, cluster_id, is_dup int).
+
+    Scale shape — the whole point of SemDeDup is that pairwise cosine
+    happens only WITHIN clusters: centroids (the deterministic
+    ``id % centroid_mod`` sample, same scheme the IVF index uses, so
+    the oracle reproduces them) broadcast to a map-side argmax
+    assignment whose shuffle is one row per vector; the pair join keys
+    on cluster_id, co-locating each cluster, so pair work is
+    sum(|cluster|^2) not N^2.  A pathologically hot cluster bounds a
+    task — at 100 TB cap cluster sizes by raising the centroid count
+    (or salt the pair join) exactly as you would tune K in the paper."""
+    from .similarity import _vectors, cosine
+
+    v = _vectors(df, id_col, vec_col)
+    cents = v.filter(F.col(id_col) % centroid_mod == 0).toDF("cid", "_c")
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col, "cid", F.round(cosine(F.col("_v"), F.col("_c")), 8).alias("_cs")
+    )
+    assign = scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))).alias(
+            "cid"
+        )
+    )
+    mem = assign.join(v, id_col).select(
+        F.col(id_col), F.col("cid"), F.col("_v")
+    )
+    a = mem.select(
+        F.col(id_col).alias("va"), "cid", F.col("_v").alias("_a")
+    )
+    b = mem.select(
+        F.col(id_col).alias("vb"), "cid", F.col("_v").alias("_b")
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            F.round(cosine(F.col("_a"), F.col("_b")), 4) >= threshold
+        )
+        .select("vb")
+        .distinct()
+        .withColumn("_isdup", F.lit(1))
+    )
+    return (
+        assign.join(dups.withColumnRenamed("vb", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.coalesce(F.col("_isdup"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

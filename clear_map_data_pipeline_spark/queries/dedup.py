@@ -190,8 +190,53 @@ def dd_simhash(spark, sf_dir):
     return dd.simhash(t.documents).select("doc_id", "simhash")
 
 
+# threshold 0.35 marks ~9% of within-cluster pairs as near-dups on the
+# fixture (0.5 marks none — the dup branch would go unexercised).
+SEMDEDUP_PARAMS = {"centroid_mod": 50, "threshold": 0.35}
+
+
+def dd_semantic(spark, sf_dir):
+    """SemDeDup: cluster embeddings (deterministic id%50 centroids, the
+    IVF scheme), mark items with cosine >= 0.35 to a lower-id item in
+    the same cluster.  Pairwise work is cluster-bounded, never
+    all-pairs (see operators/dedup.py: semantic_dedup)."""
+    t = Tables(spark, sf_dir)
+    return dd.semantic_dedup(t.embeddings, **SEMDEDUP_PARAMS)
+
+
+def _semantic_sql() -> str:
+    from .similarity import cos_expr
+
+    mod = SEMDEDUP_PARAMS["centroid_mod"]
+    thr = SEMDEDUP_PARAMS["threshold"]
+    cs_vc = cos_expr("v.e", "c.ce", 8)
+    cs_ab = cos_expr("a.e", "b.e", 4)
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {mod} = 0),
+    scored AS (SELECT v.vec_id, c.cid, {cs_vc} AS cs FROM v CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    mem AS (SELECT m.vec_id, m.cid, v.e FROM assign m JOIN v USING (vec_id)),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cs_ab} >= {thr}
+    )
+    SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_dup
+    FROM assign m LEFT JOIN dups d USING (vec_id)
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window;
-# COVERAGE.md "driver cap") — full result sets of both sub-queries
+# COVERAGE.md "driver cap") — full result sets of all sub-queries
 # still hash-check inside the suite union.
 register_suite(
     "suite_dedup_fingerprints",
@@ -208,9 +253,16 @@ register_suite(
             _simhash_sql(),
             [("doc_id", "s"), ("simhash", "s")],
         ),
+        SubQuery(
+            "dd_semantic",
+            dd_semantic,
+            _semantic_sql(),
+            [("vec_id", "s"), ("cluster_id", "s"), ("is_dup", "s")],
+        ),
     ],
     doc="Fingerprint dedup suite: embedding-cosine near-dup marking + "
-    "16-bit SimHash, each oracle-checked row-for-row inside the union.",
+    "16-bit SimHash + SemDeDup cluster-bounded semantic dedup, each "
+    "oracle-checked row-for-row inside the union.",
 )
 
 

@@ -251,3 +251,34 @@ def test_duplicate_span_coverage_fractions(spark):
     assert cov[2].dup_frac == 0.25
     # every doc's dup count bounded by its shingle count
     assert all(r.n_dup <= r.n_shingles for r in cov.values())
+
+
+def test_semantic_dedup_cluster_bounded(spark):
+    """SemDeDup's defining property: near-identical vectors in DIFFERENT
+    clusters are NOT marked (the trade the paper makes for tractability),
+    and within-cluster near-dups keep the lowest id."""
+    from clear_map_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    # centroid_mod=2 -> centroids are vec_id 0 (x-axis) and... only even
+    # ids: 0,2,4. Build: cluster A around +x, cluster B around +y.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A
+        (2, [0.0, 1.0, 0.0, 0.0]),   # centroid B
+        (4, [0.97, 0.24, 0.0, 0.0]), # centroid C (near A)
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0, same cluster -> dup
+        (3, [0.0, 0.999, 0.01, 0.0]),  # near-dup of 2, same cluster -> dup
+        (5, [0.71, 0.7, 0.0, 0.0]),    # between A and B
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(df, centroid_mod=2, threshold=0.9).collect()}
+    assert out[1].is_dup == 1 and out[1].cluster_id == out[0].cluster_id
+    assert out[3].is_dup == 1 and out[3].cluster_id == out[2].cluster_id
+    # the lowest id in each near-dup group survives
+    assert out[0].is_dup == 0 and out[2].is_dup == 0
+    # 0 and 4 are centroids of adjacent clusters: cosine(0,4)=0.97 > 0.9
+    # but they land in different clusters -> NOT marked (cluster-bounded)
+    if out[4].cluster_id != out[0].cluster_id:
+        assert out[4].is_dup == 0
