@@ -73,6 +73,61 @@ def funnel_user_stages(
     return agg.withColumn("stage", stage).filter(F.col(f"t_{steps[0]}").isNotNull())
 
 
+def daily_anomaly_zscores(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: int = 7,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly detection over daily event counts: each (type,
+    day)'s count is z-scored against the TRAILING ``window`` days
+    (excluding the day itself — the day under test must not contaminate
+    its own baseline).  Days without a full trailing window get a NULL
+    z (no verdict), never a fabricated one.
+
+    Returns (day, event_type, n, z, is_anomaly int).
+
+    Numeric determinism: mean/std derive from the frame's EXACT integer
+    sum(n) and sum(n^2) — a fixed float expression over two integers —
+    so engine and oracle agree bit-for-bit (a rolling stddev_samp
+    aggregates floats in engine-specific order and can flip the
+    rounding).  Scale shape: raw events collapse to |types x days|
+    rows map-side first; the windows run over that tiny frame."""
+    daily = (
+        events.groupBy(
+            F.to_date(ts_col).alias("day"), F.col(type_col)
+        ).agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("day")
+        .rowsBetween(-window, -1)
+    )
+    stats = daily.select(
+        "day",
+        type_col,
+        "n",
+        F.count("n").over(w).alias("_k"),
+        F.sum("n").over(w).alias("_s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_ss"),
+    )
+    k, s, ss = F.col("_k"), F.col("_s"), F.col("_ss")
+    mean = s / k
+    var = (ss - s * s / k) / (k - 1)
+    z = F.when(
+        (k == window) & (var > 0),
+        F.round((F.col("n") - mean) / F.sqrt(var), 4),
+    )
+    return stats.select(
+        "day",
+        type_col,
+        "n",
+        z.alias("z"),
+        (F.abs(z) > z_thresh).cast("int").alias("is_anomaly"),
+    ).withColumn("is_anomaly", F.coalesce(F.col("is_anomaly"), F.lit(0)))
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

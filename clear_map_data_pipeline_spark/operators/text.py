@@ -108,6 +108,72 @@ def tfidf_top_terms(
     )
 
 
+def classifier_weights(dim: int = 64, seed: str = "w") -> list[float]:
+    """Deterministic stand-in weight vector for the hashed linear
+    classifier: w_j in [-1, 1) derived from md5(seed|j), rounded to 6
+    decimals so the literal parses to the identical double on every
+    engine.  A real deployment passes fasttext/logreg-trained weights
+    instead — the plumbing (hashing, broadcast-literal weights,
+    JVM-side scoring) is what this operator exercises."""
+    import hashlib
+
+    return [
+        round(
+            int(hashlib.md5(f"{seed}{j}".encode()).hexdigest()[:8], 16)
+            / 2**32
+            * 2
+            - 1,
+            6,
+        )
+        for j in range(dim)
+    ]
+
+
+def _bucket_expr(tok: str, dim: int) -> str:
+    """Token -> [0, dim) feature bucket from the first two md5 hex
+    digits (256 raw buckets folded by modulo) — mirrored digit-for-digit
+    by the DuckDB twin in queries/text.py."""
+    d1 = f"(instr('0123456789abcdef', substring(md5({tok}), 1, 1)) - 1)"
+    d2 = f"(instr('0123456789abcdef', substring(md5({tok}), 2, 1)) - 1)"
+    return f"(({d1} * 16 + {d2}) % {dim})"
+
+
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    bias: float = 0.0,
+    weights: list[float] | None = None,
+    out: str = "clf_score",
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier — the scoring
+    shape of the CCNet / LLaMA "quality filter" stage: hash each token
+    into ``dim`` feature buckets, dot the bucket counts with a weight
+    vector, squash through a sigmoid.
+
+    Scale shape: the weight vector is a LITERAL array baked into the
+    expression (at real scale: broadcast), so scoring is a pure per-row
+    JVM expression over the token array — zero shuffles, zero Python,
+    embarrassingly parallel over any corpus size.  Score rounds to 4
+    decimals (both engines compute the identical literal arithmetic)."""
+    w = weights if weights is not None else classifier_weights(dim)
+    wlit = ", ".join(f"{x}D" for x in w)
+    b = _bucket_expr("t", dim)
+    score = (
+        f"CASE WHEN size(_toks) > 0 THEN "
+        f"round(1.0 / (1.0 + exp(-({bias}D + "
+        f"aggregate(_toks, 0.0D, (acc, t) -> acc + element_at(array({wlit}), {b} + 1))"
+        f" / size(_toks)))), 4) "
+        f"ELSE round(1.0 / (1.0 + exp(-({bias}D))), 4) END"
+    )
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn(out, F.expr(score))
+        .drop("_toks")
+    )
+
+
 def stopword_ratio(col: str = "text", lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang`` (0 if no tokens)."""
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])

@@ -320,9 +320,50 @@ _RETENTION_SQL = """
     """
 
 
+def ev_daily_anomaly(spark, sf_dir):
+    """Daily volume anomaly z-scores per event type: trailing-7-day
+    baseline excluding the scored day; mean/std from exact integer
+    sums so engine and oracle agree bit-for-bit (see
+    operators/events.py: daily_anomaly_zscores)."""
+    from ..operators.events import daily_anomaly_zscores
+
+    t = Tables(spark, sf_dir)
+    return daily_anomaly_zscores(t.events, window=7, z_thresh=2.0)
+
+
+_ANOMALY_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT day, event_type, n,
+             count(n) OVER w AS k,
+             sum(n) OVER w AS s,
+             sum(n * n) OVER w AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT day, event_type, n,
+             CASE WHEN k = 7 AND (ss - s * s / k) / (k - 1) > 0
+                  THEN round((n - s / k)
+                             / sqrt((ss - s * s / k) / (k - 1)), 4)
+             END AS z
+      FROM stats
+    )
+    SELECT day, event_type, n, z,
+           CAST(coalesce(CAST(abs(z) > 2.0 AS INTEGER), 0) AS INTEGER)
+             AS is_anomaly
+    FROM scored
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window):
-# the sessionizer plus the two product-analytics shapes every event
-# table gets asked — ordered funnel conversion and retention cohorts.
+# the sessionizer plus the product-analytics shapes every event
+# table gets asked — ordered funnel conversion, retention cohorts, and
+# daily volume-anomaly z-scores.
 register_suite(
     "suite_events_analytics",
     [
@@ -344,6 +385,13 @@ register_suite(
             ev_retention_cohorts,
             _RETENTION_SQL,
             [("cohort_date", "s"), ("period_n", "s"), ("active_users", "s")],
+        ),
+        SubQuery(
+            "ev_daily_anomaly",
+            ev_daily_anomaly,
+            _ANOMALY_SQL,
+            [("day", "s"), ("event_type", "s"), ("n", "s"),
+             ("z", "d4"), ("is_anomaly", "s")],
         ),
     ],
     doc="Event-analytics suite: gap-based sessionization + ordered "

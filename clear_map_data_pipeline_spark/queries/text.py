@@ -94,8 +94,41 @@ def tx_quality_score(spark, sf_dir):
     return tx.quality_score(t.documents).select("doc_id", "quality")
 
 
+CLF_DIM = 64
+
+
+def tx_linear_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (fastText-shape): md5-bucketed
+    token features dotted with literal weights, sigmoid-squashed — pure
+    per-row JVM expression, zero shuffles (see operators/text.py:
+    linear_quality_score)."""
+    t = Tables(spark, sf_dir)
+    return tx.linear_quality_score(t.documents, dim=CLF_DIM).select(
+        "doc_id", "clf_score"
+    )
+
+
+def _linear_clf_sql() -> str:
+    w = tx.classifier_weights(CLF_DIM)
+    wlist = "[" + ", ".join(str(x) for x in w) + "]"
+    d1 = "(instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1)"
+    bucket = f"(({d1} * 16 + {d2}) % {CLF_DIM})"
+    mean = (
+        f"list_sum(list_transform({_TOKS}, x -> ({wlist})[{bucket} + 1]))"
+        f" / len({_TOKS})"
+    )
+    return f"""
+    SELECT doc_id,
+           CASE WHEN len({_TOKS}) > 0
+                THEN round(1.0 / (1.0 + exp(-(0.0 + {mean}))), 4)
+                ELSE round(1.0 / (1.0 + exp(-0.0)), 4) END AS clf_score
+    FROM documents
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
-# both full result sets still hash-check inside the suite union.
+# all full result sets still hash-check inside the suite union.
 register_suite(
     "suite_text_quality",
     [
@@ -111,10 +144,17 @@ register_suite(
             f"SELECT doc_id, {QUALITY_SQL_EXPR} AS quality FROM documents",
             [("doc_id", "s"), ("quality", "d3")],
         ),
+        SubQuery(
+            "tx_linear_classifier",
+            tx_linear_classifier,
+            _linear_clf_sql(),
+            [("doc_id", "s"), ("clf_score", "d4")],
+        ),
     ],
     doc="Text-quality suite: stopword-argmax language ID + composite "
-    "quality scoring, each oracle-checked row-for-row inside the "
-    "union.",
+    "heuristic quality scoring + hashed linear classifier scoring "
+    "(fastText shape, literal weights), each oracle-checked "
+    "row-for-row inside the union.",
 )
 
 

@@ -121,3 +121,51 @@ def test_funnel_plan_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_anomaly_zscore_spike_and_flat(spark):
+    from clear_map_data_pipeline_spark.operators.events import (
+        daily_anomaly_zscores,
+    )
+
+    rows = []
+    eid = 0
+    # type 'a': 10/day for 7 days, then a 100-event spike on day 8
+    for day in range(7):
+        for _ in range(10):
+            rows.append((eid, _T0 + dt.timedelta(days=day), 1, "a", 0.0, "{}"))
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, _T0 + dt.timedelta(days=7), 1, "a", 0.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = {str(r["day"]): r for r in daily_anomaly_zscores(df).collect()}
+    # days 0-6: no full 7-day trailing window -> no verdict
+    for day in range(7):
+        key = str((_T0 + dt.timedelta(days=day)).date())
+        assert out[key]["z"] is None and out[key]["is_anomaly"] == 0
+    # day 7: trailing window is 7x10 with zero variance -> var==0 -> no
+    # verdict either (the var>0 guard), NOT a div-by-zero or a flag
+    key = str((_T0 + dt.timedelta(days=7)).date())
+    assert out[key]["z"] is None and out[key]["is_anomaly"] == 0
+
+
+def test_anomaly_zscore_flags_real_spike(spark):
+    from clear_map_data_pipeline_spark.operators.events import (
+        daily_anomaly_zscores,
+    )
+
+    rows = []
+    eid = 0
+    # alternating 9/11 baseline (nonzero variance), then a spike
+    for day in range(7):
+        for _ in range(9 if day % 2 == 0 else 11):
+            rows.append((eid, _T0 + dt.timedelta(days=day), 1, "a", 0.0, "{}"))
+            eid += 1
+    for _ in range(50):
+        rows.append((eid, _T0 + dt.timedelta(days=7), 1, "a", 0.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = {str(r["day"]): r for r in daily_anomaly_zscores(df).collect()}
+    key = str((_T0 + dt.timedelta(days=7)).date())
+    assert out[key]["is_anomaly"] == 1 and out[key]["z"] > 2.0

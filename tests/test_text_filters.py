@@ -93,3 +93,22 @@ def test_contamination_ids_shingle_overlap(spark):
     bench = _docs(spark, [(100, "watch the quick brown fox run")])
     got = sorted(r["doc_id"] for r in contamination_ids(corpus, bench).collect())
     assert got == [1, 3]
+
+
+def test_linear_classifier_scores(spark):
+    from clear_map_data_pipeline_spark.operators.text import (
+        classifier_weights,
+        linear_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.clf_score for r in linear_quality_score(df).collect()}
+    # empty/whitespace docs score exactly sigmoid(bias)=0.5, no NULL/NaN
+    assert out[2] == 0.5 and out[3] == 0.5
+    assert 0.0 < out[1] < 1.0
+    # deterministic weights: same call, same vector
+    assert classifier_weights(8) == classifier_weights(8)
+    assert all(-1.0 <= w < 1.0 for w in classifier_weights(64))
