@@ -169,3 +169,60 @@ def test_anomaly_zscore_flags_real_spike(spark):
     out = {str(r["day"]): r for r in daily_anomaly_zscores(df).collect()}
     key = str((_T0 + dt.timedelta(days=7)).date())
     assert out[key]["is_anomaly"] == 1 and out[key]["z"] > 2.0
+
+
+# --- property test: funnel vs a literal per-user Python simulation ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TYPES = ["view", "click", "purchase", "error"]
+
+seq_strategy = st.dictionaries(
+    st.integers(min_value=1, max_value=4),              # user_id
+    st.lists(st.sampled_from(_TYPES), min_size=1, max_size=10),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _simulate(seq):
+    """Literal sequential scan: walk the user's events in order, advance
+    the stage pointer when the next-needed step appears."""
+    steps = ["view", "click", "purchase"]
+    times = [None, None, None]
+    stage = 0
+    for pos, ev in enumerate(seq):
+        if stage < 3 and ev == steps[stage]:
+            times[stage] = pos
+            stage += 1
+    return times, stage
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seq_strategy)
+def test_funnel_matches_literal_simulation(spark, seqs):
+    from clear_map_data_pipeline_spark.operators.events import (
+        funnel_user_stages,
+    )
+
+    rows, eid = [], 0
+    for u, seq in seqs.items():
+        for pos, ev in enumerate(seq):
+            rows.append(
+                (eid, _T0 + dt.timedelta(minutes=pos), u, ev, 0.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {r["user_id"]: r for r in funnel_user_stages(df).collect()}
+    t0 = int(_T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    for u, seq in seqs.items():
+        times, stage = _simulate(seq)
+        if times[0] is None:
+            assert u not in got
+            continue
+        assert got[u]["stage"] == stage
+        for name, t in zip(("t_view", "t_click", "t_purchase"), times):
+            exp = None if t is None else t0 + t * 60 * 1_000_000
+            assert got[u][name] == exp, (u, name, seq)
