@@ -276,3 +276,127 @@ def temperature_mix(
         .filter(F.col("sample_bucket") < F.col("rate_pct"))
         .select(id_col, domain_col, "rate_pct", "sample_bucket")
     )
+
+
+def shard_manifest(df: DataFrame, shard_col: str = "shard") -> DataFrame:
+    """Per-shard manifest frame: (shard, rows, checksum) where checksum
+    is the bit-XOR of every row's xxhash64 over all DATA columns —
+    order-insensitive (shard content is a set; parquet task ordering
+    must not change the digest) and overflow-free (XOR, not sum, so
+    ANSI mode can't raise).  One aggregation, map-side combined.
+
+    ``shard_col`` itself is EXCLUDED from the digest: after a
+    partitionBy write it round-trips through a directory name and comes
+    back with whatever integer width partition-column inference picks
+    (long -> int), and xxhash64 is type-sensitive — hashing it would
+    make the audit fail on byte-identical data (caught by the
+    vanilla-session smoke).  It is the manifest key, so it is still
+    fully verified."""
+    cols = [c for c in df.columns if c != shard_col]
+    return df.groupBy(shard_col).agg(
+        F.count("*").alias("rows"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in cols) + "))"
+        ).alias("checksum"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_path: str,
+    shard_col: str = "shard",
+) -> dict:
+    """Write a corpus partitioned by ``shard_col`` with a content
+    MANIFEST, write-audit-publish:
+
+    1. WRITE ``out_path/data/shard=<n>/`` (one directory per shard —
+       the unit downstream loaders read independently);
+    2. AUDIT: re-read what landed on storage and recompute the per-shard
+       (rows, checksum) aggregate; any divergence from the pre-write
+       manifest aborts BEFORE the commit marker exists;
+    3. PUBLISH ``out_path/manifest.json`` — readers treat the manifest's
+       presence as the commit marker, so a crashed or failed-audit write
+       is invisible (no manifest -> no dataset), and a retry overwrites
+       data then re-publishes.  The same marker discipline the
+       streaming CDC sink and compaction job use.
+
+    Returns the manifest dict.  At 100 TB the audit is one extra scan of
+    the written data — the price of catching torn writes/lost tasks at
+    publish time instead of mid-training."""
+    import json
+    import os
+
+    expected = {
+        int(r[shard_col]): (int(r["rows"]), int(r["checksum"]))
+        for r in shard_manifest(df, shard_col).collect()
+    }
+    data_path = os.path.join(out_path, "data")
+    df.write.mode("overwrite").partitionBy(shard_col).parquet(data_path)
+    back = df.sparkSession.read.parquet(data_path)
+    # partitionBy moves shard into the directory key; restore column order
+    back = back.select(*df.columns)
+    actual = {
+        int(r[shard_col]): (int(r["rows"]), int(r["checksum"]))
+        for r in shard_manifest(back, shard_col).collect()
+    }
+    if actual != expected:
+        bad = sorted(
+            s
+            for s in set(expected) | set(actual)
+            if expected.get(s) != actual.get(s)
+        )
+        raise IOError(
+            f"shard audit failed for shards {bad}: written data does not "
+            f"match the computed manifest; NOT publishing"
+        )
+    manifest = {
+        "shards": {
+            str(s): {"rows": r, "checksum": format(c & (2**64 - 1), "016x")}
+            for s, (r, c) in sorted(expected.items())
+        },
+        "total_rows": sum(r for r, _ in expected.values()),
+        "n_shards": len(expected),
+        "columns": list(df.columns),
+        "shard_col": shard_col,
+    }
+    with open(os.path.join(out_path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def audit_training_shards(spark, out_path: str) -> dict:
+    """fsck for a published shard dataset: recompute every shard's
+    (rows, checksum) from storage and diff against manifest.json.
+    Returns {"ok": bool, "bad_shards": [...], "missing": [...],
+    "unexpected": [...]}; never raises on mismatch — this is the
+    monitoring probe, the caller decides severity."""
+    import json
+    import os
+
+    with open(os.path.join(out_path, "manifest.json")) as f:
+        manifest = json.load(f)
+    shard_col = manifest.get("shard_col", "shard")
+    back = spark.read.parquet(os.path.join(out_path, "data")).select(
+        *manifest["columns"]
+    )
+    actual = {
+        str(r[shard_col]): (
+            int(r["rows"]),
+            format(int(r["checksum"]) & (2**64 - 1), "016x"),
+        )
+        for r in shard_manifest(back, shard_col).collect()
+    }
+    expected = {
+        s: (m["rows"], m["checksum"]) for s, m in manifest["shards"].items()
+    }
+    bad = sorted(
+        s for s in set(expected) & set(actual) if expected[s] != actual[s]
+    )
+    missing = sorted(set(expected) - set(actual))
+    unexpected = sorted(set(actual) - set(expected))
+    return {
+        "ok": not bad and not missing and not unexpected,
+        "bad_shards": bad,
+        "missing": missing,
+        "unexpected": unexpected,
+    }

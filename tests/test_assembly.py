@@ -219,3 +219,49 @@ def test_global_shuffle_index_survives_pin_release(spark, sf_dir):
     assert first == second
     idxs = sorted(i for _, i in first)
     assert idxs == list(range(len(first)))
+
+
+def test_write_training_shards_manifest_roundtrip(spark, tmp_path):
+    from clear_map_data_pipeline_spark.operators.assembly import (
+        audit_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"doc {i}") for i in range(100)],
+        "doc_id long, shard int, text string",
+    )
+    out = str(tmp_path / "corpus")
+    manifest = write_training_shards(df, out)
+    assert manifest["total_rows"] == 100
+    assert manifest["n_shards"] == 4
+    assert all(m["rows"] == 25 for m in manifest["shards"].values())
+    # published dataset audits clean
+    probe = audit_training_shards(spark, out)
+    assert probe["ok"], probe
+    # identical data rewritten elsewhere yields the identical manifest
+    # (checksums are content-derived, not write-order-derived)
+    manifest2 = write_training_shards(df.orderBy(F.desc("doc_id")), str(tmp_path / "c2"))
+    assert manifest2["shards"] == manifest["shards"]
+
+
+def test_audit_detects_lost_shard_file(spark, tmp_path):
+    import glob
+    import os
+
+    from clear_map_data_pipeline_spark.operators.assembly import (
+        audit_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, f"doc {i}") for i in range(40)],
+        "doc_id long, shard int, text string",
+    )
+    out = str(tmp_path / "corpus")
+    write_training_shards(df, out)
+    victim = glob.glob(os.path.join(out, "data", "shard=1", "*.parquet"))[0]
+    os.remove(victim)
+    probe = audit_training_shards(spark, out)
+    assert not probe["ok"]
+    assert probe["bad_shards"] == ["1"] or probe["missing"] == ["1"]
