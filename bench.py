@@ -69,7 +69,7 @@ def main() -> None:
         warm = registry[name].builder(spark, "/root/testdata/sf0.001")
         warm.write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: single-run numbers on a shared 32-thread box
+    # Best-of-3 per query: single-run numbers on a shared 32-thread box
     # swing 2-4x with GC/codegen/compaction noise (observed: the same
     # plan at 1.2s and 8.4s in one session).  The minimum is the
     # steady-state cost of the PLAN — the quantity that scales with
@@ -77,7 +77,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = registry[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
