@@ -13,7 +13,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .windows import by_key_ordered, full_partition, rolling
+from .windows import by_key_ordered, full_partition, prefix, rolling
 
 
 def last_value_ratio(
@@ -302,3 +302,100 @@ def daily_total_delta(
 def distinct_ordered_dates(df: DataFrame, date: str = "date") -> DataFrame:
     """A15 (ref :167): the distinct dates of a window, ordered."""
     return df.select(date).distinct().orderBy(date)
+
+
+def gapfill_locf_interp(
+    df: DataFrame,
+    value: str,
+    key: str = "id",
+    date: str = "date",
+) -> DataFrame:
+    """Densify a per-key daily series onto a full date spine and fill the
+    gaps two ways: last-observation-carried-forward and linear
+    interpolation (the hypertable ``time_bucket_gapfill`` + ``locf`` +
+    ``interpolate`` trio, re-expressed as one window stack).
+
+    Output: (key, date, <value> nullable original, locf, interp) — one
+    row per key per day of [min(date), max(date)] within the key.
+
+    Scale shape: the spine is a per-key min/max aggregate + ``sequence``
+    + ``explode`` (rows materialize inside the key's partition, no extra
+    exchange); the observation join is a co-partitioned (key, date)
+    equi-join; and all four fill windows stack on the engine's canonical
+    (key, date) spec, so the whole fill compiles to the same single
+    exchange + sort every other per-key window shares.  Spine width is
+    bounded by the calendar span, not the corpus — at 100 TB the fill
+    output is |keys| x |days|, already the result's size.
+    """
+    spine = (
+        df.groupBy(key)
+        .agg(F.min(date).alias("_d0"), F.max(date).alias("_d1"))
+        .select(key, F.explode(F.sequence("_d0", "_d1")).alias(date))
+    )
+    obs = df.select(key, date, F.col(value).alias("_obs"))
+    j = spine.join(obs, [key, date], "left")
+    wp = prefix(key, date)
+    wn = by_key_ordered(key, date).rowsBetween(0, Window.unboundedFollowing)
+    obs_date = F.when(F.col("_obs").isNotNull(), F.col(date))
+    prev_v = F.last("_obs", ignorenulls=True).over(wp)
+    next_v = F.first("_obs", ignorenulls=True).over(wn)
+    prev_d = F.last(obs_date, ignorenulls=True).over(wp)
+    next_d = F.first(obs_date, ignorenulls=True).over(wn)
+    # Spine edges ARE observations, so prev/next are non-null everywhere.
+    interp = F.when(
+        F.col("_obs").isNotNull(), F.col("_obs").cast("double")
+    ).otherwise(
+        prev_v.cast("double")
+        + (next_v - prev_v)
+        * (F.datediff(F.col(date), prev_d) / F.datediff(next_d, prev_d))
+    )
+    return j.select(
+        key,
+        date,
+        F.col("_obs").alias(value),
+        prev_v.alias("locf"),
+        F.round(interp, 4).alias("interp"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    value: str,
+    alpha: float,
+    key: str = "id",
+    order: str = "date",
+    out: str = "ewma",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average, recursive form
+    (pandas ``ewm(alpha, adjust=False)``): y_0 = x_0 and
+    y_t = (1 - alpha) * y_{t-1} + alpha * x_t.
+
+    A recursion has no fixed-frame window form, so each row folds its
+    cumulative prefix: ``collect_list`` over the canonical cumulative
+    frame + an ``aggregate`` whose null-seeded accumulator makes the
+    first element the seed.  The fold order is the frame order (key,
+    order sorted), so the result is deterministic and the float op
+    sequence is engine-reproducible (the DuckDB twin folds the same
+    list with ``list_reduce``).
+
+    Cost contract: prefix lists make this O(rows_per_key^2) work and
+    O(rows_per_key) peak row width inside each key — the same
+    bounded-series contract as the reference's per-group pandas ops.
+    For unbounded streams use the streaming layer's stateful fold
+    instead; at 100 TB-of-many-short-series (the reference shape:
+    |keys| ~ geography x ~10^3 days) the bound is the calendar, and
+    every key still processes in parallel on one exchange.
+    """
+    a = float(alpha)
+    pre = F.collect_list(F.col(value).cast("double")).over(prefix(key, order))
+    fold = F.expr(
+        f"aggregate(_pre, CAST(NULL AS DOUBLE), (acc, x) -> "
+        f"CASE WHEN acc IS NULL THEN x "
+        f"ELSE acc * CAST({1.0 - a} AS DOUBLE) + CAST({a} AS DOUBLE) * x END)"
+    )
+    return (
+        df.withColumn("_pre", pre)
+        .withColumn(out, F.round(fold, ndigits))
+        .drop("_pre")
+    )

@@ -127,6 +127,77 @@ def w6_lag_7(spark, sf_dir):
     )
 
 
+def w_gapfill_locf(spark, sf_dir):
+    """Gapfill + LOCF + linear interpolation (beyond-reference §2.5, the
+    hypertable gapfill trio): densify each id's naturally-sparse daily
+    series onto its [min(date), max(date)] spine, carry the last
+    observation forward, and linearly interpolate across each gap.
+    Spine explode + co-partitioned join + all fill windows on the one
+    canonical (id, date) exchange."""
+    t = Tables(spark, sf_dir)
+    return stats.gapfill_locf_interp(moh_daily(t), "cases")
+
+
+_W_GAPFILL_SQL = f"""
+    WITH {MOH_DAILY_SQL},
+    bounds AS (SELECT id, min(date) AS _d0, max(date) AS _d1
+               FROM daily GROUP BY 1),
+    spine AS (SELECT id, CAST(unnest(generate_series(_d0, _d1,
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+              FROM bounds),
+    j AS (SELECT s.id, s.date, d.cases AS obs
+          FROM spine s LEFT JOIN daily d USING (id, date)),
+    f AS (SELECT id, date, obs,
+            last_value(obs IGNORE NULLS) OVER wp AS locf,
+            first_value(obs IGNORE NULLS) OVER wn AS nxt,
+            last_value(CASE WHEN obs IS NOT NULL THEN date END IGNORE NULLS)
+              OVER wp AS pd,
+            first_value(CASE WHEN obs IS NOT NULL THEN date END IGNORE NULLS)
+              OVER wn AS nd
+          FROM j
+          WINDOW wp AS (PARTITION BY id ORDER BY date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY id ORDER BY date
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT id, date, obs AS cases, locf,
+           round(CASE WHEN obs IS NOT NULL THEN CAST(obs AS DOUBLE)
+                 ELSE CAST(locf AS DOUBLE) + (nxt - locf)
+                      * (date_diff('day', pd, date) * 1.0
+                         / date_diff('day', pd, nd)) END, 4) AS interp
+    FROM f
+    """
+
+
+# pandas ewm(alpha=0.3, adjust=False) analog; shared by query + oracle.
+EWMA_ALPHA = 0.3
+
+
+def w_ewma(spark, sf_dir):
+    """Recursive EWMA (beyond-reference §2.5): y_t = 0.7*y_{t-1} + 0.3*x_t
+    per id over date order — no fixed-frame window computes a recursion,
+    so each row folds its cumulative prefix list (bounded-series
+    contract documented on the operator)."""
+    t = Tables(spark, sf_dir)
+    return stats.ewma(moh_daily(t), "cases", EWMA_ALPHA).select(
+        "id", "date", "cases", "ewma"
+    )
+
+
+_W_EWMA_SQL = f"""
+    WITH {MOH_DAILY_SQL},
+    l AS (SELECT id, date, cases,
+                 list(CAST(cases AS DOUBLE)) OVER
+                   (PARTITION BY id ORDER BY date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _pre
+          FROM daily)
+    SELECT id, date, cases,
+           round(list_reduce(_pre, (acc, x) ->
+                 acc * CAST({1.0 - EWMA_ALPHA} AS DOUBLE)
+                 + CAST({EWMA_ALPHA} AS DOUBLE) * x), 6) AS ewma
+    FROM l
+    """
+
+
 def w_rank_family(spark, sf_dir):
     """Ranking-window breadth (beyond-reference §2.5): ntile quartiles,
     percent_rank, cume_dist and dense_rank over the shared (id, date)
@@ -196,11 +267,25 @@ register_suite(
             [("id", "s"), ("date", "s"), ("quartile", "s"),
              ("pct_rank", "d6"), ("cume", "d6"), ("drank", "s")],
         ),
+        SubQuery(
+            "w_gapfill_locf",
+            w_gapfill_locf,
+            _W_GAPFILL_SQL,
+            [("id", "s"), ("date", "s"), ("cases", "s"), ("locf", "s"),
+             ("interp", "d4")],
+        ),
+        SubQuery(
+            "w_ewma",
+            w_ewma,
+            _W_EWMA_SQL,
+            [("id", "s"), ("date", "s"), ("cases", "s"), ("ewma", "d6")],
+        ),
     ],
     doc="Window-function suite: trailing 7-day rolling sum + lag-7 with "
     "zero default (latent ramzor, ref :138-141) + the ranking family "
-    "(ntile/percent_rank/cume_dist/dense_rank), each oracle-checked "
-    "row-for-row inside the union.",
+    "(ntile/percent_rank/cume_dist/dense_rank) + date-spine gapfill "
+    "with LOCF/linear interpolation + recursive EWMA, each "
+    "oracle-checked row-for-row inside the union.",
 )
 
 

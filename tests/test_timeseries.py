@@ -1,0 +1,111 @@
+"""Literal-expectation tests for the time-series fill operators:
+date-spine gapfill with LOCF/linear interpolation, and recursive EWMA
+checked against an explicit Python recurrence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from clear_map_data_pipeline_spark.operators.stats import (
+    ewma,
+    gapfill_locf_interp,
+)
+
+
+def _daily(spark, rows):
+    return spark.createDataFrame(rows, "id long, date date, cases long")
+
+
+def test_gapfill_densifies_and_fills(spark):
+    d = dt.date
+    df = _daily(
+        spark,
+        [
+            (1, d(2020, 1, 1), 10),
+            (1, d(2020, 1, 4), 40),
+            (1, d(2020, 1, 6), 20),
+        ],
+    )
+    out = {
+        r["date"]: r for r in gapfill_locf_interp(df, "cases").collect()
+    }
+    # dense spine: every day of [min, max]
+    assert sorted(out) == [d(2020, 1, i) for i in range(1, 7)]
+    # observed rows pass through; gaps are NULL in the original column
+    assert out[d(2020, 1, 2)]["cases"] is None
+    assert out[d(2020, 1, 4)]["cases"] == 40
+    # LOCF carries the last observation
+    assert [out[d(2020, 1, i)]["locf"] for i in range(1, 7)] == [
+        10, 10, 10, 40, 40, 20,
+    ]
+    # linear interpolation: 10 -> 40 over 3 days, 40 -> 20 over 2 days
+    assert [out[d(2020, 1, i)]["interp"] for i in range(1, 7)] == [
+        10.0, 20.0, 30.0, 40.0, 30.0, 20.0,
+    ]
+
+
+def test_gapfill_no_gaps_is_identity_shape(spark):
+    d = dt.date
+    df = _daily(spark, [(5, d(2021, 3, 1), 7), (5, d(2021, 3, 2), 9)])
+    rows = gapfill_locf_interp(df, "cases").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["cases"] == r["locf"] == int(r["interp"])
+
+
+def test_gapfill_keys_fill_independently(spark):
+    d = dt.date
+    df = _daily(
+        spark,
+        [
+            (1, d(2020, 1, 1), 0),
+            (1, d(2020, 1, 3), 2),
+            (2, d(2020, 2, 10), 100),  # single-row key: 1-day spine
+        ],
+    )
+    rows = gapfill_locf_interp(df, "cases").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["id"], []).append(r)
+    assert len(by_key[1]) == 3 and len(by_key[2]) == 1
+    (solo,) = by_key[2]
+    assert solo["locf"] == 100 and solo["interp"] == 100.0
+
+
+def test_ewma_matches_literal_recurrence(spark):
+    vals = [10, 40, 20, 0, 5]
+    d = dt.date
+    df = _daily(
+        spark,
+        [(1, d(2020, 1, 1 + i), v) for i, v in enumerate(vals)],
+    )
+    alpha = 0.3
+    got = [
+        r["ewma"]
+        for r in ewma(df, "cases", alpha).orderBy("date").collect()
+    ]
+    y = None
+    expect = []
+    for x in vals:
+        y = float(x) if y is None else (1 - alpha) * y + alpha * x
+        expect.append(round(y, 6))
+    assert got == expect
+
+
+def test_ewma_partitions_by_key(spark):
+    d = dt.date
+    df = _daily(
+        spark,
+        [
+            (1, d(2020, 1, 1), 10),
+            (2, d(2020, 1, 1), 100),
+            (1, d(2020, 1, 2), 20),
+        ],
+    )
+    rows = {
+        (r["id"], r["date"]): r["ewma"]
+        for r in ewma(df, "cases", 0.5).collect()
+    }
+    assert rows[(2, d(2020, 1, 1))] == 100.0  # other key's seed untouched
+    assert rows[(1, d(2020, 1, 2))] == 15.0
