@@ -101,20 +101,25 @@ def main() -> None:
 
     # same discipline for the LSH path: recall vs the exact all-pairs
     # baseline at its 0.35 threshold, for (a) the registered operating
-    # point and (b) an OR-amplified point (4 planes x 8 repetitions)
-    # showing the knob's range.  The fixture's max pairwise cosine is
-    # 0.60 (no planted near-dups), so hyperplane-LSH recall at this
-    # threshold is geometry-bound — the tuned point is what the knob
-    # buys, the registered point is the honest cheap-bucketing number.
+    # point and (b) an OR-amplified point (4 planes x 16 repetitions,
+    # recall 0.92 at sf0.1) showing the knob's range.  The fixture's max
+    # pairwise cosine is 0.60 (no planted near-dups), so hyperplane-LSH
+    # recall at this threshold is geometry-bound — high recall here
+    # inherently costs a high candidate fraction, which is why the
+    # MEASURED deduped candidate fraction (the LSH analogue of IVF's
+    # probe fraction) is reported next to the tuned recall; on a real
+    # near-dup corpus (pairs >= 0.9 cosine) the registered point alone
+    # recalls essentially everything at ~2^-planes cost.
     from clear_map_data_pipeline_spark.operators.similarity import (
+        lsh_candidate_fraction,
         lsh_recall_vs_exact,
     )
     from clear_map_data_pipeline_spark.queries.similarity import DIM
 
+    TUNED = {"num_planes": 4, "repetitions": 16}
     lsh_recall_reg = lsh_recall_vs_exact(emb, DIM, threshold=0.35)
-    lsh_recall_tuned = lsh_recall_vs_exact(
-        emb, DIM, num_planes=4, threshold=0.35, repetitions=8
-    )
+    lsh_recall_tuned = lsh_recall_vs_exact(emb, DIM, threshold=0.35, **TUNED)
+    lsh_cand_frac = lsh_candidate_fraction(emb, DIM, **TUNED)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -141,6 +146,7 @@ def main() -> None:
                 "ivf_n_assign": IVF_KMEANS_PARAMS.get("n_assign", 1),
                 "ann_lsh_recall": round(lsh_recall_reg, 3),
                 "ann_lsh_recall_tuned": round(lsh_recall_tuned, 3),
+                "ann_lsh_tuned_candidate_fraction": round(lsh_cand_frac, 3),
             }
         )
     )

@@ -478,3 +478,45 @@ def lsh_recall_vs_exact(
     if n_exact == 0:
         return 0.0
     return exact.join(approx, ["va", "vb"], "left_semi").count() / n_exact
+
+
+def lsh_candidate_fraction(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    repetitions: int = 1,
+    max_rows: int | None = BASELINE_MAX_ROWS,
+) -> float:
+    """Fraction of all N*(N-1)/2 pairs the LSH bucketing actually scores
+    — the honest cost metric to report NEXT TO recall (the LSH analogue
+    of IVF's probe fraction).  The naive bound reps/2^planes ignores
+    bucket skew and cross-repetition overlap; this measures the real
+    deduped candidate volume.  Baseline-guarded: the measurement itself
+    counts candidate pairs, which at high reps approaches O(N^2)."""
+    v = _vectors(df, id_col, vec_col)
+    guard_baseline_rows(v, max_rows, "ann_lsh_pairs at the registered point")
+    n = v.count()
+    if n < 2:
+        return 0.0
+    buckets = F.array(
+        *[
+            (
+                lsh_bucket_offset("_v", dim, num_planes, r * num_planes)
+                + F.lit(r * (1 << num_planes))
+            )
+            for r in range(repetitions)
+        ]
+    )
+    vb = v.withColumn("bucket", F.explode(buckets)).select(
+        F.col(id_col).alias("va"), "bucket"
+    )
+    cand = (
+        vb.join(vb.toDF("vb", "bucket"), "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+        .count()
+    )
+    return cand / (n * (n - 1) / 2)

@@ -135,10 +135,13 @@ def sim_ann_lsh_pairs(spark, sf_dir):
     cosine is 0.60, so recall at the 0.35 exact-baseline threshold is
     geometry-bound — 0.02 at this registered (8 planes, 1 rep) point.
     The ``repetitions``/``num_planes`` knob is the recall lever
-    (AND-OR amplification): 4 planes x 8 reps measures 0.73 on the
-    same band.  bench.py reports both points every round; on a real
-    near-dup corpus (pairs >= 0.9) the registered point alone recalls
-    essentially everything."""
+    (AND-OR amplification): 4 planes x 8 reps measures 0.73, 4 x 16
+    measures 0.92 at a measured 0.64 deduped candidate fraction on the
+    same band — on THIS geometry high recall inherently costs near-all-
+    pairs work, which is why bench.py reports the candidate fraction
+    next to the tuned recall.  On a real near-dup corpus (pairs >= 0.9)
+    the registered point alone recalls essentially everything at
+    ~2^-planes cost."""
     t = Tables(spark, sf_dir)
     return sim.ann_lsh_pairs(t.embeddings, DIM, threshold=0.2)
 
