@@ -97,7 +97,7 @@ def main() -> None:
     )
 
     emb = Tables(spark, sf_dir).embeddings
-    recall = ivf_recall_at_k(emb, k=5, trained=True, **IVF_KMEANS_PARAMS)
+    recall = ivf_recall_at_k(emb, k=5, trained="lloyd", **IVF_KMEANS_PARAMS)
 
     # same discipline for the LSH path: recall vs the exact all-pairs
     # baseline at its 0.35 threshold, for (a) the registered operating

@@ -355,18 +355,29 @@ def ivf_recall_at_k(
     vec_col: str = "embedding",
     k: int = 5,
     query_mod: int = 100,
-    trained: bool = True,
+    trained: bool | str = True,
     **ivf_kwargs,
 ) -> float:
     """recall@k of the IVF result against the exact brute-force top-k
-    (cosine_topk) for the same query set: |IVF ∩ exact| / |exact|."""
+    (cosine_topk) for the same query set: |IVF ∩ exact| / |exact|.
+    ``trained``: "lloyd" = the deterministic-Lloyd variant (the
+    registered query), True = the MLlib variant, False = id-sample
+    centroids."""
     queries = df.filter(F.col(id_col) % query_mod == 0)
     exact = cosine_topk(df, queries, k, id_col, vec_col).select("va", "vb")
-    approx = (
-        ivf_topk_trained(df, id_col, vec_col, k=k, query_mod=query_mod, **ivf_kwargs)
-        if trained
-        else ivf_topk(df, id_col, vec_col, k=k, query_mod=query_mod, **ivf_kwargs)
-    ).select("va", "vb")
+    if trained == "lloyd":
+        approx = ivf_topk_lloyd(
+            df, id_col, vec_col, k=k, query_mod=query_mod, **ivf_kwargs
+        )
+    elif trained:
+        approx = ivf_topk_trained(
+            df, id_col, vec_col, k=k, query_mod=query_mod, **ivf_kwargs
+        )
+    else:
+        approx = ivf_topk(
+            df, id_col, vec_col, k=k, query_mod=query_mod, **ivf_kwargs
+        )
+    approx = approx.select("va", "vb")
     n_exact = exact.count()
     if n_exact == 0:
         return 0.0
@@ -520,3 +531,98 @@ def lsh_candidate_fraction(
         .count()
     )
     return cand / (n * (n - 1) / 2)
+
+
+def lloyd_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 10,
+    max_iter: int = 5,
+    train_mod: int = 1,
+) -> DataFrame:
+    """Deterministic distributed spherical k-means (Lloyd's), built so
+    the whole fit is ORACLE-REPRODUCIBLE — the property MLlib's KMeans
+    cannot give (its init sampling depends on partition layout):
+
+    - init: the ``k_clusters`` vectors with the smallest ``hash31(id)``
+      — an injective pseudo-random spread, no RNG state, one
+      TakeOrdered;
+    - assignment: argmax cosine against the broadcast centroids,
+      rounded to 8 decimals with a lower-cid tie-break (the exact
+      discipline ``_ivf_from_centroids`` already proves cross-engine);
+    - update: per-dimension member sums through DECIMAL(27,12) —
+      decimal addition is exact, hence ORDER-INDEPENDENT, so the new
+      centroid is identical under any partitioning or join order; and
+      because cosine is scale-invariant the SUM of members points the
+      same direction as their mean, so no division ever happens —
+      the one step whose decimal semantics differ across engines.
+
+    Scale shape per iteration: one broadcast of k x dim centers, one
+    map-side-combined groupBy(id) argmax (shuffle = one row/vector),
+    one (cid, dim) aggregate (shuffle = one row per vector x dim,
+    partial-combined map-side).  Empty clusters drop out identically on
+    both engines.  ``train_mod`` fits on the deterministic id-slice at
+    scale, exactly as ``kmeans_centroids`` documents.
+
+    Returns (cid, _c array<double>); cid is the init vector's hash31
+    value (stable across iterations, unique by injectivity).
+    """
+    from .text import hash31
+
+    v = _vectors(df, id_col, vec_col)
+    t = v if train_mod <= 1 else v.filter(F.col(id_col) % train_mod == 0)
+    cents = (
+        t.select(hash31(F.col(id_col)).alias("cid"), F.col("_v").alias("_c"))
+        .orderBy("cid")
+        .limit(k_clusters)
+    )
+    for _ in range(max_iter):
+        scored = t.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "cid",
+            F.round(cosine(F.col("_v"), F.col("_c")), 8).alias("_cs"),
+        )
+        assign = scored.groupBy(id_col).agg(
+            F.max_by(
+                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))
+            ).alias("cid")
+        )
+        mem = assign.join(t, id_col)
+        sums = (
+            mem.select("cid", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("cid", "_pos")
+            .agg(F.sum(F.col("_x").cast("decimal(27,12)")).alias("_s"))
+        )
+        cents = sums.groupBy("cid").agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(_pos, _s))), "
+                "e -> CAST(e._s AS DOUBLE))"
+            ).alias("_c")
+        )
+    return cents
+
+
+def ivf_topk_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 10,
+    query_mod: int = 100,
+    nprobe: int = 2,
+    k: int = 5,
+    train_mod: int = 1,
+    n_assign: int = 1,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF top-k over deterministic-Lloyd-trained centroids: the trained
+    index quality of ``ivf_topk_trained`` with full SQL-oracle
+    reproducibility — every step (init, iterations, assignment, probe)
+    hash-checks against an unrolled CTE chain in DuckDB."""
+    v = _vectors(df, id_col, vec_col)
+    cents = lloyd_centroids(
+        df, id_col, vec_col, k_clusters, max_iter=max_iter, train_mod=train_mod
+    )
+    return _ivf_from_centroids(
+        v, cents, id_col, query_mod, nprobe, k, n_assign=n_assign
+    )

@@ -191,34 +191,114 @@ def sim_ivf_topk(spark, sf_dir):
 # One source of truth for the trained-IVF operating point — bench.py's
 # recall metric reuses these so the reported recall is always for the
 # query actually registered.
-IVF_KMEANS_PARAMS = {"k_clusters": 32, "seed": 42, "nprobe": 12, "n_assign": 3}
+IVF_KMEANS_PARAMS = {
+    "k_clusters": 32,
+    "nprobe": 12,
+    "n_assign": 3,
+    "max_iter": 3,
+}
 
 
-@register("sim_ivf_kmeans_topk")
+def _ivf_lloyd_sql(
+    k_clusters: int, nprobe: int, k: int, n_assign: int, max_iter: int,
+    query_mod: int = 100,
+) -> str:
+    """DuckDB twin of the FULL trained-IVF pipeline: the Lloyd fit
+    unrolled as one CTE chain per iteration (score -> argmax assign ->
+    decimal-exact per-dimension member sums as the new centers), then
+    the identical multi-assign index + probe + top-k as ``_ivf_sql``.
+    Generated from the same constants as the Spark query, so the two
+    cannot drift."""
+    from ..operators.text import hash31_sql
+
+    cs_vc = cos_expr("v.e", "c.c", 8)
+    cs_ab = cos_expr("a.e", "b.e", 4)
+    ctes = [
+        f"""c0 AS (SELECT {hash31_sql("vec_id")} AS cid, e AS c
+    FROM v ORDER BY 1 LIMIT {k_clusters})"""
+    ]
+    for i in range(max_iter):
+        ctes.append(
+            f"s{i} AS (SELECT v.vec_id, c.cid, {cs_vc} AS cs "
+            f"FROM v CROSS JOIN c{i} c)"
+        )
+        ctes.append(
+            f"""a{i} AS (SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      FROM s{i}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+      SELECT cid, list_transform(range(1, {DIM + 1}), d ->
+        CAST(list_sum(list_transform(ms, m -> CAST(m[d] AS DECIMAL(27,12))))
+             AS DOUBLE)) AS c
+      FROM (SELECT g.cid, list(v.e) AS ms
+            FROM a{i} g JOIN v USING (vec_id) GROUP BY g.cid))"""
+        )
+    ctes.append(
+        f"sf AS (SELECT v.vec_id, c.cid, {cs_vc} AS cs "
+        f"FROM v CROSS JOIN c{max_iter} c)"
+    )
+    ctes.append(
+        f"""assign AS (SELECT vec_id AS vb, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      FROM sf) WHERE rn <= {n_assign})"""
+    )
+    ctes.append(
+        f"""probe AS (SELECT vec_id AS va, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      FROM sf WHERE vec_id % {query_mod} = 0) WHERE rn <= {nprobe})"""
+    )
+    ctes.append(
+        "cand AS (SELECT DISTINCT va, vb FROM probe JOIN assign USING (cid) "
+        "WHERE va <> vb)"
+    )
+    ctes.append(
+        f"sc2 AS (SELECT va, vb, {cs_ab} AS cos_sim FROM cand "
+        f"JOIN v a ON va = a.vec_id JOIN v b ON vb = b.vec_id)"
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_V_CTE},
+    {body}
+    SELECT va, vb, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY va
+                    ORDER BY cos_sim DESC, vb) AS rn FROM sc2)
+    WHERE rn <= {k}
+    """
+
+
+@register(
+    "sim_ivf_kmeans_topk",
+    sql=_ivf_lloyd_sql(
+        IVF_KMEANS_PARAMS["k_clusters"],
+        IVF_KMEANS_PARAMS["nprobe"],
+        5,
+        IVF_KMEANS_PARAMS["n_assign"],
+        IVF_KMEANS_PARAMS["max_iter"],
+    ),
+)
 def sim_ivf_kmeans_topk(spark, sf_dir):
-    """IVF top-5 over KMeans-TRAINED centroids (pyspark.ml, fixed seed):
-    balanced inverted lists, higher recall at equal nprobe than the
-    id-sample variant.  k-means|| init is not SQL-reproducible, so the
-    driver check is rows-only (the row count — 5 per query vector — is
-    structurally deterministic); recall@5 vs the exact baseline is
-    asserted in tests/test_similarity_trained.py and reported by
-    bench.py.
+    """IVF top-5 over TRAINED centroids — deterministic distributed
+    spherical k-means (``operators/similarity.py: lloyd_centroids``):
+    hash31-ordered init, argmax-cosine assignment, decimal-exact
+    order-independent centroid sums.  Every step is SQL-reproducible,
+    so unlike the r02 MLlib variant (whose k-means|| init depends on
+    partition layout and forced a rows-only check) this query is FULLY
+    oracle-hash-checked — the DuckDB twin replays the fit as an
+    unrolled CTE chain.
 
-    nprobe=12 of 32 lists, n_assign=3: the fixture embeddings are
-    weakly clustered (near-uniform directions), so recall is
-    geometry-bound — and the binding loss is Voronoi-boundary misses,
-    which multi-assignment attacks directly (index each base vector
-    into its 3 nearest lists; probe cost unchanged, index 3x).  The
-    sf0.1 sweep (random init, seed 42), recall@5 / probe-fraction:
-    single-assign 0.77/0.38 at (32,12), 0.95/0.62 at (32,20);
-    multi-assign(2) 0.91/0.31 at (32,10), 0.98/0.38 at (32,12);
-    multi-assign(3) **1.00/0.38 at (32,12)** — and 0.96 even at the
-    25-pair sf0.001 fixture where assign=2 dips to 0.88 under the
-    8-partition test layout.  Every multi-assign point beats every
-    single-assign point at equal-or-lower probe fraction — the
-    standard IVF trade.  On real embedding corpora (strong cluster
-    structure) nprobe/k_lists would be tuned to probe a far smaller
-    corpus fraction; the probe-fraction is the honest cost metric and
-    is reported alongside recall in the bench line."""
+    Operating point (32 lists, nprobe=12, n_assign=3, 3 Lloyd
+    iterations): recall@5 = 0.99 at sf0.1 vs the exact baseline —
+    matching the MLlib-trained 1.00 within one neighbour — at the same
+    0.375 probe fraction; the MLlib path (``ivf_topk_trained``) remains
+    the library alternative and keeps its own recall-asserted tests.
+    Multi-assignment rationale and the full single/multi-assign sweep:
+    see r02 notes in ``ivf_topk_trained``'s docstring — every
+    multi-assign point beats every single-assign point at
+    equal-or-lower probe fraction."""
     t = Tables(spark, sf_dir)
-    return sim.ivf_topk_trained(t.embeddings, **IVF_KMEANS_PARAMS)
+    return sim.ivf_topk_lloyd(t.embeddings, **IVF_KMEANS_PARAMS)
