@@ -75,6 +75,78 @@ def olap_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- UNPIVOT (melt) ----------------------------------------------------
+
+_UNPIVOT_SQL = f"""
+WITH p AS ({_PIVOT_SQL})
+{" UNION ALL ".join(
+    f"SELECT day, '{e}' AS event_type, {e} AS n FROM p"
+    for e in EVENT_TYPES
+)}
+"""
+
+
+def olap_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the daily x event-type matrix back to long form —
+    the inverse of olap_pivot_events, via the native ``unpivot``
+    operator (ExpandExec: each input row fans out to |value columns|
+    rows map-side, no shuffle beyond the pivot's own aggregation).
+    Zero cells survive the round-trip as explicit (day, type, 0) rows."""
+    return olap_pivot_events(spark, sf_dir).unpivot(
+        ["day"], EVENT_TYPES, "event_type", "n"
+    )
+
+
+# --- Equal-width histogram --------------------------------------------
+
+HIST_BINS = 16
+
+
+def olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals, bounds taken from the
+    data: one (min, max) aggregate broadcasts to a map-side bucket
+    expression, then one groupBy(bucket) — two narrow exchanges total,
+    both over <= bins rows after partial aggregation.  The top edge
+    folds into the last bin (the standard closed-right convention), and
+    identical double arithmetic on both engines makes bucket boundaries
+    hash-exact."""
+    t = Tables(spark, sf_dir)
+    bounds = t.orders.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    # degenerate bounds (all values equal) put everything in bucket 0 —
+    # without the guard ANSI mode raises on the zero divisor while
+    # DuckDB yields inf, so the branch also keeps engine parity
+    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / HIST_BINS)
+            ),
+            F.lit(HIST_BINS - 1),
+        )
+    )
+    return (
+        t.orders.crossJoin(F.broadcast(bounds))
+        .select(b.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_HIST_SQL = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS _lo, max(o_totalprice) AS _hi FROM orders
+)
+SELECT CAST(CASE WHEN _hi = _lo THEN 0
+            ELSE least(floor((o_totalprice - _lo) / ((_hi - _lo) / {HIST_BINS})),
+                       {HIST_BINS - 1}) END AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
 # --- KMV distinct sketch ----------------------------------------------
 
 KMV_K = 256
@@ -295,9 +367,22 @@ register_suite(
             _CMS_SQL,
             [("token", "s"), ("n_true", "s"), ("cms_est", "s")],
         ),
+        SubQuery(
+            "olap_unpivot_events",
+            olap_unpivot_events,
+            _UNPIVOT_SQL,
+            [("day", "s"), ("event_type", "s"), ("n", "s")],
+        ),
+        SubQuery(
+            "olap_histogram",
+            olap_histogram,
+            _HIST_SQL,
+            [("bucket", "s"), ("n", "s")],
+        ),
     ],
     doc="OLAP grouping + sketch suite: single-pass ROLLUP and CUBE "
-    "subtotals, wide event pivot, the deterministic KMV distinct-count "
+    "subtotals, wide event pivot + its unpivot inverse, data-driven "
+    "equal-width histogram, the deterministic KMV distinct-count "
     "sketch, and CountMin heavy-hitter estimates, each oracle-checked "
     "row-for-row inside the union.",
 )
