@@ -567,38 +567,73 @@ def lloyd_centroids(
 
     Returns (cid, _c array<double>); cid is the init vector's hash31
     value (stable across iterations, unique by injectivity).
+
+    Like MLlib's own Lloyd loop, the k x dim centers are collected to
+    the driver at every iteration boundary (a BOUNDED k*dim doubles —
+    the classic allowed collect) and re-broadcast as a literal frame:
+    each iteration therefore executes exactly once with a shallow plan,
+    instead of the downstream consumers of the returned frame silently
+    re-running the whole fit chain per action, and the values are
+    bit-identical either way.
     """
     from .text import hash31
 
+    spark = df.sparkSession
     v = _vectors(df, id_col, vec_col)
     t = v if train_mod <= 1 else v.filter(F.col(id_col) % train_mod == 0)
-    cents = (
+
+    def materialize(frame: DataFrame) -> DataFrame:
+        rows = frame.collect()
+        data = [(int(r["cid"]), [float(x) for x in r["_c"]]) for r in rows]
+        return spark.createDataFrame(data, "cid long, _c array<double>")
+
+    cents = materialize(
         t.select(hash31(F.col(id_col)).alias("cid"), F.col("_v").alias("_c"))
         .orderBy("cid")
         .limit(k_clusters)
     )
     for _ in range(max_iter):
-        scored = t.crossJoin(F.broadcast(cents)).select(
+        # Assignment scores as dot(v, c)/norm(c), NOT full cosine:
+        # norm(v) is constant within each vector's argmax so dividing by
+        # it cannot change the winner, and norm(c) is computed ONCE per
+        # centroid on the k-row frame instead of once per (vector,
+        # centroid) pair — ~60% fewer flops per pair, the dominant cost
+        # of an iteration.  The oracle uses the identical formula, so
+        # the round-8 equivalence classes still match bit-for-bit.
+        cn = cents.withColumn("_nc", norm(F.col("_c")))
+        scored = t.crossJoin(F.broadcast(cn)).select(
             id_col,
+            "_v",
             "cid",
-            F.round(cosine(F.col("_v"), F.col("_c")), 8).alias("_cs"),
+            F.round(
+                F.when(
+                    F.col("_nc") != 0,
+                    dot(F.col("_v"), F.col("_c")) / F.col("_nc"),
+                ),
+                8,
+            ).alias("_cs"),
         )
-        assign = scored.groupBy(id_col).agg(
+        # the vector rides through the argmax agg (any_value is exact:
+        # every _v in an id's group is the same row's vector), so no
+        # second scan + shuffle of t to re-attach members
+        mem = scored.groupBy(id_col).agg(
             F.max_by(
                 "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))
-            ).alias("cid")
+            ).alias("cid"),
+            F.any_value("_v").alias("_v"),
         )
-        mem = assign.join(t, id_col)
         sums = (
             mem.select("cid", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("cid", "_pos")
             .agg(F.sum(F.col("_x").cast("decimal(27,12)")).alias("_s"))
         )
-        cents = sums.groupBy("cid").agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(_pos, _s))), "
-                "e -> CAST(e._s AS DOUBLE))"
-            ).alias("_c")
+        cents = materialize(
+            sums.groupBy("cid").agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(_pos, _s))), "
+                    "e -> CAST(e._s AS DOUBLE))"
+                ).alias("_c")
+            )
         )
     return cents
 

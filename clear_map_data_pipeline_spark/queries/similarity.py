@@ -213,14 +213,25 @@ def _ivf_lloyd_sql(
 
     cs_vc = cos_expr("v.e", "c.c", 8)
     cs_ab = cos_expr("a.e", "b.e", 4)
+    # iteration scoring: dot(v, c)/norm(c) with norm precomputed per
+    # centroid — mirrors lloyd_centroids' flop-saving rewrite exactly
+    # (same formula, same round-8, so assignments cannot drift)
+    dot_vc = f"list_sum(list_transform(range(1, {DIM + 1}), i -> v.e[i] * c.c[i]))"
+    norm_c = (
+        f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> c[i] * c[i])))"
+    )
+    fast_cs = f"round(CASE WHEN c.nc <> 0 THEN {dot_vc} / c.nc END, 8)"
     ctes = [
         f"""c0 AS (SELECT {hash31_sql("vec_id")} AS cid, e AS c
     FROM v ORDER BY 1 LIMIT {k_clusters})"""
     ]
     for i in range(max_iter):
         ctes.append(
-            f"s{i} AS (SELECT v.vec_id, c.cid, {cs_vc} AS cs "
-            f"FROM v CROSS JOIN c{i} c)"
+            f"n{i} AS (SELECT cid, c, {norm_c} AS nc FROM c{i})"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT v.vec_id, c.cid, {fast_cs} AS cs "
+            f"FROM v CROSS JOIN n{i} c)"
         )
         ctes.append(
             f"""a{i} AS (SELECT vec_id, cid FROM (
