@@ -389,21 +389,32 @@ def semantic_dedup(
     sum(|cluster|^2) not N^2.  A pathologically hot cluster bounds a
     task — at 100 TB cap cluster sizes by raising the centroid count
     (or salt the pair join) exactly as you would tune K in the paper."""
+    from ..cachereg import pin
     from .similarity import _vectors, cosine
 
     v = _vectors(df, id_col, vec_col)
     cents = v.filter(F.col(id_col) % centroid_mod == 0).toDF("cid", "_c")
     scored = v.crossJoin(F.broadcast(cents)).select(
-        id_col, "cid", F.round(cosine(F.col("_v"), F.col("_c")), 8).alias("_cs")
+        id_col,
+        "_v",
+        "cid",
+        F.round(cosine(F.col("_v"), F.col("_c")), 8).alias("_cs"),
     )
-    assign = scored.groupBy(id_col).agg(
-        F.max_by("cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))).alias(
-            "cid"
+    # The vector rides through the argmax agg (any_value is exact: every
+    # _v in an id's group is the same row's vector), and the assignment
+    # is PINNED: its three consumers (both sides of the within-cluster
+    # self-join + the final marking join) would otherwise each re-run
+    # the |V| x |centroids| scoring cross-product — the dominant stage.
+    # One row per vector cached; cachereg releases on the next build.
+    mem = pin(
+        scored.groupBy(id_col).agg(
+            F.max_by(
+                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_t"))
+            ).alias("cid"),
+            F.any_value("_v").alias("_v"),
         )
     )
-    mem = assign.join(v, id_col).select(
-        F.col(id_col), F.col("cid"), F.col("_v")
-    )
+    assign = mem.select(id_col, "cid")
     a = mem.select(
         F.col(id_col).alias("va"), "cid", F.col("_v").alias("_a")
     )
