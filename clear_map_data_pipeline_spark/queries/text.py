@@ -127,6 +127,35 @@ def _linear_clf_sql() -> str:
     """
 
 
+def tx_quality_percentile_filter(spark, sf_dir):
+    """Percentile-CALIBRATED quality filter: keep documents at or above
+    the corpus's own 25th-percentile quality score — the data-driven
+    cutoff real curation pipelines use instead of a magic constant.
+    One 1-row exact-percentile aggregate broadcasts onto the scored
+    scan; the percentile interpolation is the same ``1+(n-1)*q`` form
+    a13 already proves cross-engine (Spark ``percentile`` == DuckDB
+    ``quantile_cont``), and both sides round to 3 so the boundary
+    cannot flip."""
+    t = Tables(spark, sf_dir)
+    scores = tx.quality_score(t.documents).select("doc_id", "quality")
+    cut = scores.agg(
+        F.round(F.percentile("quality", 0.25), 3).alias("cutoff")
+    )
+    return (
+        scores.crossJoin(F.broadcast(cut))
+        .filter(F.col("quality") >= F.col("cutoff"))
+        .select("doc_id", "quality", "cutoff")
+    )
+
+
+_QUALITY_PCTL_SQL = f"""
+    WITH s AS (SELECT doc_id, {QUALITY_SQL_EXPR} AS quality FROM documents),
+    c AS (SELECT round(quantile_cont(quality, 0.25), 3) AS cutoff FROM s)
+    SELECT doc_id, quality, cutoff FROM s CROSS JOIN c
+    WHERE quality >= cutoff
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -150,10 +179,17 @@ register_suite(
             _linear_clf_sql(),
             [("doc_id", "s"), ("clf_score", "d4")],
         ),
+        SubQuery(
+            "tx_quality_percentile_filter",
+            tx_quality_percentile_filter,
+            _QUALITY_PCTL_SQL,
+            [("doc_id", "s"), ("quality", "d3"), ("cutoff", "d3")],
+        ),
     ],
     doc="Text-quality suite: stopword-argmax language ID + composite "
     "heuristic quality scoring + hashed linear classifier scoring "
-    "(fastText shape, literal weights), each oracle-checked "
+    "(fastText shape, literal weights) + the percentile-calibrated "
+    "quality filter (data-driven cutoff), each oracle-checked "
     "row-for-row inside the union.",
 )
 
