@@ -109,3 +109,89 @@ def test_ewma_partitions_by_key(spark):
     }
     assert rows[(2, d(2020, 1, 1))] == 100.0  # other key's seed untouched
     assert rows[(1, d(2020, 1, 2))] == 15.0
+
+
+# --- property tests: Spark output vs a literal Python transcription ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# per-key sparse series: strictly-increasing day offsets with values
+series_strategy = st.dictionaries(
+    st.integers(min_value=1, max_value=4),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.integers(min_value=0, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _frame(spark, series):
+    base = dt.date(2020, 6, 1)
+    rows = [
+        (k, base + dt.timedelta(days=off), v)
+        for k, obs in series.items()
+        for off, v in obs
+    ]
+    return spark.createDataFrame(rows, "id long, date date, cases long")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(series=series_strategy)
+def test_gapfill_matches_literal_python(spark, series):
+    got = {
+        (r["id"], r["date"]): (r["cases"], r["locf"], r["interp"])
+        for r in gapfill_locf_interp(_frame(spark, series), "cases").collect()
+    }
+    expect = {}
+    base = dt.date(2020, 6, 1)
+    for k, obs in series.items():
+        obs = sorted(obs)
+        days = {off: v for off, v in obs}
+        lo, hi = obs[0][0], obs[-1][0]
+        for d in range(lo, hi + 1):
+            prev = max(o for o in days if o <= d)
+            nxt = min(o for o in days if o >= d)
+            if d in days:
+                interp = float(days[d])
+            else:
+                f = (d - prev) / (nxt - prev)
+                interp = days[prev] + (days[nxt] - days[prev]) * f
+            expect[(k, base + dt.timedelta(days=d))] = (
+                days.get(d),
+                days[prev],
+                round(interp, 4),
+            )
+    assert got == expect
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(series=series_strategy, alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]))
+def test_ewma_matches_literal_python(spark, series, alpha):
+    got = {
+        (r["id"], r["date"]): r["ewma"]
+        for r in ewma(_frame(spark, series), "cases", alpha).collect()
+    }
+    expect = {}
+    base = dt.date(2020, 6, 1)
+    for k, obs in series.items():
+        y = None
+        for off, v in sorted(obs):
+            y = float(v) if y is None else (1 - alpha) * y + alpha * v
+            expect[(k, base + dt.timedelta(days=off))] = round(y, 6)
+    assert got == expect
