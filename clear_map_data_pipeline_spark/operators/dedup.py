@@ -656,3 +656,65 @@ def duplicate_span_coverage(
             F.round(F.col("n_dup") / F.col("n_shingles"), 4).alias("dup_frac"),
         )
     )
+
+
+def minhash_lsh_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate JOIN between TWO corpora — the cross-table sibling
+    of ``minhash_lsh_dedup_pairs`` (which pairs within one table) and of
+    ``incremental_dedup`` (which matches across tables but only
+    exactly): match a probe batch against a reference corpus by
+    shingle-set similarity.  The decontamination / catalog-matching /
+    "is this incoming doc a rewrite of something we already hold" shape.
+
+    Returns (left_id, right_id, jaccard >= threshold).
+
+    Scale shape, identical to the within-table pipeline: each side
+    shingles, signs and bands INDEPENDENTLY (map-side per doc); the
+    only cross-side contact is the equi-join on (band_idx, band) — a
+    bucket join, never |L| x |R|; exact Jaccard runs only on the
+    deduped candidate list, broadcast to the two shingle-set attach
+    joins so document shingles never shuffle.  If the probe side is
+    itself corpus-sized, drop the candidate broadcast for a plain
+    shuffled attach — the band join's shape is unchanged."""
+    from ..cachereg import pin
+
+    sets_l = pin(doc_shingle_sets(left, id_col, text_col, shingle_k))
+    sets_l.count()
+    sets_r = pin(doc_shingle_sets(right, id_col, text_col, shingle_k))
+    sets_r.count()
+    bl = lsh_bands(
+        minhash_signatures(sets_l, id_col, num_hashes), id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("left_id"), "band_idx", "band")
+    br = lsh_bands(
+        minhash_signatures(sets_r, id_col, num_hashes), id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("right_id"), "band_idx", "band")
+    cand = (
+        bl.join(br, ["band_idx", "band"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    return (
+        sets_l.toDF("left_id", "_sa", "_na")
+        .join(F.broadcast(cand), "left_id")
+        .join(sets_r.toDF("right_id", "_sb", "_nb"), "right_id")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -114,6 +114,34 @@ def dd_ngram_jaccard_pairs(spark, sf_dir):
     return dd.ngram_jaccard_pairs(t.documents)
 
 
+def dd_fuzzy_match_join(spark, sf_dir):
+    """Cross-corpus fuzzy MATCH JOIN: probe docs (doc_id % 3 != 0)
+    near-dup-joined against a reference corpus (doc_id % 3 == 0) via
+    independent MinHash banding per side + a cross-side band-bucket
+    equi-join + exact-Jaccard verify — the decontamination /
+    catalog-matching shape (operators/dedup.py:
+    minhash_lsh_fuzzy_join)."""
+    t = Tables(spark, sf_dir)
+    probe = t.documents.filter(F.col("doc_id") % 3 != 0)
+    ref = t.documents.filter(F.col("doc_id") % 3 == 0)
+    return dd.minhash_lsh_fuzzy_join(probe, ref)
+
+
+def _fuzzy_join_sql() -> str:
+    """Oracle via the within-union pair list: a cross-side pair shares a
+    band bucket iff it does so in the union's banding (band values are
+    per-document), so the fuzzy join == the verified union pairs
+    filtered to split-crossing ones, re-oriented (probe, reference)."""
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT CASE WHEN doc_a % 3 <> 0 THEN doc_a ELSE doc_b END AS left_id,
+           CASE WHEN doc_a % 3 <> 0 THEN doc_b ELSE doc_a END AS right_id,
+           jaccard
+    FROM verified
+    WHERE (doc_a % 3 = 0) <> (doc_b % 3 = 0)
+    """
+
+
 def _cluster_sql() -> str:
     """Connected-components oracle: DuckDB recursive CTE computing, for
     every node of the verified-pair graph, the minimum reachable node id
@@ -450,10 +478,17 @@ register_suite(
             [("doc_id", "s"), ("n_shingles", "s"), ("n_dup", "s"),
              ("dup_frac", "d4")],
         ),
+        SubQuery(
+            "dd_fuzzy_match_join",
+            dd_fuzzy_match_join,
+            _fuzzy_join_sql(),
+            [("left_id", "s"), ("right_id", "s"), ("jaccard", "d4")],
+        ),
     ],
     doc="Exact-dedup suite: content-digest duplicate marking (min-id "
     "canonical) + keep-best survivor selection + incremental batch-vs-"
     "corpus ingest dedup + exact-substring repeated-passage detection "
-    "with per-doc duplicated-span coverage, each oracle-checked "
-    "row-for-row inside the union.",
+    "with per-doc duplicated-span coverage + the cross-corpus fuzzy "
+    "match join (probe vs reference, MinHash-banded), each "
+    "oracle-checked row-for-row inside the union.",
 )

@@ -282,3 +282,31 @@ def test_semantic_dedup_cluster_bounded(spark):
     # but they land in different clusters -> NOT marked (cluster-bounded)
     if out[4].cluster_id != out[0].cluster_id:
         assert out[4].is_dup == 0
+
+
+def test_fuzzy_match_join_cross_corpus(spark):
+    from clear_map_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_fuzzy_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    probe = spark.createDataFrame(
+        [
+            (1, base + " tail"),          # near-dup of ref doc 10
+            (2, "completely different words about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [
+            (10, base),
+            (11, "reference corpus entry with its own unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_lsh_fuzzy_join(probe, ref, threshold=0.5).collect()
+    pairs = {(r["left_id"], r["right_id"]): r["jaccard"] for r in rows}
+    assert set(pairs) == {(1, 10)}, f"unexpected pairs {pairs}"
+    assert pairs[(1, 10)] >= 0.5
+    # orientation: left ids come from the probe side only
+    assert all(lid in (1, 2) and rid in (10, 11) for lid, rid in pairs)
