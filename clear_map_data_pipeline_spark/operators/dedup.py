@@ -233,13 +233,22 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, sets: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    pairs: DataFrame,
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    sets_b: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs, set-based: attach each side's
     shingle array (from ``doc_shingle_sets``) to the pair list, intersect
     arrays per pair.  Keep pairs with similarity >= threshold (compared
     on the rounded value so engine/oracle agree bit-for-bit at the
-    boundary).
+    boundary).  ``sets_b`` attaches a DIFFERENT set frame to the b side
+    (the cross-corpus fuzzy join); default is the within-table self
+    case.  The one definition serves both call sites so the rounding /
+    boundary discipline can never drift between them.
 
     Scale: the obvious alternative — self-joining a shingle inverted
     index and semi-joining the candidates — re-pays the all-pairs cost
@@ -247,14 +256,16 @@ def jaccard_verify(
     materializes a join row).  Here the candidate list — tiny by LSH
     construction — is broadcast to both attach joins, so shingle data is
     never shuffled."""
+    if sets_b is None:
+        sets_b = sets
     return (
-        sets.toDF("doc_a", "_sa", "_na")
-        .join(F.broadcast(pairs), "doc_a")
-        .join(sets.toDF("doc_b", "_sb", "_nb"), "doc_b")
+        sets.toDF(a_col, "_sa", "_na")
+        .join(F.broadcast(pairs), a_col)
+        .join(sets_b.toDF(b_col, "_sb", "_nb"), b_col)
         .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
         .select(
-            "doc_a",
-            "doc_b",
+            a_col,
+            b_col,
             F.round(
                 F.col("_inter")
                 / (F.col("_na") + F.col("_nb") - F.col("_inter")),
@@ -414,6 +425,10 @@ def semantic_dedup(
             F.any_value("_v").alias("_v"),
         )
     )
+    # eager materialization, same reason as minhash_lsh_dedup_pairs:
+    # AQE compiles the three consumers concurrently and racing tasks
+    # would each recompute not-yet-cached scoring partitions
+    mem.count()
     assign = mem.select(id_col, "cid")
     a = mem.select(
         F.col(id_col).alias("va"), "cid", F.col("_v").alias("_a")
@@ -702,19 +717,12 @@ def minhash_lsh_fuzzy_join(
         .select("left_id", "right_id")
         .distinct()
     )
-    return (
-        sets_l.toDF("left_id", "_sa", "_na")
-        .join(F.broadcast(cand), "left_id")
-        .join(sets_r.toDF("right_id", "_sb", "_nb"), "right_id")
-        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
-        .select(
-            "left_id",
-            "right_id",
-            F.round(
-                F.col("_inter")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return jaccard_verify(
+        cand,
+        sets_l,
+        id_col,
+        threshold,
+        sets_b=sets_r,
+        a_col="left_id",
+        b_col="right_id",
     )

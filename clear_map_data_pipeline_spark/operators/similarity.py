@@ -363,6 +363,11 @@ def ivf_recall_at_k(
     ``trained``: "lloyd" = the deterministic-Lloyd variant (the
     registered query), True = the MLlib variant, False = id-sample
     centroids."""
+    if trained not in (True, False, "lloyd", "mllib"):
+        raise ValueError(
+            f"trained={trained!r}: expected 'lloyd', 'mllib'/True, or "
+            "False — refusing to guess which variant to measure"
+        )
     queries = df.filter(F.col(id_col) % query_mod == 0)
     exact = cosine_topk(df, queries, k, id_col, vec_col).select("va", "vb")
     if trained == "lloyd":
@@ -422,6 +427,26 @@ def ann_lsh_pairs(
             )
             .filter(F.col("cos_sim") >= threshold)
         )
+    cand = _lsh_rep_candidates(v, dim, id_col, num_planes, repetitions)
+    pairs = (
+        cand.join(v.toDF("va", "_a"), "va")
+        .join(v.toDF("vb", "_b"), "vb")
+        .select(
+            "va",
+            "vb",
+            F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def _lsh_rep_candidates(
+    v: DataFrame, dim: int, id_col: str, num_planes: int, repetitions: int
+) -> DataFrame:
+    """Deduped (va, vb) candidate pairs from ``repetitions`` disjoint
+    plane-set bucketings — the ONE definition both ``ann_lsh_pairs``
+    scores and ``lsh_candidate_fraction`` measures, so the reported cost
+    metric always describes the pairs actually evaluated."""
     buckets = F.array(
         *[
             (
@@ -434,19 +459,9 @@ def ann_lsh_pairs(
     vb = v.withColumn("bucket", F.explode(buckets))
     a = vb.select(F.col(id_col).alias("va"), "bucket")
     b = vb.select(F.col(id_col).alias("vb"), "bucket")
-    cand = (
+    return (
         a.join(b, "bucket").filter(F.col("va") < F.col("vb")).select("va", "vb")
     ).distinct()
-    pairs = (
-        cand.join(v.toDF("va", "_a"), "va")
-        .join(v.toDF("vb", "_b"), "vb")
-        .select(
-            "va",
-            "vb",
-            F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim"),
-        )
-    )
-    return pairs.filter(F.col("cos_sim") >= threshold)
 
 
 def lsh_bucket_offset(
@@ -511,25 +526,7 @@ def lsh_candidate_fraction(
     n = v.count()
     if n < 2:
         return 0.0
-    buckets = F.array(
-        *[
-            (
-                lsh_bucket_offset("_v", dim, num_planes, r * num_planes)
-                + F.lit(r * (1 << num_planes))
-            )
-            for r in range(repetitions)
-        ]
-    )
-    vb = v.withColumn("bucket", F.explode(buckets)).select(
-        F.col(id_col).alias("va"), "bucket"
-    )
-    cand = (
-        vb.join(vb.toDF("vb", "bucket"), "bucket")
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .distinct()
-        .count()
-    )
+    cand = _lsh_rep_candidates(v, dim, id_col, num_planes, repetitions).count()
     return cand / (n * (n - 1) / 2)
 
 
@@ -551,12 +548,18 @@ def lloyd_centroids(
     - assignment: argmax cosine against the broadcast centroids,
       rounded to 8 decimals with a lower-cid tie-break (the exact
       discipline ``_ivf_from_centroids`` already proves cross-engine);
-    - update: per-dimension member sums through DECIMAL(27,12) —
-      decimal addition is exact, hence ORDER-INDEPENDENT, so the new
-      centroid is identical under any partitioning or join order; and
-      because cosine is scale-invariant the SUM of members points the
-      same direction as their mean, so no division ever happens —
-      the one step whose decimal semantics differ across engines.
+    - update: per-dimension member sums as INTEGERS —
+      ``floor(x * 1e12)`` scales every component to a long (the double
+      multiply and floor are IEEE-identical on every engine; unlike a
+      double->DECIMAL cast there is NO rounding-mode semantic at all,
+      which matters because float32-derived components like 2^-13 are
+      exact half-ties at 12 decimals, and Spark casts those HALF_UP
+      while DuckDB rounds half-to-even), then sums through
+      DECIMAL(38,0) — exact integer addition, hence ORDER-INDEPENDENT,
+      so the new centroid is identical under any partitioning or join
+      order.  And because cosine is scale-invariant, the scaled SUM of
+      members points the same direction as their mean — no division,
+      and the 1e12 factor drops out.
 
     Scale shape per iteration: one broadcast of k x dim centers, one
     map-side-combined groupBy(id) argmax (shuffle = one row/vector),
@@ -625,7 +628,11 @@ def lloyd_centroids(
         sums = (
             mem.select("cid", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("cid", "_pos")
-            .agg(F.sum(F.col("_x").cast("decimal(27,12)")).alias("_s"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("_x") * F.lit(1e12)).cast("decimal(38,0)")
+                ).alias("_s")
+            )
         )
         cents = materialize(
             sums.groupBy("cid").agg(

@@ -379,6 +379,13 @@ def ewma(
     sequence is engine-reproducible (the DuckDB twin folds the same
     list with ``list_reduce``).
 
+    NULL policy: NULL observations are IGNORED — ``collect_list`` drops
+    them, so a row whose own value is NULL carries the EWMA of the
+    non-null prefix (rows before the first observation carry NULL).
+    The ``pandas`` analogue is ``ewm(..., ignore_na=True)``; the oracle
+    twin applies the same ``list_filter`` so neither engine
+    NULL-poisons the tail of the series.
+
     Cost contract: prefix lists make this O(rows_per_key^2) work and
     O(rows_per_key) peak row width inside each key — the same
     bounded-series contract as the reference's per-group pandas ops.

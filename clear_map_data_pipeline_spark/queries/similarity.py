@@ -201,14 +201,16 @@ IVF_KMEANS_PARAMS = {
 
 def _ivf_lloyd_sql(
     k_clusters: int, nprobe: int, k: int, n_assign: int, max_iter: int,
-    query_mod: int = 100,
+    query_mod: int = 100, train_mod: int = 1,
 ) -> str:
     """DuckDB twin of the FULL trained-IVF pipeline: the Lloyd fit
     unrolled as one CTE chain per iteration (score -> argmax assign ->
-    decimal-exact per-dimension member sums as the new centers), then
+    integer-exact per-dimension member sums as the new centers), then
     the identical multi-assign index + probe + top-k as ``_ivf_sql``.
     Generated from the same constants as the Spark query, so the two
-    cannot drift."""
+    cannot drift.  ``train_mod`` mirrors the operator's training slice
+    (fit on ``vec_id % train_mod = 0``; index/probe always over ALL
+    vectors)."""
     from ..operators.text import hash31_sql
 
     cs_vc = cos_expr("v.e", "c.c", 8)
@@ -222,8 +224,11 @@ def _ivf_lloyd_sql(
     )
     fast_cs = f"round(CASE WHEN c.nc <> 0 THEN {dot_vc} / c.nc END, 8)"
     ctes = [
+        "vt AS (SELECT * FROM v"
+        + (f" WHERE vec_id % {train_mod} = 0" if train_mod > 1 else "")
+        + ")",
         f"""c0 AS (SELECT {hash31_sql("vec_id")} AS cid, e AS c
-    FROM v ORDER BY 1 LIMIT {k_clusters})"""
+    FROM vt ORDER BY 1 LIMIT {k_clusters})""",
     ]
     for i in range(max_iter):
         ctes.append(
@@ -231,7 +236,7 @@ def _ivf_lloyd_sql(
         )
         ctes.append(
             f"s{i} AS (SELECT v.vec_id, c.cid, {fast_cs} AS cs "
-            f"FROM v CROSS JOIN n{i} c)"
+            f"FROM vt v CROSS JOIN n{i} c)"
         )
         ctes.append(
             f"""a{i} AS (SELECT vec_id, cid FROM (
@@ -239,13 +244,19 @@ def _ivf_lloyd_sql(
              row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
       FROM s{i}) WHERE rn = 1)"""
         )
+        # member sums as floor(x * 1e12) integers: the double multiply +
+        # floor are IEEE-identical across engines (a double->DECIMAL
+        # cast is NOT — Spark HALF_UP vs DuckDB half-to-even diverge on
+        # exact half-ties like 2^-13), and integer addition is exact so
+        # the sum is order-independent; cosine's scale invariance
+        # absorbs the 1e12 factor
         ctes.append(
             f"""c{i + 1} AS (
       SELECT cid, list_transform(range(1, {DIM + 1}), d ->
-        CAST(list_sum(list_transform(ms, m -> CAST(m[d] AS DECIMAL(27,12))))
-             AS DOUBLE)) AS c
+        CAST(list_sum(list_transform(ms, m ->
+          CAST(floor(m[d] * 1000000000000.0) AS BIGINT))) AS DOUBLE)) AS c
       FROM (SELECT g.cid, list(v.e) AS ms
-            FROM a{i} g JOIN v USING (vec_id) GROUP BY g.cid))"""
+            FROM a{i} g JOIN vt v USING (vec_id) GROUP BY g.cid))"""
         )
     ctes.append(
         f"sf AS (SELECT v.vec_id, c.cid, {cs_vc} AS cs "
@@ -295,7 +306,7 @@ def _ivf_lloyd_sql(
 def sim_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-5 over TRAINED centroids — deterministic distributed
     spherical k-means (``operators/similarity.py: lloyd_centroids``):
-    hash31-ordered init, argmax-cosine assignment, decimal-exact
+    hash31-ordered init, argmax-cosine assignment, integer-exact
     order-independent centroid sums.  Every step is SQL-reproducible,
     so unlike the r02 MLlib variant (whose k-means|| init depends on
     partition layout and forced a rows-only check) this query is FULLY

@@ -183,17 +183,21 @@ def w_ewma(spark, sf_dir):
     )
 
 
+# list_filter mirrors Spark collect_list's null-dropping, so a NULL
+# observation is IGNORED (skipped) on both engines instead of
+# NULL-poisoning DuckDB's fold while silently vanishing from Spark's
 _W_EWMA_SQL = f"""
     WITH {MOH_DAILY_SQL},
     l AS (SELECT id, date, cases,
-                 list(CAST(cases AS DOUBLE)) OVER
+                 list_filter(list(CAST(cases AS DOUBLE)) OVER
                    (PARTITION BY id ORDER BY date
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _pre
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   x -> x IS NOT NULL) AS _pre
           FROM daily)
     SELECT id, date, cases,
-           round(list_reduce(_pre, (acc, x) ->
+           round(CASE WHEN len(_pre) > 0 THEN list_reduce(_pre, (acc, x) ->
                  acc * CAST({1.0 - EWMA_ALPHA} AS DOUBLE)
-                 + CAST({EWMA_ALPHA} AS DOUBLE) * x), 6) AS ewma
+                 + CAST({EWMA_ALPHA} AS DOUBLE) * x) END, 6) AS ewma
     FROM l
     """
 

@@ -195,3 +195,24 @@ def test_ewma_matches_literal_python(spark, series, alpha):
             y = float(v) if y is None else (1 - alpha) * y + alpha * v
             expect[(k, base + dt.timedelta(days=off))] = round(y, 6)
     assert got == expect
+
+
+def test_ewma_ignores_nulls(spark):
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            (1, d(2020, 1, 1), None),   # leading NULL: no observation yet
+            (1, d(2020, 1, 2), 10),
+            (1, d(2020, 1, 3), None),   # skipped, carries prior EWMA
+            (1, d(2020, 1, 4), 20),
+        ],
+        "id long, date date, cases long",
+    )
+    rows = {
+        r["date"]: r["ewma"]
+        for r in ewma(df, "cases", 0.5).collect()
+    }
+    assert rows[d(2020, 1, 1)] is None
+    assert rows[d(2020, 1, 2)] == 10.0
+    assert rows[d(2020, 1, 3)] == 10.0   # NULL ignored, not poisoning
+    assert rows[d(2020, 1, 4)] == 15.0
