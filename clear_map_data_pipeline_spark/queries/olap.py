@@ -147,6 +147,96 @@ GROUP BY 1
 """
 
 
+# --- PSI distribution drift -------------------------------------------
+
+PSI_BINS = 10
+PSI_CUT = "1996-07-01"
+_PSI_EPS = 1e-6  # standard zero-bin floor so ln() stays finite
+
+
+def olap_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two snapshots of the
+    same feature — the standard production check for "did this column's
+    distribution shift since the reference window".  Reference = orders
+    before {PSI_CUT}, current = orders after; both bucketed on ONE
+    global equal-width grid (bounds from the full table, so the two
+    sides are comparable), psi_term = (p - q) * ln(p / q) per bucket
+    with the standard epsilon floor for empty bins.
+
+    Scale shape: bounds are a broadcast 1-row aggregate; each side is
+    one map-side-combined groupBy(bucket) over <= bins rows; the final
+    per-bucket join touches <= bins rows.  ln() is engine-portable here
+    for the same reason the ramzor score's is: inputs are identical
+    doubles and the round-6 output absorbs libm ulp differences."""
+    t = Tables(spark, sf_dir)
+    bounds = t.orders.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    cut = F.lit(PSI_CUT).cast("timestamp")
+    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / PSI_BINS)
+            ),
+            F.lit(PSI_BINS - 1),
+        )
+    )
+    bucketed = (
+        t.orders.crossJoin(F.broadcast(bounds))
+        .select(
+            b.cast("long").alias("bucket"),
+            (F.col("o_orderdate") < cut).alias("_is_ref"),
+        )
+    )
+    sides = bucketed.groupBy("bucket").agg(
+        F.count(F.when(F.col("_is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("_is_ref"), 1)).alias("n_cur"),
+    )
+    totals = sides.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(_PSI_EPS))
+    q = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(_PSI_EPS))
+    return (
+        sides.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
+_PSI_SQL = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS _lo, max(o_totalprice) AS _hi FROM orders
+),
+bucketed AS (
+  SELECT CAST(CASE WHEN _hi = _lo THEN 0
+              ELSE least(floor((o_totalprice - _lo)
+                               / ((_hi - _lo) / {PSI_BINS})),
+                         {PSI_BINS - 1}) END AS BIGINT) AS bucket,
+         o_orderdate < TIMESTAMP '{PSI_CUT}' AS _is_ref
+  FROM orders CROSS JOIN bounds
+),
+sides AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (_is_ref) AS BIGINT) AS n_ref,
+         CAST(count(*) FILTER (NOT _is_ref) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY 1
+),
+totals AS (SELECT sum(n_ref) AS _tr, sum(n_cur) AS _tc FROM sides)
+SELECT bucket, n_ref, n_cur,
+       round((greatest(n_ref / _tr, {_PSI_EPS})
+              - greatest(n_cur / _tc, {_PSI_EPS}))
+             * ln(greatest(n_ref / _tr, {_PSI_EPS})
+                  / greatest(n_cur / _tc, {_PSI_EPS})), 6) AS psi_term
+FROM sides CROSS JOIN totals
+"""
+
+
 # --- KMV distinct sketch ----------------------------------------------
 
 KMV_K = 256
@@ -379,10 +469,18 @@ register_suite(
             _HIST_SQL,
             [("bucket", "s"), ("n", "s")],
         ),
+        SubQuery(
+            "olap_psi_drift",
+            olap_psi_drift,
+            _PSI_SQL,
+            [("bucket", "s"), ("n_ref", "s"), ("n_cur", "s"),
+             ("psi_term", "d6")],
+        ),
     ],
     doc="OLAP grouping + sketch suite: single-pass ROLLUP and CUBE "
     "subtotals, wide event pivot + its unpivot inverse, data-driven "
-    "equal-width histogram, the deterministic KMV distinct-count "
-    "sketch, and CountMin heavy-hitter estimates, each oracle-checked "
-    "row-for-row inside the union.",
+    "equal-width histogram, PSI distribution-drift terms between two "
+    "snapshots, the deterministic KMV distinct-count sketch, and "
+    "CountMin heavy-hitter estimates, each oracle-checked row-for-row "
+    "inside the union.",
 )
