@@ -349,12 +349,14 @@ def gapfill_locf_interp(
         + (next_v - prev_v)
         * (F.datediff(F.col(date), prev_d) / F.datediff(next_d, prev_d))
     )
+    # floor-scale truncation, not round — see ewma: shortest-repr
+    # half-ties make Spark/DuckDB round() disagree; floor has no tie
     return j.select(
         key,
         date,
         F.col("_obs").alias(value),
         prev_v.alias("locf"),
-        F.round(interp, 4).alias("interp"),
+        (F.floor(interp * F.lit(1e4)) / F.lit(1e4)).alias("interp"),
     )
 
 
@@ -401,8 +403,16 @@ def ewma(
         f"CASE WHEN acc IS NULL THEN x "
         f"ELSE acc * CAST({1.0 - a} AS DOUBLE) + CAST({a} AS DOUBLE) * x END)"
     )
+    # TRUNCATE to ndigits (floor-scale), don't round: the recursion
+    # densely generates doubles whose SHORTEST DECIMAL REPR is an exact
+    # half-tie at the rounding digit (e.g. 66.0993585), and there
+    # Spark's round (BigDecimal.valueOf of the shortest repr, HALF_UP)
+    # and DuckDB's round (of the true binary value) disagree — observed
+    # 10 rows in 40k at sf0.1.  floor of the scaled double has no tie
+    # semantics at all, so engine and oracle agree on every value.
+    scale = float(10**ndigits)
     return (
         df.withColumn("_pre", pre)
-        .withColumn(out, F.round(fold, ndigits))
+        .withColumn(out, F.floor(fold * F.lit(scale)) / F.lit(scale))
         .drop("_pre")
     )

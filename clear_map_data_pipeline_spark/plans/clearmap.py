@@ -45,9 +45,9 @@ def synth_moh_dirty(t: Tables) -> DataFrame:
     """Deterministic dirty MOH-shaped frame from events.
 
     Per user u (``g = u % 4``):
-      g=0 -> case-1 city 1000+u, areas 1..3 (no area 0)
-      g=1 -> case-2 city 2000+(u//8): two users, one area-0 one not
-      g=2 -> case-3/4 city 3000+u, only area 0 ((u//4)%2 picks which)
+      g=0 -> case-1 city 1001+4u, areas 1..3 (no area 0)
+      g=1 -> case-2 city 1002+4*(u//8): two users, one area-0 one not
+      g=2 -> case-3/4 city 1003+4u, only area 0 ((u//4)%2 picks which)
       g=3 -> null/0 city+area rows (dropped by the clean stage's F2)
     Measures are strings with '<15' censoring and TRUE/FALSE flags,
     plus a droppable 'town' column (drift-tolerant P1)."""
@@ -70,9 +70,9 @@ def synth_moh_dirty(t: Tables) -> DataFrame:
     u = F.col("u")
     g = u % 4
     city = (
-        F.when(g == 0, 1000 + u)
-        .when(g == 1, 2000 + F.expr("u DIV 8"))
-        .when(g == 2, 3000 + u)
+        F.when(g == 0, 1001 + 4 * u)
+        .when(g == 1, 1002 + 4 * F.expr("u DIV 8"))
+        .when(g == 2, 1003 + 4 * u)
         .otherwise(
             F.when(u % 8 == 3, F.lit(None).cast("long")).otherwise(F.lit(0))
         )
@@ -117,20 +117,20 @@ def synth_shape(t: Tables) -> DataFrame:
     users = t.events.select(F.col("user_id").alias("u")).distinct()
     u = F.col("u")
     g0 = users.filter(u % 4 == 0).select(
-        (1000 + u).alias("city"), (1 + u % 3).alias("area")
+        (1001 + 4 * u).alias("city"), (1 + u % 3).alias("area")
     )
     g1 = users.filter((u % 4 == 1) & (F.expr("(u DIV 4) % 2") == 1)).select(
-        (2000 + F.expr("u DIV 8")).alias("city"), (1 + u % 3).alias("area")
+        (1002 + 4 * F.expr("u DIV 8")).alias("city"), (1 + u % 3).alias("area")
     )
     g2_case4 = users.filter((u % 4 == 2) & (F.expr("(u DIV 4) % 2") == 0)).select(
-        (3000 + u).alias("city"), F.lit(1).cast("long").alias("area")
+        (1003 + 4 * u).alias("city"), F.lit(1).cast("long").alias("area")
     )
     g2_case3 = (
         users.filter((u % 4 == 2) & (F.expr("(u DIV 4) % 2") == 1))
-        .select((3000 + u).alias("city"), F.explode(F.array(F.lit(1), F.lit(2))).alias("area"))
+        .select((1003 + 4 * u).alias("city"), F.explode(F.array(F.lit(1), F.lit(2))).alias("area"))
     )
     absent = users.filter(u % 10 == 0).select(
-        (9000 + u).alias("city"), F.lit(1).cast("long").alias("area")
+        (9000 + 4 * u).alias("city"), F.lit(1).cast("long").alias("area")
     )
     base = (
         g0.unionByName(g1)

@@ -23,9 +23,9 @@ daily AS (
 ),
 dirty AS (
   SELECT
-    CAST(CASE WHEN u % 4 = 0 THEN 1000 + u
-              WHEN u % 4 = 1 THEN 2000 + (u // 8)
-              WHEN u % 4 = 2 THEN 3000 + u
+    CAST(CASE WHEN u % 4 = 0 THEN 1001 + 4 * u
+              WHEN u % 4 = 1 THEN 1002 + 4 * (u // 8)
+              WHEN u % 4 = 2 THEN 1003 + 4 * u
               ELSE CASE WHEN u % 8 = 3 THEN NULL ELSE 0 END END AS VARCHAR) AS city,
     CAST(CASE WHEN u % 4 = 0 THEN 1 + u % 3
               WHEN u % 4 = 1 THEN CASE WHEN (u // 4) % 2 = 0 THEN 0 ELSE 1 + u % 3 END
@@ -56,16 +56,16 @@ clean AS (
 ),
 cleanid AS (SELECT *, city * 10000 + area AS id FROM clean),
 shape0 AS (
-  SELECT 1000 + u AS city, 1 + u % 3 AS area FROM users WHERE u % 4 = 0
+  SELECT 1001 + 4 * u AS city, 1 + u % 3 AS area FROM users WHERE u % 4 = 0
   UNION ALL
-  SELECT 2000 + (u // 8), 1 + u % 3 FROM users WHERE u % 4 = 1 AND (u // 4) % 2 = 1
+  SELECT 1002 + 4 * (u // 8), 1 + u % 3 FROM users WHERE u % 4 = 1 AND (u // 4) % 2 = 1
   UNION ALL
-  SELECT 3000 + u, 1 FROM users WHERE u % 4 = 2 AND (u // 4) % 2 = 0
+  SELECT 1003 + 4 * u, 1 FROM users WHERE u % 4 = 2 AND (u // 4) % 2 = 0
   UNION ALL
-  SELECT 3000 + u, a FROM users, (SELECT unnest([1, 2]) AS a)
+  SELECT 1003 + 4 * u, a FROM users, (SELECT unnest([1, 2]) AS a)
   WHERE u % 4 = 2 AND (u // 4) % 2 = 1
   UNION ALL
-  SELECT 9000 + u, 1 FROM users WHERE u % 10 = 0
+  SELECT 9000 + 4 * u, 1 FROM users WHERE u % 10 = 0
 ),
 shape AS (
   SELECT CAST(city AS BIGINT) AS city, CAST(area AS BIGINT) AS area,

@@ -160,10 +160,11 @@ _W_GAPFILL_SQL = f"""
                  wn AS (PARTITION BY id ORDER BY date
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT id, date, obs AS cases, locf,
-           round(CASE WHEN obs IS NOT NULL THEN CAST(obs AS DOUBLE)
-                 ELSE CAST(locf AS DOUBLE) + (nxt - locf)
-                      * (date_diff('day', pd, date) * 1.0
-                         / date_diff('day', pd, nd)) END, 4) AS interp
+           floor((CASE WHEN obs IS NOT NULL THEN CAST(obs AS DOUBLE)
+                  ELSE CAST(locf AS DOUBLE) + (nxt - locf)
+                       * (date_diff('day', pd, date) * 1.0
+                          / date_diff('day', pd, nd)) END) * 10000.0)
+             / 10000.0 AS interp
     FROM f
     """
 
@@ -195,9 +196,10 @@ _W_EWMA_SQL = f"""
                    x -> x IS NOT NULL) AS _pre
           FROM daily)
     SELECT id, date, cases,
-           round(CASE WHEN len(_pre) > 0 THEN list_reduce(_pre, (acc, x) ->
-                 acc * CAST({1.0 - EWMA_ALPHA} AS DOUBLE)
-                 + CAST({EWMA_ALPHA} AS DOUBLE) * x) END, 6) AS ewma
+           floor((CASE WHEN len(_pre) > 0 THEN list_reduce(_pre, (acc, x) ->
+                  acc * CAST({1.0 - EWMA_ALPHA} AS DOUBLE)
+                  + CAST({EWMA_ALPHA} AS DOUBLE) * x) END) * 1000000.0)
+             / 1000000.0 AS ewma
     FROM l
     """
 

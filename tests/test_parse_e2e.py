@@ -90,11 +90,12 @@ def test_parse_case3_geometry_dissolves_to_single_polygon(spark, sf_dir):
     from clear_map_data_pipeline_spark.plans.clearmap import run_pipeline
 
     exports = run_pipeline(spark, sf_dir, geometry=True)
-    # case-3 ids are city*10000+1 for cities in the 3000-range with two
-    # shape areas (synth_shape g2_case3)
+    # case-3 ids are city*10000+1 for the g2 cities (city = 1003 + 4u,
+    # i.e. city % 4 == 3) whose users have (u DIV 4) % 2 == 1 — two
+    # shape areas (synth_shape g2_case3); the city % 4 filter also
+    # admits case-4 cities, whose single square is a POLYGON anyway
     case3 = exports["all"].filter(
-        (F.col("id") % 10000 == 1) & (F.col("id") >= 30000000)
-        & (F.col("id") < 40000000)
+        (F.col("id") % 10000 == 1) & ((F.col("id") / 10000).cast("long") % 4 == 3)
     )
     geoms = [r["geometry"] for r in case3.select("geometry").distinct().collect()]
     assert geoms, "no case-3 rows in fixture"

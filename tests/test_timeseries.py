@@ -6,6 +6,14 @@ checked against an explicit Python recurrence.
 from __future__ import annotations
 
 import datetime as dt
+import math
+
+
+def _trunc(v, nd):
+    """floor-scale truncation — the operators' engine-portable rendering
+    (see operators/stats.py: ewma for why round() is not usable)."""
+    scale = float(10**nd)
+    return math.floor(v * scale) / scale
 
 from clear_map_data_pipeline_spark.operators.stats import (
     ewma,
@@ -89,7 +97,7 @@ def test_ewma_matches_literal_recurrence(spark):
     expect = []
     for x in vals:
         y = float(x) if y is None else (1 - alpha) * y + alpha * x
-        expect.append(round(y, 6))
+        expect.append(_trunc(y, 6))
     assert got == expect
 
 
@@ -171,7 +179,7 @@ def test_gapfill_matches_literal_python(spark, series):
             expect[(k, base + dt.timedelta(days=d))] = (
                 days.get(d),
                 days[prev],
-                round(interp, 4),
+                _trunc(interp, 4),
             )
     assert got == expect
 
@@ -193,7 +201,7 @@ def test_ewma_matches_literal_python(spark, series, alpha):
         y = None
         for off, v in sorted(obs):
             y = float(v) if y is None else (1 - alpha) * y + alpha * v
-            expect[(k, base + dt.timedelta(days=off))] = round(y, 6)
+            expect[(k, base + dt.timedelta(days=off))] = _trunc(y, 6)
     assert got == expect
 
 
