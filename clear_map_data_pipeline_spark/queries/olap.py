@@ -102,30 +102,42 @@ def olap_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BINS = 16
 
 
+def _equal_width_bucket(col: str, bins: int):
+    """Equal-width bucket index against broadcast ``_lo``/``_hi``
+    bounds columns — the ONE definition the histogram and PSI queries
+    share.  Degenerate bounds (all values equal) put everything in
+    bucket 0 — without the guard ANSI mode raises on the zero divisor
+    while DuckDB yields inf, so the branch also keeps engine parity.
+    The top edge folds into the last bin (closed-right convention)."""
+    return F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col(col) - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / bins)
+            ),
+            F.lit(bins - 1),
+        )
+    )
+
+
+def _equal_width_bucket_sql(col: str, bins: int) -> str:
+    """DuckDB twin of ``_equal_width_bucket`` (same shared definition)."""
+    return f"""CAST(CASE WHEN _hi = _lo THEN 0
+            ELSE least(floor(({col} - _lo) / ((_hi - _lo) / {bins})),
+                       {bins - 1}) END AS BIGINT)"""
+
+
 def olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of order totals, bounds taken from the
     data: one (min, max) aggregate broadcasts to a map-side bucket
     expression, then one groupBy(bucket) — two narrow exchanges total,
-    both over <= bins rows after partial aggregation.  The top edge
-    folds into the last bin (the standard closed-right convention), and
-    identical double arithmetic on both engines makes bucket boundaries
-    hash-exact."""
+    both over <= bins rows after partial aggregation.  Identical double
+    arithmetic on both engines makes bucket boundaries hash-exact."""
     t = Tables(spark, sf_dir)
     bounds = t.orders.agg(
         F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
     )
-    # degenerate bounds (all values equal) put everything in bucket 0 —
-    # without the guard ANSI mode raises on the zero divisor while
-    # DuckDB yields inf, so the branch also keeps engine parity
-    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("_lo"))
-                / ((F.col("_hi") - F.col("_lo")) / HIST_BINS)
-            ),
-            F.lit(HIST_BINS - 1),
-        )
-    )
+    b = _equal_width_bucket("o_totalprice", HIST_BINS)
     return (
         t.orders.crossJoin(F.broadcast(bounds))
         .select(b.cast("long").alias("bucket"))
@@ -138,9 +150,7 @@ _HIST_SQL = f"""
 WITH bounds AS (
   SELECT min(o_totalprice) AS _lo, max(o_totalprice) AS _hi FROM orders
 )
-SELECT CAST(CASE WHEN _hi = _lo THEN 0
-            ELSE least(floor((o_totalprice - _lo) / ((_hi - _lo) / {HIST_BINS})),
-                       {HIST_BINS - 1}) END AS BIGINT) AS bucket,
+SELECT {_equal_width_bucket_sql("o_totalprice", HIST_BINS)} AS bucket,
        count(*) AS n
 FROM orders CROSS JOIN bounds
 GROUP BY 1
@@ -165,23 +175,19 @@ def olap_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bounds are a broadcast 1-row aggregate; each side is
     one map-side-combined groupBy(bucket) over <= bins rows; the final
-    per-bucket join touches <= bins rows.  ln() is engine-portable here
-    for the same reason the ramzor score's is: inputs are identical
-    doubles and the round-6 output absorbs libm ulp differences."""
+    per-bucket join touches <= bins rows.  The term is rendered by
+    floor-scale TRUNCATION, not round() — (p-q)*ln(p/q) is a densely-
+    generated double, exactly the class where Spark's shortest-repr
+    HALF_UP round and DuckDB's binary-value round disagree on half-ties
+    (the EWMA lesson); floor has no tie semantics and also shrinks the
+    window in which a 1-ulp libm ln() difference could flip the
+    rendered value."""
     t = Tables(spark, sf_dir)
     bounds = t.orders.agg(
         F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
     )
     cut = F.lit(PSI_CUT).cast("timestamp")
-    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("_lo"))
-                / ((F.col("_hi") - F.col("_lo")) / PSI_BINS)
-            ),
-            F.lit(PSI_BINS - 1),
-        )
-    )
+    b = _equal_width_bucket("o_totalprice", PSI_BINS)
     bucketed = (
         t.orders.crossJoin(F.broadcast(bounds))
         .select(
@@ -204,7 +210,9 @@ def olap_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_ref",
             "n_cur",
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+            (F.floor((p - q) * F.log(p / q) * F.lit(1e6)) / F.lit(1e6)).alias(
+                "psi_term"
+            ),
         )
     )
 
@@ -214,10 +222,7 @@ WITH bounds AS (
   SELECT min(o_totalprice) AS _lo, max(o_totalprice) AS _hi FROM orders
 ),
 bucketed AS (
-  SELECT CAST(CASE WHEN _hi = _lo THEN 0
-              ELSE least(floor((o_totalprice - _lo)
-                               / ((_hi - _lo) / {PSI_BINS})),
-                         {PSI_BINS - 1}) END AS BIGINT) AS bucket,
+  SELECT {_equal_width_bucket_sql("o_totalprice", PSI_BINS)} AS bucket,
          o_orderdate < TIMESTAMP '{PSI_CUT}' AS _is_ref
   FROM orders CROSS JOIN bounds
 ),
@@ -229,10 +234,11 @@ sides AS (
 ),
 totals AS (SELECT sum(n_ref) AS _tr, sum(n_cur) AS _tc FROM sides)
 SELECT bucket, n_ref, n_cur,
-       round((greatest(n_ref / _tr, {_PSI_EPS})
+       floor((greatest(n_ref / _tr, {_PSI_EPS})
               - greatest(n_cur / _tc, {_PSI_EPS}))
              * ln(greatest(n_ref / _tr, {_PSI_EPS})
-                  / greatest(n_cur / _tc, {_PSI_EPS})), 6) AS psi_term
+                  / greatest(n_cur / _tc, {_PSI_EPS})) * 1000000.0)
+         / 1000000.0 AS psi_term
 FROM sides CROSS JOIN totals
 """
 

@@ -306,7 +306,7 @@ def test_fuzzy_match_join_cross_corpus(spark):
     )
     rows = minhash_lsh_fuzzy_join(probe, ref, threshold=0.5).collect()
     pairs = {(r["left_id"], r["right_id"]): r["jaccard"] for r in rows}
+    # (1, 10) and nothing else: the near-dup pair oriented
+    # (probe, reference), no unrelated probe matches
     assert set(pairs) == {(1, 10)}, f"unexpected pairs {pairs}"
     assert pairs[(1, 10)] >= 0.5
-    # orientation: left ids come from the probe side only
-    assert all(lid in (1, 2) and rid in (10, 11) for lid, rid in pairs)
