@@ -392,7 +392,9 @@ def ewma(
     O(rows_per_key) peak row width inside each key — the same
     bounded-series contract as the reference's per-group pandas ops.
     For unbounded streams use the streaming layer's stateful fold
-    instead; at 100 TB-of-many-short-series (the reference shape:
+    (``streaming/ewma.py: daily_ewma_stream`` — same recurrence, same
+    truncated rendering, batch-equivalence asserted in tests) instead;
+    at 100 TB-of-many-short-series (the reference shape:
     |keys| ~ geography x ~10^3 days) the bound is the calendar, and
     every key still processes in parallel on one exchange.
     """

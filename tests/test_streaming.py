@@ -491,3 +491,110 @@ def test_streaming_merge_sink_late_lower_version_loses(spark, tmp_path):
     )
     got = {r["user_id"]: (r["name"], r["version"]) for r in final.collect()}
     assert got == {1: ("alice_v3", 3), 2: ("bob_v4", 4)}, got
+
+
+def test_streaming_daily_ewma_matches_batch(spark, sf_dir):
+    """The stateful streaming daily-EWMA must equal the batch operator's
+    answer over the same daily totals, restricted to days the final
+    watermark closed (day end <= max event time - 30 min)."""
+    from clear_map_data_pipeline_spark.operators.stats import ewma
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.streaming.ewma import (
+        daily_ewma_stream,
+    )
+
+    streamed = daily_ewma_stream(
+        spark, f"{sf_dir}/events.parquet", alpha=0.3, query_name="t_ewma_eq"
+    )
+    srows = {
+        (r["user_id"], r["day"]): (r["day_total"], r["ewma"])
+        for r in streamed.collect()
+    }
+    assert srows, "no closed days emitted"
+
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.select(
+            "user_id",
+            (F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+            F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v6"),
+        )
+        .groupBy("user_id", "day")
+        .agg((F.sum("v6") / F.lit(1e6)).alias("day_total"))
+    )
+    smoothed = ewma(daily, "day_total", 0.3, key="user_id", order="day")
+    max_ts = (
+        ev.agg(F.max(F.col("ts").cast("double"))).collect()[0][0]
+    )
+    wm_ms = int(max_ts * 1000) - 30 * 60 * 1000
+    closed = smoothed.filter((F.col("day") + 1) * 86400 * 1000 <= wm_ms)
+    brows = {
+        (r["user_id"], r["day"]): (r["day_total"], r["ewma"])
+        for r in closed.collect()
+    }
+    assert srows == brows, (
+        len(srows), len(brows),
+        dict(list(srows.items())[:3]), dict(list(brows.items())[:3]),
+    )
+
+
+def test_streaming_daily_ewma_multibatch_fold(spark, tmp_path):
+    """The fold must be identical whether the backlog drains in one
+    microbatch or file-by-file: the scaled-integer day totals make the
+    accumulation order-free, and the state carries the untruncated
+    accumulator across batches."""
+    import datetime as dt
+
+    from clear_map_data_pipeline_spark.streaming.ewma import (
+        daily_ewma_stream,
+    )
+
+    import glob
+    import math
+    import os
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "ev")
+    # one file per event-day, written with strictly increasing mtimes:
+    # the file source orders by modification time, so the drain replays
+    # the days chronologically (identical-mtime files arrive in
+    # arbitrary order, and an out-of-order day is LEGITIMATELY dropped
+    # as late data under the watermark contract — not what this test
+    # is about)
+    stamped: set = set()
+    for day in range(6):
+        rows = [
+            (1, base + dt.timedelta(days=day, minutes=k),
+             10.0 * (day + 1) + 0.25 * k)
+            for k in range(3)
+        ]
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/part-*"):  # stamp in WRITE order
+            if f not in stamped:
+                os.utime(f, (1_700_000_000 + day, 1_700_000_000 + day))
+                stamped.add(f)
+
+    one = daily_ewma_stream(spark, src, alpha=0.5, query_name="t_ewma_one")
+    rows_one = sorted(map(tuple, one.collect()))
+    many = daily_ewma_stream(
+        spark, src, alpha=0.5, query_name="t_ewma_many",
+        max_files_per_trigger=1,
+    )
+    rows_many = sorted(map(tuple, many.collect()))
+    assert rows_one, "nothing emitted"
+    assert rows_one == rows_many
+    # literal recurrence over the day totals (3 events/day:
+    # sum_k 10*(d+1) + 0.25*k = 30*(d+1) + 0.75)
+    totals = [30.0 * (d + 1) + 0.75 for d in range(6)]
+    y = None
+    expect = []
+    for t in totals:
+        y = t if y is None else 0.5 * y + 0.5 * t
+        expect.append((t, math.floor(y * 1e6) / 1e6))
+    # final watermark = day5 12:02 - 30 min, which closes days 0..4
+    assert len(rows_one) == 5
+    for (uid, _day, tot, ew), (etot, eew) in zip(rows_one, expect):
+        assert uid == 1 and abs(tot - etot) < 1e-9
+        assert ew == eew
