@@ -668,3 +668,38 @@ def ivf_topk_lloyd(
     return _ivf_from_centroids(
         v, cents, id_col, query_mod, nprobe, k, n_assign=n_assign
     )
+
+
+def save_ivf_index(cents: DataFrame, path: str) -> None:
+    """Persist trained IVF centroids (cid, _c) to parquet — train ONCE,
+    probe many: at 100 TB the Lloyd fit is a scheduled job and every
+    search reloads the same few-KB index instead of re-deriving it.
+    The frame is tiny (k rows), written as one file for atomic reads."""
+    cents.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    """Load centroids persisted by ``save_ivf_index``."""
+    return spark.read.parquet(path)
+
+
+def ivf_topk_with_index(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 100,
+    nprobe: int = 2,
+    k: int = 5,
+    n_assign: int = 1,
+) -> DataFrame:
+    """IVF top-k probing a PRE-TRAINED centroid frame (from
+    ``load_ivf_index`` or any trainer) — the index/probe core without
+    the fit, so new corpus batches index against frozen centers and
+    search cost never includes training.  Deterministic for fixed
+    centroids: identical to the train-inline variants by construction
+    (same ``_ivf_from_centroids``)."""
+    v = _vectors(df, id_col, vec_col)
+    return _ivf_from_centroids(
+        v, cents, id_col, query_mod, nprobe, k, n_assign=n_assign
+    )
