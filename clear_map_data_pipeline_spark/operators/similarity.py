@@ -703,3 +703,48 @@ def ivf_topk_with_index(
     return _ivf_from_centroids(
         v, cents, id_col, query_mod, nprobe, k, n_assign=n_assign
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.2,
+    hi: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k MOST similar corpus vectors inside the band
+    ``lo <= cos < hi`` — similar enough to be informative negatives,
+    below the near-duplicate ceiling so they are not false negatives.
+
+    Band compared on the rounded score (both bounds), rank on
+    (score desc, id) — the exact-baseline discipline of
+    ``cosine_topk``, sharing its broadcast-queries shape.  This is the
+    exact path; at corpus scale run the SAME band filter over the IVF
+    candidates (``ivf_topk_with_index`` with a larger k, then band
+    filter + re-rank), which prunes to probed inverted lists first."""
+    from pyspark.sql import Window
+
+    cand = _vectors(df, id_col, vec_col).toDF("vb", "_b")
+    qry = queries.select(
+        F.col(id_col).alias("va"), as_double(vec_col).alias("_a")
+    )
+    scored = (
+        F.broadcast(qry)
+        .crossJoin(cand)
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos_sim").desc(), F.col("vb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("va", "vb", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

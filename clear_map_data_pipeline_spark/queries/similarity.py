@@ -62,9 +62,37 @@ def sim_cosine_topk(spark, sf_dir):
     return sim.cosine_topk(t.embeddings, queries, k=5)
 
 
-# One registry slot for both exact-cosine baselines (the LSH/IVF scale
+# hard-negative band: below the near-dup ceiling, above noise
+HN_LO, HN_HI = 0.2, 0.5
+
+_HARD_NEG_SQL = f"""
+    WITH {_V_CTE},
+    q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos_sim
+      FROM q a JOIN v b ON a.vec_id <> b.vec_id
+      WHERE {_COS} >= {HN_LO} AND {_COS} < {HN_HI}
+    )
+    SELECT va, vb, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY va
+                    ORDER BY cos_sim DESC, vb) AS rn FROM scored)
+    WHERE rn <= 5
+    """
+
+
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training sampling): per query,
+    the 5 most similar vectors inside the [0.2, 0.5) cosine band —
+    informative negatives below the near-dup ceiling.  Exact path here;
+    the scale path band-filters IVF candidates instead."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") % 100 == 0)
+    return sim.hard_negatives(t.embeddings, queries, k=5, lo=HN_LO, hi=HN_HI)
+
+
+# One registry slot for the exact-cosine baselines (the LSH/IVF scale
 # paths stay standalone) — frees a slot inside the driver's 50-entry
-# CORRECTNESS window; both full result sets still hash-check in the union.
+# CORRECTNESS window; all full result sets still hash-check in the union.
 register_suite(
     "suite_cosine_exact",
     [
@@ -80,9 +108,16 @@ register_suite(
             _COS_TOPK_SQL,
             [("va", "s"), ("vb", "s"), ("cos_sim", "d4"), ("rank", "s")],
         ),
+        SubQuery(
+            "sim_hard_negatives",
+            sim_hard_negatives,
+            _HARD_NEG_SQL,
+            [("va", "s"), ("vb", "s"), ("cos_sim", "d4"), ("rank", "s")],
+        ),
     ],
-    doc="Exact brute-force cosine baselines (threshold pairs + top-k), "
-    "each oracle-checked row-for-row inside the union.",
+    doc="Exact brute-force cosine baselines (threshold pairs + top-k + "
+    "banded hard-negative mining), each oracle-checked row-for-row "
+    "inside the union.",
 )
 
 
