@@ -117,11 +117,18 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lo: float | None = None,
+    hi: float | None = None,
 ) -> DataFrame:
-    """Top-k nearest neighbours (cosine) for each query vector.
+    """Top-k nearest neighbours (cosine) for each query vector,
+    optionally restricted to the similarity band ``lo <= cos < hi``
+    (the hard-negative-mining case — see ``hard_negatives``).
 
     The query side is broadcast (small); ranking uses row_number with a
-    deterministic id tie-break."""
+    deterministic id tie-break; band bounds compare on the rounded
+    score so engine and oracle agree at the boundary.  ONE definition
+    serves the plain top-k and the banded variant, so the shared
+    discipline (tie-break, rounding, broadcast shape) cannot drift."""
     from pyspark.sql import Window
 
     cand = _vectors(df, id_col, vec_col).toDF("vb", "_b")
@@ -129,6 +136,10 @@ def cosine_topk(
     scored = F.broadcast(qry).crossJoin(cand).filter(F.col("va") != F.col("vb")).select(
         "va", "vb", F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim")
     )
+    if lo is not None:
+        scored = scored.filter(F.col("cos_sim") >= lo)
+    if hi is not None:
+        scored = scored.filter(F.col("cos_sim") < hi)
     w = Window.partitionBy("va").orderBy(F.col("cos_sim").desc(), F.col("vb"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -719,32 +730,9 @@ def hard_negatives(
     ``lo <= cos < hi`` — similar enough to be informative negatives,
     below the near-duplicate ceiling so they are not false negatives.
 
-    Band compared on the rounded score (both bounds), rank on
-    (score desc, id) — the exact-baseline discipline of
-    ``cosine_topk``, sharing its broadcast-queries shape.  This is the
-    exact path; at corpus scale run the SAME band filter over the IVF
-    candidates (``ivf_topk_with_index`` with a larger k, then band
-    filter + re-rank), which prunes to probed inverted lists first."""
-    from pyspark.sql import Window
-
-    cand = _vectors(df, id_col, vec_col).toDF("vb", "_b")
-    qry = queries.select(
-        F.col(id_col).alias("va"), as_double(vec_col).alias("_a")
-    )
-    scored = (
-        F.broadcast(qry)
-        .crossJoin(cand)
-        .filter(F.col("va") != F.col("vb"))
-        .select(
-            "va",
-            "vb",
-            F.round(cosine(F.col("_a"), F.col("_b")), 4).alias("cos_sim"),
-        )
-        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
-    )
-    w = Window.partitionBy("va").orderBy(F.col("cos_sim").desc(), F.col("vb"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("va", "vb", "cos_sim", F.col("rank").cast("int").alias("rank"))
-    )
+    A banded ``cosine_topk`` — the ONE shared definition carries the
+    tie-break/rounding discipline.  This is the exact path; at corpus
+    scale run the SAME band filter over the IVF candidates
+    (``ivf_topk_with_index`` with a larger k, then band filter +
+    re-rank), which prunes to probed inverted lists first."""
+    return cosine_topk(df, queries, k, id_col, vec_col, lo=lo, hi=hi)

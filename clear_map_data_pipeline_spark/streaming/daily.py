@@ -15,13 +15,11 @@ the reference's "recompute everything" answer.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import normalize_parquet_confs, normalize_ts
+from ..session import normalize_ts
 
 
 def daily_totals_stream(
@@ -37,21 +35,11 @@ def daily_totals_stream(
     Output: one row per (date, event_type) with row counts and value
     sums — the streaming twin of the batch A14 daily totals.
     """
-    normalize_parquet_confs(spark)
-    # the file streaming source requires a DIRECTORY; stage a single
-    # parquet file behind a symlink dir (zero-copy)
-    if os.path.isfile(events_dir):
-        staged = tempfile.mkdtemp(prefix="clearmap_stream_src_")
-        os.symlink(
-            os.path.abspath(events_dir),
-            os.path.join(staged, os.path.basename(events_dir)),
-        )
-        events_dir = staged
-    batch_schema = spark.read.parquet(events_dir).schema
-    stream = (
-        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
-        .withWatermark("ts", watermark)
-    )
+    from .drain import stage_stream_source
+
+    stream = normalize_ts(
+        stage_stream_source(spark, events_dir)
+    ).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(
             F.window("ts", "1 day").alias("w"), F.col("event_type")
@@ -64,14 +52,6 @@ def daily_totals_stream(
             F.round("sum_value", 2).alias("sum_value"),
         )
     )
-    checkpoint = tempfile.mkdtemp(prefix="clearmap_stream_ckpt_")
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    from .drain import drain_to_memory
+
+    return drain_to_memory(agg, spark, query_name)

@@ -59,14 +59,8 @@ def deduped_ingest_stream(
         "n_events",
         "sum_value",
     )
-    checkpoint = tempfile.mkdtemp(prefix="clearmap_dedup_ckpt_")
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-        .trigger(availableNow=True)
-        .start()
+    from .drain import drain_to_memory
+
+    return drain_to_memory(
+        out, spark, query_name, ckpt_prefix="clearmap_dedup_ckpt_"
     )
-    q.awaitTermination()
-    return spark.table(query_name)

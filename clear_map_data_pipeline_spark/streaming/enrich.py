@@ -12,13 +12,11 @@ types, tenant metadata), so the join never shuffles the stream.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import normalize_parquet_confs, normalize_ts
+from ..session import normalize_ts
 
 
 def enriched_daily_totals_stream(
@@ -37,17 +35,10 @@ def enriched_daily_totals_stream(
     ``dim`` must carry ``join_key`` and ``category_col``.  Inner-join
     semantics: events with no dimension row are dropped (the batch twin
     does the same)."""
-    normalize_parquet_confs(spark)
-    if os.path.isfile(events_dir):
-        staged = tempfile.mkdtemp(prefix="clearmap_enrich_src_")
-        os.symlink(
-            os.path.abspath(events_dir),
-            os.path.join(staged, os.path.basename(events_dir)),
-        )
-        events_dir = staged
-    batch_schema = spark.read.parquet(events_dir).schema
+    from .drain import stage_stream_source
+
     stream = (
-        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
+        normalize_ts(stage_stream_source(spark, events_dir))
         .withWatermark("ts", watermark)
         .join(F.broadcast(dim.select(join_key, category_col)), join_key)
     )
@@ -66,14 +57,8 @@ def enriched_daily_totals_stream(
             "sum_value",
         )
     )
-    checkpoint = tempfile.mkdtemp(prefix="clearmap_enrich_ckpt_")
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-        .trigger(availableNow=True)
-        .start()
+    from .drain import drain_to_memory
+
+    return drain_to_memory(
+        agg, spark, query_name, ckpt_prefix="clearmap_enrich_ckpt_"
     )
-    q.awaitTermination()
-    return spark.table(query_name)

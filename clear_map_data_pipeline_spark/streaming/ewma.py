@@ -26,8 +26,6 @@ sessionizer.
 from __future__ import annotations
 
 import math
-import os
-import tempfile
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -35,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..session import normalize_parquet_confs, normalize_ts
+from ..session import normalize_ts
 
 OUTPUT_SCHEMA = "user_id long, day long, day_total double, ewma double"
 STATE_SCHEMA = (
@@ -65,12 +63,16 @@ def _fold_factory(alpha: float):
             # after a batch completes), so closures mostly happen in the
             # timeout invocations below — including the engine's no-data
             # batch after an AvailableNow drain exhausts the source.
+            # Vectorized per-day partial sums: days per batch are
+            # bounded by the watermark horizon, events are not — the
+            # pandas groupby keeps the per-event work in C.
             for pdf in batches:
-                for d, v6 in zip(pdf["day"].values, pdf["v6"].values):
-                    d = int(d)
-                    if d <= last_day:
-                        continue  # late event for an already-emitted day
-                    open_days[d] = open_days.get(d, 0) + int(v6)
+                fresh = pdf[pdf["day"] > last_day]
+                if len(fresh):
+                    for d, s in (
+                        fresh.groupby("day")["v6"].sum().items()
+                    ):
+                        open_days[int(d)] = open_days.get(int(d), 0) + int(s)
         wm_ms = state.getCurrentWatermarkMs()
         closed = sorted(
             d for d in open_days if (d + 1) * _DAY_S * 1000 <= wm_ms
@@ -120,20 +122,17 @@ def daily_ewma_stream(
     """Drain the events backlog with AvailableNow through the stateful
     daily-EWMA fold; returns the materialized table
     (user_id, day epoch-day, day_total, ewma)."""
-    normalize_parquet_confs(spark)
-    if os.path.isfile(events_dir):
-        staged = tempfile.mkdtemp(prefix="clearmap_stream_src_")
-        os.symlink(
-            os.path.abspath(events_dir),
-            os.path.join(staged, os.path.basename(events_dir)),
-        )
-        events_dir = staged
-    batch_schema = spark.read.parquet(events_dir).schema
-    reader = spark.readStream.schema(batch_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    from .drain import drain_to_memory, stage_stream_source
+
     stream = (
-        normalize_ts(reader.parquet(events_dir))
+        normalize_ts(
+            stage_stream_source(spark, events_dir, max_files_per_trigger)
+        )
+        # NULL values are IGNORED, matching the batch ewma operator's
+        # documented policy (a NULL v6 would reach the fold as NaN and
+        # crash the integer merge); NULL timestamps have no event time
+        # to bucket or watermark by
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
         .select(
             "user_id",
@@ -149,21 +148,10 @@ def daily_ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    checkpoint = tempfile.mkdtemp(prefix="clearmap_ewma_ckpt_")
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+    return drain_to_memory(
+        folded,
+        spark,
+        query_name,
+        ckpt_prefix="clearmap_ewma_ckpt_",
+        pin_state_partitions=True,
     )
-    try:
-        q = (
-            folded.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-    return spark.table(query_name)

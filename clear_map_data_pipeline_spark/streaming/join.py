@@ -17,13 +17,11 @@ how a two-topic deployment would look.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import normalize_parquet_confs, normalize_ts
+from ..session import normalize_ts
 
 
 def interval_join_stream(
@@ -39,18 +37,9 @@ def interval_join_stream(
     for every ``left_type`` event, every same-user ``right_type`` event
     in ``(l_ts, l_ts + gap_minutes]``.  Returns (user_id, left_id,
     right_id, seconds_between)."""
-    normalize_parquet_confs(spark)
-    if os.path.isfile(events_dir):
-        staged = tempfile.mkdtemp(prefix="clearmap_ssjoin_src_")
-        os.symlink(
-            os.path.abspath(events_dir),
-            os.path.join(staged, os.path.basename(events_dir)),
-        )
-        events_dir = staged
-    batch_schema = spark.read.parquet(events_dir).schema
-    base = normalize_ts(
-        spark.readStream.schema(batch_schema).parquet(events_dir)
-    )
+    from .drain import stage_stream_source
+
+    base = normalize_ts(stage_stream_source(spark, events_dir))
     left = (
         base.filter(F.col("event_type") == left_type)
         .select(
@@ -86,14 +75,8 @@ def interval_join_stream(
             "seconds_between"
         ),
     )
-    checkpoint = tempfile.mkdtemp(prefix="clearmap_ssjoin_ckpt_")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-        .trigger(availableNow=True)
-        .start()
+    from .drain import drain_to_memory
+
+    return drain_to_memory(
+        joined, spark, query_name, ckpt_prefix="clearmap_ssjoin_ckpt_"
     )
-    q.awaitTermination()
-    return spark.table(query_name)

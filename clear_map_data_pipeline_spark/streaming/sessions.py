@@ -22,15 +22,13 @@ via Arrow; nothing is collected to the driver.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import normalize_parquet_confs, normalize_ts
+from ..session import normalize_ts
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -113,20 +111,12 @@ def user_sessions_stream(
     microbatches (file-source batching also applies under AvailableNow)
     — production streams arrive in many batches, and the late-merge /
     timeout paths only exercise across batch boundaries."""
-    normalize_parquet_confs(spark)
-    if os.path.isfile(events_dir):
-        staged = tempfile.mkdtemp(prefix="clearmap_stream_src_")
-        os.symlink(
-            os.path.abspath(events_dir),
-            os.path.join(staged, os.path.basename(events_dir)),
-        )
-        events_dir = staged
-    batch_schema = spark.read.parquet(events_dir).schema
-    reader = spark.readStream.schema(batch_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    from .drain import stage_stream_source
+
     stream = (
-        normalize_ts(reader.parquet(events_dir))
+        normalize_ts(
+            stage_stream_source(spark, events_dir, max_files_per_trigger)
+        )
         .withWatermark("ts", watermark)
         .select("user_id", F.col("ts").cast("long").alias("ts_s"), "ts")
     )
@@ -137,25 +127,12 @@ def user_sessions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    checkpoint = tempfile.mkdtemp(prefix="clearmap_sessions_ckpt_")
-    # the state-store partition count is frozen into the checkpoint at
-    # first start; pin it to the session's core count instead of the
-    # 200 default (a fresh checkpoint per call makes this safe), then
-    # restore the caller's setting
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+    from .drain import drain_to_memory
+
+    return drain_to_memory(
+        sessions,
+        spark,
+        query_name,
+        ckpt_prefix="clearmap_sessions_ckpt_",
+        pin_state_partitions=True,
     )
-    try:
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-    return spark.table(query_name)
