@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import normalize_parquet_confs, normalize_ts
+from ..session import normalize_ts
 
 
 def export_daily_partitions(
@@ -35,19 +35,11 @@ def export_daily_partitions(
     """Drain the events backlog and materialize per-day totals as a
     date-partitioned parquet dataset, overwriting only touched
     partitions.  Returns ``out_dir``."""
-    normalize_parquet_confs(spark)
-    if os.path.isfile(events_dir):
-        staged = tempfile.mkdtemp(prefix="clearmap_export_src_")
-        os.symlink(
-            os.path.abspath(events_dir),
-            os.path.join(staged, os.path.basename(events_dir)),
-        )
-        events_dir = staged
-    batch_schema = spark.read.parquet(events_dir).schema
-    stream = (
-        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
-        .withWatermark("ts", watermark)
-    )
+    from .drain import stage_stream_source
+
+    stream = normalize_ts(
+        stage_stream_source(spark, events_dir)
+    ).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))

@@ -57,6 +57,9 @@ def streaming_merge_sink(
     returns the final merged table."""
     normalize_parquet_confs(spark)
     os.makedirs(table_root, exist_ok=True)
+    # changes_dir is always a directory in this sink's contract; the
+    # shared stage_stream_source would also work but its reader is
+    # rebuilt below to thread max_files_per_trigger into foreachBatch
     batch_schema = spark.read.parquet(changes_dir).schema
     table_cols = [
         f.name for f in batch_schema if f.name not in (version_col, op_col)
