@@ -310,3 +310,50 @@ def test_fuzzy_match_join_cross_corpus(spark):
     # (probe, reference), no unrelated probe matches
     assert set(pairs) == {(1, 10)}, f"unexpected pairs {pairs}"
     assert pairs[(1, 10)] >= 0.5
+
+
+def test_fuzzy_match_join_soundness_random_corpora(spark):
+    """Soundness on randomized corpora: every emitted pair must be a
+    TRUE near-dup (exact shingle-Jaccard >= threshold, verified in
+    Python), correctly oriented probe->reference.  (LSH may MISS pairs
+    — recall is the banding trade — but must never fabricate one.)"""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+
+    probe_rows = [(i, doc()) for i in range(12)]
+    ref_rows = [(100 + i, doc()) for i in range(12)]
+    # plant one identical cross pair (J=1 -> all bands collide, so LSH
+    # finds it with certainty; band-boundary misses at lower J are the
+    # recall trade, not a soundness failure) — the re-crawl case
+    ref_rows[0] = (100, probe_rows[0][1])
+
+    def shingles(text, k=3):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    from clear_map_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_fuzzy_join,
+    )
+
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    got = minhash_lsh_fuzzy_join(probe, ref, threshold=0.5).collect()
+    probe_sh = {i: shingles(t) for i, t in probe_rows}
+    ref_sh = {i: shingles(t) for i, t in ref_rows}
+    for r in got:
+        assert r["left_id"] in probe_sh and r["right_id"] in ref_sh
+        sa, sb = probe_sh[r["left_id"]], ref_sh[r["right_id"]]
+        true_j = len(sa & sb) / len(sa | sb)
+        assert round(true_j, 4) >= 0.5, (r, true_j)
+        assert abs(r["jaccard"] - round(true_j, 4)) < 1e-9
+    assert any(
+        r["left_id"] == 0 and r["right_id"] == 100 for r in got
+    ), "planted near-dup pair missed"
