@@ -132,3 +132,80 @@ def test_cms_one_sided_error(spark, sf_dir):
     top = max(rows, key=lambda r: r["n_true"])
     # heavy hitters dominate their buckets: relative error small
     assert top["cms_est"] <= top["n_true"] * 1.5
+
+
+def test_histogram_matches_literal_binning(spark, sf_dir):
+    """Equal-width histogram vs a literal Python recount: same bounds,
+    same closed-right top bin, bucket counts sum to the table size."""
+    import math
+
+    from clear_map_data_pipeline_spark.queries.olap import (
+        HIST_BINS,
+        olap_histogram,
+    )
+
+    got = {r["bucket"]: r["n"] for r in olap_histogram(spark, sf_dir).collect()}
+    vals = [
+        r["o_totalprice"]
+        for r in Tables(spark, sf_dir).orders.select("o_totalprice").collect()
+    ]
+    lo, hi = min(vals), max(vals)
+    expect: dict = {}
+    for v in vals:
+        b = min(math.floor((v - lo) / ((hi - lo) / HIST_BINS)), HIST_BINS - 1)
+        expect[b] = expect.get(b, 0) + 1
+    assert got == expect
+    assert sum(got.values()) == len(vals)
+
+
+def test_psi_matches_literal_computation(spark, sf_dir):
+    """PSI terms vs a literal Python recomputation over the same global
+    grid and snapshot split — pins the p/q/epsilon/ln semantics, not
+    just engine parity (the oracle covers that)."""
+    import datetime as dt
+    import math
+
+    from clear_map_data_pipeline_spark.queries.olap import (
+        PSI_BINS,
+        PSI_CUT,
+        _PSI_EPS,
+        olap_psi_drift,
+    )
+
+    got = {
+        r["bucket"]: (r["n_ref"], r["n_cur"], r["psi_term"])
+        for r in olap_psi_drift(spark, sf_dir).collect()
+    }
+    rows = (
+        Tables(spark, sf_dir)
+        .orders.select("o_totalprice", "o_orderdate")
+        .collect()
+    )
+    vals = [r["o_totalprice"] for r in rows]
+    lo, hi = min(vals), max(vals)
+    cut = dt.datetime.fromisoformat(PSI_CUT)
+    counts: dict = {}
+    for r in rows:
+        b = min(
+            math.floor((r["o_totalprice"] - lo) / ((hi - lo) / PSI_BINS)),
+            PSI_BINS - 1,
+        )
+        nr, nc = counts.get(b, (0, 0))
+        if r["o_orderdate"] < cut:
+            nr += 1
+        else:
+            nc += 1
+        counts[b] = (nr, nc)
+    tr = sum(nr for nr, _ in counts.values())
+    tc = sum(nc for _, nc in counts.values())
+    assert set(got) == set(counts)
+    for b, (nr, nc) in counts.items():
+        p = max(nr / tr, _PSI_EPS)
+        q = max(nc / tc, _PSI_EPS)
+        term = math.floor((p - q) * math.log(p / q) * 1e6) / 1e6
+        gr, gc, gterm = got[b]
+        assert (gr, gc) == (nr, nc), (b, got[b], counts[b])
+        assert gterm == term, (b, gterm, term)
+    # PSI terms are non-negative by construction ((p-q) and ln(p/q)
+    # share a sign)
+    assert all(t >= 0 for _, _, t in got.values())
