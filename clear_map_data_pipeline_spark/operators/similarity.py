@@ -533,12 +533,69 @@ def lsh_candidate_fraction(
     deduped candidate volume.  Baseline-guarded: the measurement itself
     counts candidate pairs, which at high reps approaches O(N^2)."""
     v = _vectors(df, id_col, vec_col)
-    guard_baseline_rows(v, max_rows, "ann_lsh_pairs at the registered point")
+    guard_baseline_rows(
+        v,
+        max_rows,
+        f"lsh_candidate_fraction(num_planes={num_planes}, "
+        f"repetitions={repetitions})",
+    )
     n = v.count()
     if n < 2:
         return 0.0
     cand = _lsh_rep_candidates(v, dim, id_col, num_planes, repetitions).count()
     return cand / (n * (n - 1) / 2)
+
+
+def lsh_params_for_recall(
+    target_recall: float,
+    s_min: float,
+    max_planes: int = 16,
+    max_repetitions: int = 128,
+) -> tuple[int, int]:
+    """Pick ``(num_planes, repetitions)`` so hyperplane LSH recalls at
+    least ``target_recall`` of the pairs with cosine >= ``s_min``, via
+    the standard AND-OR amplification formula.
+
+    A single plane separates a pair with cosine s with probability
+    θ/π (θ = arccos s), so one ``r``-plane repetition keeps the pair
+    with p(s)^r where p(s) = 1 - arccos(s)/π, and ``b`` independent
+    repetitions miss it only with (1 - p^r)^b.  Recall at the WORST
+    admitted similarity s_min is therefore 1 - (1 - p(s_min)^r)^b; any
+    higher-cosine pair does strictly better.  Among all plane counts
+    that can hit the target within ``max_repetitions``, the cheapest
+    point under the uniform candidate-cost bound b/2^r is returned —
+    the measured deduped fraction (``lsh_candidate_fraction``) remains
+    the honest cost to report, since real data skews buckets.
+    """
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    if not -1.0 < s_min < 1.0:
+        raise ValueError("s_min must be in (-1, 1)")
+    p = 1.0 - math.acos(s_min) / math.pi
+    if p <= 0.0:
+        raise ValueError("s_min too low: single-plane retention is 0")
+    best: tuple[int, int] | None = None
+    best_cost = float("inf")
+    for r in range(1, max_planes + 1):
+        pr = p**r
+        if pr >= 1.0:
+            b = 1
+        else:
+            b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if b > max_repetitions:
+            continue
+        cost = b / (1 << r)
+        if cost < best_cost:
+            best, best_cost = (r, b), cost
+    if best is None:
+        raise ValueError(
+            f"no (planes<={max_planes}, reps<={max_repetitions}) point "
+            f"reaches recall {target_recall} at s_min={s_min}; lower the "
+            "target or raise max_repetitions"
+        )
+    return best
 
 
 def lloyd_centroids(

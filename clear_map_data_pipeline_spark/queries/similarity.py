@@ -145,7 +145,9 @@ def bucket_expr() -> str:
 
 def ann_pairs_cte(threshold: float) -> str:
     """CTE chain v -> bucketed -> within-bucket cosine pairs >= threshold
-    (named ``annp``), shared by the ANN-pairs and near-dup oracles."""
+    (named ``annp``) at the cheap single-shot 8-plane point, kept for
+    the embedding-near-dup oracle (high-threshold regime where one
+    repetition already recalls essentially everything)."""
     return f"""{_V_CTE},
     bkt AS (SELECT vec_id, e, CAST({bucket_expr()} AS BIGINT) AS bucket FROM v),
     annp AS (
@@ -155,30 +157,87 @@ def ann_pairs_cte(threshold: float) -> str:
     )"""
 
 
+# The REGISTERED ANN operating point.  Chosen by the AND-OR
+# amplification formula 1-(1-p^r)^b (sim.lsh_params_for_recall) for
+# >=0.9 recall at the fixture's exact-baseline band (cosine >= 0.35,
+# where p = 1 - acos(0.35)/pi ≈ 0.61) within a 16-repetition budget:
+# lsh_params_for_recall(0.9, 0.35, max_repetitions=16) == (4, 16),
+# measured recall 0.92 in bench.py.  A test pins the formula's pick to
+# this registration so the two can't drift apart.
+ANN_REG_PLANES = 4
+ANN_REG_REPS = 16
+
+
+def _bucket_offset_expr(num_planes: int, plane_offset: int) -> str:
+    """One repetition's bucket id over column ``e`` as DuckDB SQL —
+    mirror of similarity.lsh_bucket_offset (same md5 plane signs, same
+    sequential dot fold, same >0 sign rule)."""
+    terms = []
+    for j in range(num_planes):
+        plane = sim.hyperplane(plane_offset + j, DIM)
+        lit = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + "]"
+        d = f"list_sum(list_transform(range(1, 65), i -> e[i] * ({lit})[i]))"
+        terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def ann_rep_pairs_cte(
+    threshold: float,
+    num_planes: int = ANN_REG_PLANES,
+    repetitions: int = ANN_REG_REPS,
+) -> str:
+    """CTE chain for the OR-amplified ANN pairs (named ``annp``):
+    each vector lands in one bucket per repetition (plane indices
+    offset by r*num_planes, rep index folded into the bucket id —
+    mirror of similarity._lsh_rep_candidates), candidates are the
+    DEDUPED within-bucket pairs across all repetitions, and exact
+    cosine is evaluated once per candidate."""
+    bucket_list = ", ".join(
+        f"CAST({_bucket_offset_expr(num_planes, r * num_planes)} AS BIGINT)"
+        f" + {r * (1 << num_planes)}"
+        for r in range(repetitions)
+    )
+    return f"""{_V_CTE},
+    bkt AS (SELECT vec_id, unnest([{bucket_list}]) AS bucket FROM v),
+    cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+             FROM bkt a JOIN bkt b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    annp AS (
+      SELECT c.va, c.vb, {_COS} AS cos_sim
+      FROM cand c JOIN v a ON a.vec_id = c.va JOIN v b ON b.vec_id = c.vb
+      WHERE {_COS} >= {threshold}
+    )"""
+
+
 def _ann_sql() -> str:
-    return f"WITH {ann_pairs_cte(0.2)} SELECT va, vb, cos_sim FROM annp"
+    return f"WITH {ann_rep_pairs_cte(0.2)} SELECT va, vb, cos_sim FROM annp"
 
 
 @register("sim_ann_lsh_pairs", sql=_ann_sql())
 def sim_ann_lsh_pairs(spark, sf_dir):
-    """Approximate NN pairs: random-hyperplane LSH bucketing (8 planes,
-    deterministic md5-derived signs), exact cosine only within buckets.
-    ~2^8 candidate reduction; the 100 TB path.
+    """Approximate NN pairs: random-hyperplane LSH with OR-amplification
+    — ANN_REG_REPS independent ANN_REG_PLANES-plane bucketings
+    (deterministic md5-derived signs), deduped candidates, exact cosine
+    only within buckets.  Still map-side bucketing + one equi-join.
 
-    Recall honesty: hyperplane LSH targets HIGH-cosine pairs (collision
-    prob (1-θ/π)^planes per repetition); the fixture's max pairwise
-    cosine is 0.60, so recall at the 0.35 exact-baseline threshold is
-    geometry-bound — 0.02 at this registered (8 planes, 1 rep) point.
-    The ``repetitions``/``num_planes`` knob is the recall lever
-    (AND-OR amplification): 4 planes x 8 reps measures 0.73, 4 x 16
-    measures 0.92 at a measured 0.64 deduped candidate fraction on the
-    same band — on THIS geometry high recall inherently costs near-all-
-    pairs work, which is why bench.py reports the candidate fraction
-    next to the tuned recall.  On a real near-dup corpus (pairs >= 0.9)
-    the registered point alone recalls essentially everything at
-    ~2^-planes cost."""
+    The operating point is the amplification-formula pick within a
+    16-repetition budget (sim.lsh_params_for_recall(0.9, 0.35,
+    max_repetitions=16) == (4, 16)): measured recall
+    0.92 vs the exact 0.35-threshold baseline at sf0.1, at a measured
+    0.64 deduped candidate fraction — this fixture's embeddings are
+    near-uniform (max pairwise cosine 0.60), so high recall inherently
+    costs near-all-pairs work; bench.py reports both numbers side by
+    side.  On a real near-dup corpus (pairs >= 0.9 cosine) the same
+    formula picks a far cheaper point (~2^-planes cost) because p(s)
+    rises toward 1."""
     t = Tables(spark, sf_dir)
-    return sim.ann_lsh_pairs(t.embeddings, DIM, threshold=0.2)
+    return sim.ann_lsh_pairs(
+        t.embeddings,
+        DIM,
+        num_planes=ANN_REG_PLANES,
+        threshold=0.2,
+        repetitions=ANN_REG_REPS,
+    )
 
 
 def _ivf_sql(centroid_mod: int = 50, query_mod: int = 100, nprobe: int = 2, k: int = 5) -> str:

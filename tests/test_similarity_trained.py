@@ -223,3 +223,38 @@ def test_ivf_index_save_load_probe(spark, sf_dir, tmp_path):
         )
     )
     assert probed == inline and probed
+
+
+def test_lsh_params_for_recall_formula_and_registration():
+    """The amplification-formula picker: (a) pins the registered
+    sim_ann_lsh_pairs operating point (4 planes x 16 reps within a
+    16-rep budget at the fixture band s=0.35), so the registration and
+    the formula can't drift apart; (b) the guaranteed recall
+    1-(1-p^r)^b actually clears the target at the returned point;
+    (c) the near-dup regime (s=0.9) picks a far cheaper point."""
+    import math
+
+    import pytest as _pytest
+
+    from clear_map_data_pipeline_spark.operators.similarity import (
+        lsh_params_for_recall,
+    )
+    from clear_map_data_pipeline_spark.queries.similarity import (
+        ANN_REG_PLANES,
+        ANN_REG_REPS,
+    )
+
+    assert lsh_params_for_recall(0.9, 0.35, max_repetitions=16) == (
+        ANN_REG_PLANES,
+        ANN_REG_REPS,
+    )
+    for target, s in [(0.9, 0.35), (0.99, 0.5), (0.9, 0.9)]:
+        r, b = lsh_params_for_recall(target, s)
+        p = 1.0 - math.acos(s) / math.pi
+        assert 1.0 - (1.0 - p**r) ** b >= target
+    r_hi, b_hi = lsh_params_for_recall(0.9, 0.9, max_repetitions=16)
+    assert b_hi / (1 << r_hi) < 0.01, "near-dup regime should be cheap"
+    with _pytest.raises(ValueError):
+        lsh_params_for_recall(0.9, 0.35, max_planes=2, max_repetitions=2)
+    with _pytest.raises(ValueError):
+        lsh_params_for_recall(1.5, 0.35)
