@@ -341,7 +341,11 @@ def gapfill_locf_interp(
     next_v = F.first("_obs", ignorenulls=True).over(wn)
     prev_d = F.last(obs_date, ignorenulls=True).over(wp)
     next_d = F.first(obs_date, ignorenulls=True).over(wn)
-    # Spine edges ARE observations, so prev/next are non-null everywhere.
+    # The spine is bounded by each key's min/max ROW dates, so every
+    # spine row has a prev and next observation ROW — but if the value
+    # column is NULL at a key's first/last date, prev_v/next_v are NULL
+    # over that leading/trailing span and locf/interp are NULL there
+    # (NULL propagates identically in the DuckDB twin).
     interp = F.when(
         F.col("_obs").isNotNull(), F.col("_obs").cast("double")
     ).otherwise(
@@ -360,6 +364,33 @@ def gapfill_locf_interp(
     )
 
 
+#: Bound on rows-per-key for the prefix-list fold operators: at the
+#: default, the worst key's collect_list peak is ~80 KB of doubles and
+#: the fold work ~5e7 mults — comfortably inside one task.  The
+#: reference's per-geography daily series run ~2e3 rows/key.
+SERIES_MAX_LEN = 10_000
+
+
+def guard_series_length(
+    df: DataFrame, key: str, max_len: int | None, scale_path: str
+) -> None:
+    """Refuse to run an O(rows_per_key²) prefix-fold when any key's
+    series exceeds ``max_len`` rows (None disables).  The check is one
+    map-side-combined count — negligible next to the quadratic work it
+    prevents.  Mirror of similarity.guard_baseline_rows for the
+    window-fold family."""
+    if max_len is None:
+        return
+    worst = df.groupBy(key).count().agg(F.max("count")).first()[0]
+    if worst is not None and worst > max_len:
+        raise ValueError(
+            f"longest '{key}' series has {worst} rows > max_series_length="
+            f"{max_len}: the prefix-list fold is O(rows_per_key^2) — use "
+            f"{scale_path} for unbounded series, or pass "
+            f"max_series_length=None to force"
+        )
+
+
 def ewma(
     df: DataFrame,
     value: str,
@@ -368,6 +399,7 @@ def ewma(
     order: str = "date",
     out: str = "ewma",
     ndigits: int = 6,
+    max_series_length: int | None = SERIES_MAX_LEN,
 ) -> DataFrame:
     """Exponentially-weighted moving average, recursive form
     (pandas ``ewm(alpha, adjust=False)``): y_0 = x_0 and
@@ -390,14 +422,20 @@ def ewma(
 
     Cost contract: prefix lists make this O(rows_per_key^2) work and
     O(rows_per_key) peak row width inside each key — the same
-    bounded-series contract as the reference's per-group pandas ops.
-    For unbounded streams use the streaming layer's stateful fold
+    bounded-series contract as the reference's per-group pandas ops,
+    now ENFORCED by ``guard_series_length`` (default 10k rows/key;
+    ``max_series_length=None`` disables).  Above the bound use
+    ``ewma_linear`` (O(rows_per_key) Arrow-batched fold, asserted
+    row-identical in tests) or the streaming layer's stateful fold
     (``streaming/ewma.py: daily_ewma_stream`` — same recurrence, same
-    truncated rendering, batch-equivalence asserted in tests) instead;
-    at 100 TB-of-many-short-series (the reference shape:
+    truncated rendering, batch-equivalence asserted in tests); at
+    100 TB-of-many-short-series (the reference shape:
     |keys| ~ geography x ~10^3 days) the bound is the calendar, and
     every key still processes in parallel on one exchange.
     """
+    guard_series_length(
+        df, key, max_series_length, "ewma_linear or streaming daily_ewma"
+    )
     a = float(alpha)
     pre = F.collect_list(F.col(value).cast("double")).over(prefix(key, order))
     fold = F.expr(
@@ -418,3 +456,55 @@ def ewma(
         .withColumn(out, F.floor(fold * F.lit(scale)) / F.lit(scale))
         .drop("_pre")
     )
+
+
+def ewma_linear(
+    df: DataFrame,
+    value: str,
+    alpha: float,
+    key: str = "id",
+    order: str = "date",
+    out: str = "ewma",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Linear-time twin of ``ewma``: the identical recurrence, NULL
+    policy, and floor-scale rendering, computed as ONE O(rows_per_key)
+    pass inside an Arrow-batched ``applyInPandas`` instead of per-row
+    prefix lists — the unbounded-series path the ``ewma`` guard points
+    at.
+
+    Bit-identity: the fold applies the same double-precision op
+    sequence (``acc*(1-a) + a*x`` over the non-null values in order) as
+    the window fold, so outputs are row-identical, not merely close —
+    asserted in tests.  Cost: one exchange on ``key``, O(d) work and
+    O(Arrow batch) memory per key; the trade is the Python boundary,
+    which is why the windowed form stays the default under its series
+    bound."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a = float(alpha)
+    scale = float(10**ndigits)
+    # fresh StructType — df.schema is cached on the DataFrame and
+    # StructType.add mutates in place
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, DoubleType())]
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort")
+        acc = None
+        res = []
+        for x in pdf[value]:
+            if x is not None and not pd.isna(x):
+                xv = float(x)
+                acc = xv if acc is None else acc * (1.0 - a) + a * xv
+            res.append(
+                math.floor(acc * scale) / scale if acc is not None else None
+            )
+        return pdf.assign(**{out: pd.Series(res, index=pdf.index, dtype="float64")})
+
+    return df.groupBy(key).applyInPandas(fold, schema=schema)

@@ -224,3 +224,54 @@ def test_ewma_ignores_nulls(spark):
     assert rows[d(2020, 1, 2)] == 10.0
     assert rows[d(2020, 1, 3)] == 10.0   # NULL ignored, not poisoning
     assert rows[d(2020, 1, 4)] == 15.0
+
+
+def test_ewma_linear_row_identical_to_window(spark, sf_dir):
+    """The O(d) applyInPandas twin applies the same double op sequence
+    as the windowed prefix fold, so it must be ROW-IDENTICAL (not just
+    close) on the real fixture series, NULLs and all."""
+    from clear_map_data_pipeline_spark.operators.stats import ewma_linear
+    from clear_map_data_pipeline_spark.queries.windows import (
+        EWMA_ALPHA,
+        moh_daily,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    daily = moh_daily(Tables(spark, sf_dir))
+    a = sorted(map(tuple, ewma(daily, "cases", EWMA_ALPHA).collect()))
+    b = sorted(map(tuple, ewma_linear(daily, "cases", EWMA_ALPHA).collect()))
+    assert a == b and a
+
+
+def test_ewma_series_guard_trips_and_linear_path_survives(spark):
+    """A single 20k-row key: the windowed fold refuses (O(d²) guard,
+    pointing at the linear path); ewma_linear computes it and matches a
+    literal Python recurrence at the tail."""
+    import datetime as _dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from clear_map_data_pipeline_spark.operators.stats import ewma_linear
+
+    n = 20_000
+    df = spark.range(n).select(
+        _F.lit(1).alias("id"),
+        _F.date_add(_F.lit(_dt.date(1970, 1, 1)), _F.col("id").cast("int")).alias(
+            "date"
+        ),
+        (_F.col("id") % 97).alias("cases"),
+    )
+    with _pytest.raises(ValueError, match="ewma_linear"):
+        ewma(df, "cases", 0.3).collect()
+    # guard off => same engine path still works (bounded fixture only!)
+    out = (
+        ewma_linear(df, "cases", 0.3)
+        .orderBy("date")
+        .tail(1)[0]
+    )
+    y = None
+    for i in range(n):
+        x = float(i % 97)
+        y = x if y is None else 0.7 * y + 0.3 * x
+    assert out["ewma"] == math.floor(y * 1e6) / 1e6
