@@ -2,14 +2,16 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema, partition sizing, UDF signatures,
-batch shapes — is real and tested.  Decode (r03): PNG and RIFF/WAV
-payloads decode for REAL with pure-stdlib decoders (``decode_png``:
-zlib inflate + scanline unfilter incl. Paeth, 8-bit gray/RGB/RGBA;
-``decode_wav``: PCM 8/16-bit) — operators sniff magic bytes and use
-them automatically.  Formats that need codec libraries (JPEG, WebP,
-video) still fall back to the deterministic ``decode_stub``
-pseudo-features, with ``decode_real`` as the documented seam where
-PIL/ffmpeg plug in.
+batch shapes — is real and tested.  Decode: PNG, RIFF/WAV (r03,
+pure-stdlib: ``decode_png`` zlib inflate + scanline unfilter incl.
+Paeth, 8-bit gray/RGB/RGBA; ``decode_wav`` PCM 8/16-bit) and — new in
+r04 — baseline JPEG (``operators/jpeg.py``: Huffman entropy decode,
+dequant + IDCT, chroma upsampling, YCbCr->RGB, restart markers; plus
+the round-trip encoder) all decode for REAL; operators sniff magic
+bytes and use them automatically.  Formats that still need codec
+libraries (progressive JPEG, WebP, video) fall back to the
+deterministic ``decode_stub`` pseudo-features, with ``decode_real`` as
+the documented seam where PIL/ffmpeg plug in.
 
 Scale notes:
 - payloads stay in executor memory one Arrow batch at a time; tune
@@ -60,6 +62,12 @@ def attach_binary_payload(
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _sniff_real(p: bytes) -> bool:
+    """True when the payload's magic names a format we decode natively."""
+    return p[:8] == PNG_MAGIC or p[:3] == JPEG_MAGIC
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
@@ -220,13 +228,18 @@ def encode_wav(
 
 
 def decode_real(payload: bytes):
-    """The real-decoder dispatch: PNG decodes natively (``decode_png``,
-    pure stdlib); formats that require codec libraries (JPEG/WebP/
-    video) still raise at this seam — plug PIL/ffmpeg in here."""
+    """The real-decoder dispatch: PNG (``decode_png``, pure stdlib) and
+    baseline JPEG (``jpeg.decode_jpeg``) decode natively; formats that
+    require codec libraries (progressive JPEG/WebP/video) still raise
+    at this seam — plug PIL/ffmpeg in here."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:3] == JPEG_MAGIC:
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "non-PNG image decode requires PIL/ffmpeg; plug in here"
+        "non-PNG/JPEG image decode requires PIL/ffmpeg; plug in here"
     )
 
 
@@ -251,9 +264,16 @@ def image_features(
     that still need codec libraries)."""
 
     def _one(p: bytes) -> tuple[int, int, int]:
-        if p[:8] == PNG_MAGIC or use_real_decoder:
-            w, h, _ch, pixels = decode_real(p)
-            return zlib.adler32(pixels), w, h
+        if _sniff_real(p) or use_real_decoder:
+            try:
+                w, h, _ch, pixels = decode_real(p)
+                return zlib.adler32(pixels), w, h
+            except NotImplementedError:
+                # magic matched but the variant needs a codec library
+                # (progressive JPEG, ...): stub fallback unless the
+                # caller demanded the real path
+                if use_real_decoder:
+                    raise
         return decode_stub(p)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -307,11 +327,15 @@ def image_resize(
         for pdf in it:
             pixels = []
             for p in pdf["payload"]:
-                if p[:8] == PNG_MAGIC or use_real_decoder:
-                    pixels.append(_resize_png(p, n_out))
-                else:
-                    stride = max(len(p) // n_out, 1)
-                    pixels.append(bytes(p[::stride][:n_out]))
+                try:
+                    if _sniff_real(p) or use_real_decoder:
+                        pixels.append(_resize_png(p, n_out))
+                        continue
+                except NotImplementedError:
+                    if use_real_decoder:
+                        raise
+                stride = max(len(p) // n_out, 1)
+                pixels.append(bytes(p[::stride][:n_out]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

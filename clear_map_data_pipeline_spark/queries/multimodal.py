@@ -55,6 +55,36 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
+def mm_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode inside the registered suite (r04):
+    deterministic JPEG payloads are synthesized per sampled doc by the
+    round-trip encoder (flat gray, value = doc_id % 256 — flat blocks
+    quantize to DC-only and decode EXACTLY), then ``image_features``'
+    magic-sniffed real decode path recovers true dimensions and the
+    adler32 of the known pixel buffer.  Both stages are Arrow-batched
+    mapInPandas; the wide payload column dies at the feature
+    extractor."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 17 == 0)
+
+    def _enc(it):
+        from ..operators.jpeg import encode_jpeg
+
+        for pdf in it:
+            payloads = [
+                encode_jpeg(16, 8, 1, bytes([int(d) % 256]) * 128, quality=90)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.image_features(with_payload)
+
+
 @register("mm_multimodal_suite")
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
@@ -65,6 +95,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_image_resize", mm_image_resize, "n_pixels"),
         ("mm_audio_features", mm_audio_features, "peak_amp"),
         ("mm_frame_sample", mm_frame_sample, "frame_len"),
+        ("mm_jpeg_decode", mm_jpeg_decode, "checksum"),
     ]
     out = None
     for name, builder, val_col in subs:

@@ -1,0 +1,123 @@
+"""Baseline JPEG codec (operators/jpeg.py) — round-trip tests in the
+decode_png pattern, plus the Spark-operator dispatch path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _codec():
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    return decode_jpeg, encode_jpeg
+
+
+def test_jpeg_flat_gray_roundtrip_exact():
+    """A flat image quantizes to DC-only blocks, which decode EXACTLY —
+    the codec's zero-error fixed point."""
+    decode_jpeg, encode_jpeg = _codec()
+    w, h = 24, 16
+    flat = bytes([128]) * (w * h)
+    got = decode_jpeg(encode_jpeg(w, h, 1, flat, quality=90))
+    assert got == (w, h, 1, flat)
+
+
+def test_jpeg_rgb_roundtrip_bounded_error():
+    """Smooth gradients at quality 92: 4:4:4 and 4:2:0 must reproduce
+    within tight quantization-error bounds; odd (non-multiple-of-8)
+    dims crop correctly."""
+    decode_jpeg, encode_jpeg = _codec()
+    w, h = 41, 27
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = ((x * 4) % 256, (y * 6) % 256, ((x + y) * 3) % 256)
+    for sub, bound in [("444", 6.0), ("420", 20.0)]:
+        enc = encode_jpeg(w, h, 3, img.tobytes(), quality=92, subsampling=sub)
+        gw, gh, gch, pix = decode_jpeg(enc)
+        assert (gw, gh, gch) == (w, h, 3)
+        dec = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3).astype(int)
+        assert np.abs(dec - img.astype(int)).mean() < bound
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn every N MCUs: 8-aligned constant blocks are DC-only,
+    so the restart-segmented stream must decode EXACTLY — any realign
+    or DC-predictor-reset bug corrupts everything after the first RST."""
+    decode_jpeg, encode_jpeg = _codec()
+    w, h = 48, 40
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (h // 8, w // 8), dtype=np.uint8)
+    img = base.repeat(8, axis=0).repeat(8, axis=1)
+    for ri in (1, 2, 5):
+        enc = encode_jpeg(
+            w, h, 1, img.tobytes(), quality=90, restart_interval=ri
+        )
+        gw, gh, gch, pix = decode_jpeg(enc)
+        assert (gw, gh, gch) == (w, h, 1)
+        assert pix == img.tobytes(), f"restart_interval={ri}"
+
+
+def test_jpeg_progressive_raises_not_implemented():
+    """A SOF2 frame must hit the documented NotImplementedError seam
+    (stub fallback upstream), not mis-decode."""
+    decode_jpeg, encode_jpeg = _codec()
+    enc = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=90))
+    sof = enc.find(b"\xff\xc0")
+    assert sof != -1
+    enc[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(enc))
+
+
+def test_image_features_decodes_real_jpeg(spark):
+    """Spark dispatch: a JPEG payload is magic-sniffed and decodes for
+    real (flat image => exact pixels => deterministic checksum); a
+    doctored progressive JPEG falls back to the stub instead of
+    crashing the batch."""
+    import zlib
+
+    from clear_map_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_stub,
+        image_features,
+    )
+
+    w, h = 16, 8
+    flat = bytes([77]) * (w * h)
+    jpg = encode_jpeg(w, h, 1, flat, quality=90)
+    prog = bytearray(jpg)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    prog = bytes(prog)
+    df = spark.createDataFrame(
+        [(1, jpg), (2, prog)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in image_features(df).collect()}
+    assert rows[1]["width"] == w and rows[1]["height"] == h
+    assert rows[1]["checksum"] == zlib.adler32(flat)
+    crc, sw, sh = decode_stub(prog)
+    assert (rows[2]["checksum"], rows[2]["width"], rows[2]["height"]) == (
+        crc,
+        sw,
+        sh,
+    )
+
+
+def test_image_resize_real_jpeg(spark):
+    """Resize plumbing over a JPEG payload: decode -> nearest-neighbor
+    on the true grid (exact on a flat image)."""
+    from clear_map_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        image_resize,
+    )
+
+    w, h = 16, 16
+    flat = bytes([200]) * (w * h)
+    jpg = encode_jpeg(w, h, 1, flat, quality=90)
+    df = spark.createDataFrame([(1, jpg)], "doc_id long, payload binary")
+    (row,) = image_resize(df, out_w=4, out_h=4).collect()
+    assert bytes(row["pixels"]) == bytes([200]) * 16
