@@ -73,7 +73,9 @@ def write_dates_array_csv(path: str, columns: dict[str, list]) -> None:
 
 def build_mbtiles(geojson_paths: dict[str, str], out_path: str) -> None:
     """S7 (ref :177-181): tippecanoe shell adapter — a process boundary
-    outside the engine; raises when the tool is absent."""
+    outside the engine; raises when the tool is absent.  The layer
+    assembly and invocation are real (tested against a PATH fake);
+    deterministic layer order so repeated builds are bit-comparable."""
     import shutil
     import subprocess
 
@@ -82,28 +84,72 @@ def build_mbtiles(geojson_paths: dict[str, str], out_path: str) -> None:
             "tippecanoe not installed; S7 is a driver-side post-step "
             "adapter (ref il_analysis_git.py:177-181)"
         )
-    layers = []  # pragma: no cover - tool absent in this environment
-    for name, p in geojson_paths.items():
-        layers += ["-L", f"{name}:{p}"]
+    layers = []
+    for name in sorted(geojson_paths):
+        layers += ["-L", f"{name}:{geojson_paths[name]}"]
     subprocess.run(
         ["tippecanoe", "-zg", "-f", "-o", out_path, *layers], check=True
     )
 
 
-def upload_s3(local_path: str, bucket: str, key: str, **client_kwargs) -> None:
+def upload_s3(local_path: str, bucket: str, key: str, client=None) -> None:
     """S8 (ref :188-189,:214-215): S3 upload adapter.  For data
     artifacts prefer ``df.write`` to ``s3a://`` URIs; binary tiles go
-    through this driver-side seam (boto3 not installed here)."""
-    raise NotImplementedError(
-        "no object store in this environment; at scale write data via "
-        "df.write.parquet('s3a://...') and upload tiles via boto3"
+    through this driver-side seam.
+
+    ``client`` is the injection point — anything with boto3's
+    ``upload_file(Filename, Bucket, Key)`` shape (tested against a
+    filesystem-backed fake).  ``None`` tries boto3 and raises the
+    documented gate when it is absent (this environment)."""
+    import os
+
+    if client is None:
+        try:
+            import boto3  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "no object store in this environment; at scale write data "
+                "via df.write.parquet('s3a://...') and upload tiles via "
+                "boto3, or inject a client"
+            ) from None
+        client = boto3.client("s3")
+    if not os.path.isfile(local_path):
+        raise FileNotFoundError(local_path)
+    client.upload_file(local_path, bucket, key)
+
+
+def publish_mapbox(
+    tileset: str, mbtiles_path: str, api_key: str, transport=None
+) -> dict:
+    """S9 (ref :182-199): Mapbox-style uploads-API publish — network
+    adapter outside the engine.  The three-step public flow is real
+    and tested against an in-memory fake; only the HTTP layer is
+    injected:
+
+    1. request temporary staging credentials for the account,
+    2. stage the artifact to the returned location,
+    3. create the upload job binding the staged object to the tileset.
+
+    ``transport`` needs ``request(method, path, payload=None) -> dict``
+    and ``stage_file(credentials, local_path) -> str`` (returns the
+    staged URL).  ``None`` raises the documented gate — there is no
+    network in this environment, and credentials must never be baked
+    in."""
+    if transport is None:
+        raise NotImplementedError(
+            "network publish is a driver-side post-step; inject a "
+            "transport to run the uploads flow"
+        )
+    account = tileset.split(".", 1)[0]
+    creds = transport.request(
+        "POST", f"/uploads/v1/{account}/credentials?access_token={api_key}"
     )
-
-
-def publish_mapbox(tileset: str, mbtiles_path: str, api_key: str) -> None:
-    """S9 (ref :182-199): Mapbox uploads-API publish — network adapter
-    outside the engine."""
-    raise NotImplementedError("network publish is a driver-side post-step")
+    staged_url = transport.stage_file(creds, mbtiles_path)
+    return transport.request(
+        "POST",
+        f"/uploads/v1/{account}?access_token={api_key}",
+        payload={"url": staged_url, "tileset": tileset},
+    )
 
 
 def write_bucketed_table(

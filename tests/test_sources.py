@@ -190,3 +190,148 @@ def test_normalize_parquet_confs_pins_utc(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---- S7-S9 adapter seams, exercised against fakes (r04) --------------
+
+
+def test_build_mbtiles_happy_path_with_path_fake(tmp_path, monkeypatch):
+    """A fake tippecanoe on PATH: the adapter must invoke it with
+    deterministic layer order and the -o target, and the tool's output
+    must land where asked."""
+    from clear_map_data_pipeline_spark.sources.writers import build_mbtiles
+
+    fake = tmp_path / "bin" / "tippecanoe"
+    fake.parent.mkdir()
+    fake.write_text(
+        "#!/bin/sh\n"
+        'args="$@"\n'
+        "while [ $# -gt 0 ]; do\n"
+        '  if [ "$1" = "-o" ]; then out="$2"; fi\n'
+        "  shift\n"
+        "done\n"
+        'echo "$args" > "$out"\n'
+    )
+    fake.chmod(0o755)
+    monkeypatch.setenv(
+        "PATH", f"{fake.parent}:{os.environ['PATH']}"
+    )
+    ga = tmp_path / "a.geojson"
+    gb = tmp_path / "b.geojson"
+    ga.write_text("{}")
+    gb.write_text("{}")
+    out = tmp_path / "tiles.mbtiles"
+    build_mbtiles({"beta": str(gb), "alpha": str(ga)}, str(out))
+    recorded = out.read_text().split()
+    # sorted layer order: alpha before beta, regardless of dict order
+    assert recorded[recorded.index("-L") + 1] == f"alpha:{ga}"
+    assert f"beta:{gb}" in recorded
+    assert "-zg" in recorded and "-f" in recorded
+
+
+def test_build_mbtiles_gated_when_tool_absent(tmp_path, monkeypatch):
+    import pytest
+
+    from clear_map_data_pipeline_spark.sources.writers import build_mbtiles
+
+    monkeypatch.setenv("PATH", str(tmp_path))  # empty PATH: no tool
+    with pytest.raises(NotImplementedError, match="tippecanoe"):
+        build_mbtiles({}, str(tmp_path / "x.mbtiles"))
+
+
+class _FakeS3Client:
+    """boto3-shaped, filesystem-backed."""
+
+    def __init__(self, root):
+        self.root = root
+
+    def upload_file(self, Filename, Bucket, Key):
+        dest = os.path.join(self.root, Bucket, Key)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with open(Filename, "rb") as s, open(dest, "wb") as d:
+            d.write(s.read())
+
+
+def test_upload_s3_happy_path_with_fake_client(tmp_path):
+    from clear_map_data_pipeline_spark.sources.writers import upload_s3
+
+    src = tmp_path / "tiles.mbtiles"
+    src.write_bytes(b"tile-bytes")
+    store = tmp_path / "object-store"
+    upload_s3(
+        str(src), "corona-bucket", "maps/latest.mbtiles",
+        client=_FakeS3Client(str(store)),
+    )
+    assert (
+        store / "corona-bucket" / "maps" / "latest.mbtiles"
+    ).read_bytes() == b"tile-bytes"
+
+
+def test_upload_s3_gated_without_client_or_boto3(tmp_path, monkeypatch):
+    import sys
+
+    import pytest
+
+    from clear_map_data_pipeline_spark.sources.writers import upload_s3
+
+    # simulate boto3 absence regardless of the container's packages
+    monkeypatch.setitem(sys.modules, "boto3", None)
+    src = tmp_path / "f.bin"
+    src.write_bytes(b"x")
+    with pytest.raises(NotImplementedError, match="boto3"):
+        upload_s3(str(src), "b", "k")
+
+
+def test_upload_s3_missing_file_fails_before_upload(tmp_path):
+    import pytest
+
+    from clear_map_data_pipeline_spark.sources.writers import upload_s3
+
+    with pytest.raises(FileNotFoundError):
+        upload_s3(
+            str(tmp_path / "absent"), "b", "k",
+            client=_FakeS3Client(str(tmp_path)),
+        )
+
+
+class _FakeUploadsTransport:
+    """In-memory uploads-API fake: credentials -> staging -> job."""
+
+    def __init__(self):
+        self.staged = {}
+        self.jobs = []
+
+    def request(self, method, path, payload=None):
+        assert method == "POST"
+        if "/credentials" in path:
+            return {"stage_id": "stg-1", "token": "tmp-token"}
+        self.jobs.append((path, payload))
+        return {"id": "job-1", "tileset": payload["tileset"], "complete": False}
+
+    def stage_file(self, credentials, local_path):
+        with open(local_path, "rb") as f:
+            self.staged[credentials["stage_id"]] = f.read()
+        return f"fake://staging/{credentials['stage_id']}"
+
+
+def test_publish_mapbox_happy_path_with_fake_transport(tmp_path):
+    from clear_map_data_pipeline_spark.sources.writers import publish_mapbox
+
+    tiles = tmp_path / "t.mbtiles"
+    tiles.write_bytes(b"mb")
+    tr = _FakeUploadsTransport()
+    job = publish_mapbox("acct.corona", str(tiles), "key-123", transport=tr)
+    assert job["tileset"] == "acct.corona"
+    assert tr.staged["stg-1"] == b"mb"
+    (path, payload), = tr.jobs
+    assert path.startswith("/uploads/v1/acct?")
+    assert payload["url"].startswith("fake://staging/")
+
+
+def test_publish_mapbox_gated_without_transport(tmp_path):
+    import pytest
+
+    from clear_map_data_pipeline_spark.sources.writers import publish_mapbox
+
+    with pytest.raises(NotImplementedError, match="transport"):
+        publish_mapbox("a.b", str(tmp_path / "t.mbtiles"), "k")
