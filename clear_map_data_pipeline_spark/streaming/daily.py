@@ -27,6 +27,8 @@ def daily_totals_stream(
     events_dir: str,
     query_name: str = "daily_totals",
     watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+    store_provider: str | None = None,
 ) -> DataFrame:
     """Run the incremental daily-totals aggregation over the events
     parquet directory with AvailableNow, blocking until the backlog is
@@ -38,7 +40,7 @@ def daily_totals_stream(
     from .drain import stage_stream_source
 
     stream = normalize_ts(
-        stage_stream_source(spark, events_dir)
+        stage_stream_source(spark, events_dir, max_files_per_trigger)
     ).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(
@@ -54,4 +56,6 @@ def daily_totals_stream(
     )
     from .drain import drain_to_memory
 
-    return drain_to_memory(agg, spark, query_name)
+    return drain_to_memory(
+        agg, spark, query_name, store_provider=store_provider
+    )

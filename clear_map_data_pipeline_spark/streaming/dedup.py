@@ -12,7 +12,6 @@ stream grows state forever — the thing this operator exists to avoid.)
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,7 +22,9 @@ from ..session import normalize_parquet_confs, normalize_ts
 def stage_backlog(events_file: str, copies: int = 1) -> str:
     """Stage a parquet file as a streaming source directory, optionally
     duplicated ``copies`` times (simulating at-least-once re-delivery)."""
-    staged = tempfile.mkdtemp(prefix="clearmap_dedup_src_")
+    from .drain import _tracked_mkdtemp
+
+    staged = _tracked_mkdtemp("clearmap_dedup_src_")
     for i in range(copies):
         os.symlink(
             os.path.abspath(events_file),
@@ -38,6 +39,8 @@ def deduped_ingest_stream(
     key: str = "event_id",
     watermark: str = "1 day",
     query_name: str = "deduped_ingest",
+    max_files_per_trigger: int | None = None,
+    store_provider: str | None = None,
 ) -> DataFrame:
     """Drain the (possibly duplicated) backlog with exactly-once
     semantics on ``key``; returns the deduplicated per-type totals."""
@@ -45,8 +48,11 @@ def deduped_ingest_stream(
     if os.path.isfile(events_dir):
         events_dir = stage_backlog(events_dir, copies=1)
     batch_schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        normalize_ts(spark.readStream.schema(batch_schema).parquet(events_dir))
+        normalize_ts(reader.parquet(events_dir))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark([key])
     )
@@ -62,5 +68,9 @@ def deduped_ingest_stream(
     from .drain import drain_to_memory
 
     return drain_to_memory(
-        out, spark, query_name, ckpt_prefix="clearmap_dedup_ckpt_"
+        out,
+        spark,
+        query_name,
+        ckpt_prefix="clearmap_dedup_ckpt_",
+        store_provider=store_provider,
     )

@@ -7,12 +7,74 @@ lives in ONE place.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import normalize_parquet_confs
+
+#: Temp dirs (checkpoints, symlink staging) created by this module.
+#: Checkpoints are removed eagerly after a successful drain; anything
+#: still here (staging dirs that may back a live plan, failed drains)
+#: is swept at interpreter exit so bench loops / test suites don't
+#: accumulate directories.
+_TMP_DIRS: set[str] = set()
+
+
+def _sweep_tmp_dirs() -> None:
+    while _TMP_DIRS:
+        shutil.rmtree(_TMP_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_sweep_tmp_dirs)
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.add(d)
+    return d
+
+
+#: The production state-store backend: keeps stateful-operator state
+#: (session windows, dedup sets, EWMA accumulators) off-heap in RocksDB
+#: instead of the default in-memory HDFS-backed map — at 100 TB the
+#: state of a watermarked dedup or sessionizer outgrows executor heaps,
+#: and RocksDB bounds memory at a disk-spill cost.  Bundled with Spark
+#: since 3.2; every registered streaming query is swept under both
+#: providers in tests/test_streaming.py.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+class state_store_provider:
+    """Context manager pinning the state-store provider for queries
+    STARTED inside it (the conf is read at query start and frozen into
+    the checkpoint), restoring the previous session setting after."""
+
+    def __init__(self, spark: SparkSession, provider: str | None):
+        self.spark = spark
+        self.provider = provider
+
+    def __enter__(self):
+        self.before = self.spark.conf.get(_PROVIDER_CONF, None)
+        if self.provider:
+            self.spark.conf.set(_PROVIDER_CONF, self.provider)
+        return self
+
+    def __exit__(self, *exc):
+        if self.provider:
+            if self.before is None:
+                self.spark.conf.unset(_PROVIDER_CONF)
+            else:
+                self.spark.conf.set(_PROVIDER_CONF, self.before)
+        return False
 
 
 def stage_stream_source(
@@ -32,7 +94,7 @@ def stage_stream_source(
       across batch boundaries."""
     normalize_parquet_confs(spark)
     if os.path.isfile(events_dir):
-        staged = tempfile.mkdtemp(prefix="clearmap_stream_src_")
+        staged = _tracked_mkdtemp("clearmap_stream_src_")
         os.symlink(
             os.path.abspath(events_dir),
             os.path.join(staged, os.path.basename(events_dir)),
@@ -52,6 +114,7 @@ def drain_to_memory(
     output_mode: str = "append",
     ckpt_prefix: str = "clearmap_stream_ckpt_",
     pin_state_partitions: bool = False,
+    store_provider: str | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with AvailableNow into a memory-sink
     table and return it, blocking until the backlog is consumed.  A
@@ -60,8 +123,11 @@ def drain_to_memory(
     ``pin_state_partitions``: the state-store partition count is frozen
     into the checkpoint at first start; stateful operators pin it to
     the session's core count instead of the 200 default (safe because
-    the checkpoint is fresh), restoring the caller's setting after."""
-    checkpoint = tempfile.mkdtemp(prefix=ckpt_prefix)
+    the checkpoint is fresh), restoring the caller's setting after.
+
+    ``store_provider``: state-store provider class for this drain
+    (e.g. ``ROCKSDB_PROVIDER``); None keeps the session default."""
+    checkpoint = _tracked_mkdtemp(ckpt_prefix)
     before = spark.conf.get("spark.sql.shuffle.partitions")
     if pin_state_partitions:
         spark.conf.set(
@@ -69,16 +135,22 @@ def drain_to_memory(
             spark.sparkContext.defaultParallelism,
         )
     try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with state_store_provider(spark, store_provider):
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(query_name)
+                .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if pin_state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+    # the drain is complete and the memory sink holds the rows — the
+    # checkpoint has no further reader; failed drains skip this and are
+    # swept at exit instead, leaving the dir for post-mortem until then
+    _TMP_DIRS.discard(checkpoint)
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(query_name)

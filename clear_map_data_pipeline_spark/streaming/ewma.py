@@ -118,6 +118,7 @@ def daily_ewma_stream(
     query_name: str = "daily_ewma",
     watermark: str = "30 minutes",
     max_files_per_trigger: int | None = None,
+    store_provider: str | None = None,
 ) -> DataFrame:
     """Drain the events backlog with AvailableNow through the stateful
     daily-EWMA fold; returns the materialized table
@@ -128,10 +129,15 @@ def daily_ewma_stream(
         normalize_ts(
             stage_stream_source(spark, events_dir, max_files_per_trigger)
         )
-        # NULL values are IGNORED, matching the batch ewma operator's
-        # documented policy (a NULL v6 would reach the fold as NaN and
-        # crash the integer merge); NULL timestamps have no event time
-        # to bucket or watermark by
+        # CONTRACT: days are formed from non-NULL (ts, value) events
+        # only — NULL values are IGNORED (matching the batch ewma
+        # operator's policy; a NULL v6 would reach the fold as NaN and
+        # crash the integer merge) and NULL timestamps have no event
+        # time to bucket or watermark by.  Consequence: a (user, day)
+        # whose events are ALL NULL does not exist in this stream's
+        # output at all, so a batch twin must apply the same pre-filter
+        # before its daily groupBy (the equivalence test does) rather
+        # than emit a NULL-total row for that day.
         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
         .select(
@@ -154,4 +160,5 @@ def daily_ewma_stream(
         query_name,
         ckpt_prefix="clearmap_ewma_ckpt_",
         pin_state_partitions=True,
+        store_provider=store_provider,
     )

@@ -17,7 +17,6 @@ each run drains exactly the new files and exits.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +30,8 @@ def export_daily_partitions(
     out_dir: str,
     watermark: str = "1 day",
     query_name: str = "daily_export",
+    max_files_per_trigger: int | None = None,
+    store_provider: str | None = None,
 ) -> str:
     """Drain the events backlog and materialize per-day totals as a
     date-partitioned parquet dataset, overwriting only touched
@@ -38,7 +39,7 @@ def export_daily_partitions(
     from .drain import stage_stream_source
 
     stream = normalize_ts(
-        stage_stream_source(spark, events_dir)
+        stage_stream_source(spark, events_dir, max_files_per_trigger)
     ).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
@@ -52,24 +53,32 @@ def export_daily_partitions(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # update-mode batches carry the refreshed totals for every date
-        # the micro-batch touched; dynamic overwrite swaps exactly those
-        # partitions and leaves the rest of the dataset alone
+        # update-mode batches carry refreshed totals for the keys the
+        # micro-batch touched; dynamic overwrite swaps exactly those
+        # partitions and leaves the rest of the dataset alone.  The
+        # partition key MUST equal the update key (date, event_type):
+        # partitioning by date alone loses rows under multi-batch
+        # drains — a batch updating only one type of a date would
+        # dynamically overwrite (wipe) the date's other types (caught
+        # by the r04 maxFilesPerTrigger=1 sweep).
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("date")
+            .partitionBy("date", "event_type")
             .parquet(out_dir)
         )
 
-    checkpoint = tempfile.mkdtemp(prefix="clearmap_export_ckpt_")
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .queryName(query_name)
-        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .drain import _tracked_mkdtemp, state_store_provider
+
+    checkpoint = _tracked_mkdtemp("clearmap_export_ckpt_")
+    with state_store_provider(spark, store_provider):
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .queryName(query_name)
+            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return out_dir

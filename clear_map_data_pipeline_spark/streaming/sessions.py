@@ -102,6 +102,7 @@ def user_sessions_stream(
     query_name: str = "user_sessions",
     watermark: str = "30 minutes",
     max_files_per_trigger: int | None = None,
+    store_provider: str | None = None,
 ) -> DataFrame:
     """Drain the events backlog with AvailableNow through the stateful
     sessionizer; returns the materialized closed-session table
@@ -135,4 +136,5 @@ def user_sessions_stream(
         query_name,
         ckpt_prefix="clearmap_sessions_ckpt_",
         pin_state_partitions=True,
+        store_provider=store_provider,
     )
