@@ -21,3 +21,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "skew_drill: hot-key skew drills over synthesized skewed "
+        "fixtures (deselect with -m 'not skew_drill')",
+    )
