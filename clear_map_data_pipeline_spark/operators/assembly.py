@@ -400,3 +400,43 @@ def audit_training_shards(spark, out_path: str) -> dict:
         "missing": missing,
         "unexpected": unexpected,
     }
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    ndigits: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES), derandomized: each row draws u = (hash31(id)+1)/2^31 ∈ (0,1]
+    and the k rows with the smallest key -ln(u)/w are the sample —
+    selection probability proportional to weight at every step, the
+    one-pass answer to "sample 50k docs proportional to length/quality"
+    (``stratified_sample``'s per-stratum-RATE counterpart: exact-k,
+    weight-proportional).
+
+    Weights must be positive; NULL/zero weights make the key NULL and
+    such rows sort last (never sampled) under Spark's and DuckDB's
+    shared NULLS LAST default.
+
+    Scale shape: the key is a map-only expression (the shared hash31
+    primitive — no RNG state, reproducible on any engine) and exact-k
+    selection compiles to TakeOrderedAndProject: per-partition top-k
+    then a k-row merge on the driver — no corpus shuffle, no state.
+    Rendering: the key is floor-scale truncated (engine-parity rule)
+    BEFORE ranking, with the id as tie-break, so engine and oracle rank
+    identically (the tfidf-top-terms discipline)."""
+    scale = float(10**ndigits)
+    u = (hash31(F.col(id_col)) + F.lit(1)) / F.lit(2147483648.0)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            id_col,
+            F.col(weight_col).cast("long").alias("weight"),
+            (F.floor(key * F.lit(scale)) / F.lit(scale)).alias("es_key"),
+        )
+        .orderBy("es_key", id_col)
+        .limit(k)
+    )

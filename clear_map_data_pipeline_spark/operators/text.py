@@ -485,3 +485,67 @@ def stratified_sample(
     return df.withColumn("sample_bucket", bucket.cast("long")).filter(
         F.col("sample_bucket") < rate
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query-term set
+    — the retrieval scorer a curation pipeline uses for query-targeted
+    subset selection (select-by-relevance-to-a-topic), beyond-reference
+    §2.8 extension surface next to TF-IDF.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl/avgdl))
+    with the Lucene/ES non-negative idf ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: tokenization and per-term tf are JVM expressions over
+    each doc's own token array (no explode, no per-term shuffle); the
+    corpus stats — N, Σdl (exact integer sum, so avgdl is the same
+    double on every engine and partition order), and per-term document
+    frequencies — reduce to ONE map-side-combined aggregate broadcast
+    back as a 1-row frame.  Scoring is map-only: the whole operator is
+    one tiny agg + one broadcast crossJoin regardless of corpus size.
+    Rendering: floor-scale truncation (engine-parity rule)."""
+    for t in query_terms:
+        if not t.isalnum():
+            raise ValueError(f"query term {t!r} must be alphanumeric")
+    base = df.select(
+        id_col, tokens(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks").cast("long"))
+    aggs = [
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_dl").cast("double").alias("_sumdl"),
+    ]
+    for i, t in enumerate(query_terms):
+        aggs.append(
+            F.sum(F.array_contains("_toks", t).cast("long"))
+            .cast("double")
+            .alias(f"_df{i}")
+        )
+    stats = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i, t in enumerate(query_terms):
+        tf = F.expr(f"cast(size(filter(_toks, x -> x = '{t}')) as double)")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("_dl").cast("double") * F.col("_n") / F.col("_sumdl"))
+        )
+        term = idf * tf * F.lit(k1 + 1.0) / denom
+        score = term if score is None else score + term
+    scale = float(10**ndigits)
+    return scored.select(
+        id_col,
+        (F.floor(score * F.lit(scale)) / F.lit(scale)).alias("bm25"),
+    )

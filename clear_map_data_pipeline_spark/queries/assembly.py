@@ -140,6 +140,35 @@ _SHUFFLE_SQL = f"""
     """
 
 
+WSAMPLE_K = 50
+
+
+def asm_weighted_sample(spark, sf_dir):
+    """Exact-k weighted sample without replacement (Efraimidis–Spirakis
+    A-ES, derandomized via hash31): the 50 docs with the smallest
+    -ln(u)/n_chars keys — selection proportional to document length;
+    map-only keys + TakeOrderedAndProject (see operators/assembly.py:
+    weighted_sample)."""
+    from ..operators.assembly import weighted_sample
+
+    t = Tables(spark, sf_dir)
+    return weighted_sample(t.documents, WSAMPLE_K, "n_chars")
+
+
+def _wsample_sql() -> str:
+    h = tx.hash31_sql("doc_id")
+    key = (
+        f"-ln((({h}) + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE)"
+    )
+    return f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           floor(({key}) * 1000000000.0) / 1000000000.0 AS es_key
+    FROM documents
+    ORDER BY es_key, doc_id
+    LIMIT {WSAMPLE_K}
+    """
+
+
 register_suite(
     "suite_corpus_assembly",
     [
@@ -170,12 +199,19 @@ register_suite(
             [("doc_id", "s"), ("chunk_idx", "s"), ("chunk_start", "s"),
              ("chunk_len", "s")],
         ),
+        SubQuery(
+            "asm_weighted_sample",
+            asm_weighted_sample,
+            _wsample_sql(),
+            [("doc_id", "s"), ("weight", "s"), ("es_key", "d9")],
+        ),
     ],
     doc="""Corpus-assembly suite: concat-and-chunk sequence packing
     (all-integer, one shard shuffle) + temperature-based domain mixing
     (broadcast rates, map-only corpus pass) + deterministic global
     shuffle index (range sort + offset arithmetic, no single-partition
-    window) + overlapping-window document chunking (map-only) — each
-    hash-checked row-for-row against its DuckDB twin inside the suite
-    union.""",
+    window) + overlapping-window document chunking (map-only) +
+    exact-k weighted sampling without replacement (A-ES keys, r04) —
+    each hash-checked row-for-row against its DuckDB twin inside the
+    suite union.""",
 )

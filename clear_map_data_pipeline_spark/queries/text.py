@@ -156,6 +156,47 @@ _QUALITY_PCTL_SQL = f"""
     """
 
 
+BM25_TERMS = ["query", "stream", "window", "sort"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def tx_bm25(spark, sf_dir):
+    """Okapi BM25 relevance of every document to a fixed query-term set
+    (Lucene-style non-negative idf) — retrieval-targeted curation
+    scoring; map-only after one broadcast stats aggregate (see
+    operators/text.py: bm25_scores)."""
+    t = Tables(spark, sf_dir)
+    return tx.bm25_scores(t.documents, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+
+
+def _bm25_sql() -> str:
+    """Mirror of bm25_scores: identical literal constants and float op
+    association order, floor-scale truncated at 4."""
+    dfs = ", ".join(
+        "CAST(sum(CASE WHEN list_contains(toks, '%s') THEN 1 ELSE 0 END) "
+        "AS DOUBLE) AS df%d" % (t, i)
+        for i, t in enumerate(BM25_TERMS)
+    )
+    terms = []
+    for i, t in enumerate(BM25_TERMS):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        denom = (
+            f"({tf} + {BM25_K1} * ({1.0 - BM25_B!r} + {BM25_B} * "
+            f"(CAST(dl AS DOUBLE) * n / sumdl)))"
+        )
+        terms.append(f"{idf} * {tf} * {BM25_K1 + 1.0!r} / {denom}")
+    score = " + ".join(terms)
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks,
+                         len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) AS sumdl, {dfs} FROM base)
+    SELECT doc_id, floor(({score}) * 10000.0) / 10000.0 AS bm25
+    FROM base CROSS JOIN stats
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -185,11 +226,18 @@ register_suite(
             _QUALITY_PCTL_SQL,
             [("doc_id", "s"), ("quality", "d3"), ("cutoff", "d3")],
         ),
+        SubQuery(
+            "tx_bm25",
+            tx_bm25,
+            _bm25_sql(),
+            [("doc_id", "s"), ("bm25", "d4")],
+        ),
     ],
     doc="Text-quality suite: stopword-argmax language ID + composite "
     "heuristic quality scoring + hashed linear classifier scoring "
     "(fastText shape, literal weights) + the percentile-calibrated "
-    "quality filter (data-driven cutoff), each oracle-checked "
+    "quality filter (data-driven cutoff) + Okapi-BM25 retrieval "
+    "scoring against a fixed query (r04), each oracle-checked "
     "row-for-row inside the union.",
 )
 

@@ -265,3 +265,42 @@ def test_audit_detects_lost_shard_file(spark, tmp_path):
     probe = audit_training_shards(spark, out)
     assert not probe["ok"]
     assert probe["bad_shards"] == ["1"] or probe["missing"] == ["1"]
+
+
+def test_weighted_sample_matches_literal_aes(spark, sf_dir):
+    """A-ES weighted sampling: the engine's k-smallest -ln(u)/w keys
+    must equal a literal Python recompute of the same derandomized
+    keys (hash31 uniforms, identical truncation, id tie-break) — full
+    selection parity, not a statistical bound.  Also: exact-k, plan
+    is TakeOrdered (no global sort/exchange of the corpus)."""
+    import math
+
+    docs = Tables(spark, sf_dir).documents
+    got = [
+        (r["doc_id"], r["weight"], r["es_key"])
+        for r in asm.weighted_sample(docs, 20, "n_chars").collect()
+    ]
+    assert len(got) == 20
+
+    # literal recompute over the full corpus
+    P, M, C1, C2 = tx._HASH_P, tx._HASH_M, tx._HASH_C1, tx._HASH_C2
+
+    def h31(x):
+        x0 = x % P
+        x1 = (x0 * C1) % M
+        x2 = x1 ^ (x1 >> 15)
+        x3 = (x2 * C2) % M
+        return x3 ^ (x3 >> 13)
+
+    rows = docs.select("doc_id", "n_chars").collect()
+    keys = []
+    for r in rows:
+        u = (h31(r["doc_id"]) + 1) / 2147483648.0
+        k9 = math.floor((-math.log(u) / float(r["n_chars"])) * 1e9) / 1e9
+        keys.append((k9, r["doc_id"], int(r["n_chars"])))
+    keys.sort()
+    want = [(d, w, k) for k, d, w in keys[:20]]
+    assert got == want
+
+    plan = asm.weighted_sample(docs, 20, "n_chars")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
