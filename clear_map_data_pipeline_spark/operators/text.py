@@ -549,3 +549,55 @@ def bm25_scores(
         id_col,
         (F.floor(score * F.lit(scale)) / F.lit(scale)).alias("bm25"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document mean token surprisal -mean ln p(token) against the
+    CORPUS unigram distribution — the LM-based quality signal (the
+    CCNet/KenLM shape at unigram order): low = templated/common-token
+    text, high = rare-token soup; curation pipelines cut both tails.
+    Docs with zero tokens have no distribution to score and are absent
+    from the output.
+
+    Determinism contract: per-TYPE surprisals are truncated to 1e-9
+    integer units once (in the vocabulary frame), and each doc sums
+    those LONGS — an order-free exact sum, so the result is identical
+    under any partitioning and any engine (the scaled-integer
+    discipline the Lloyd trainer and streaming EWMA use).
+
+    Scale shape: explode -> token-count agg (map-side combined) ->
+    1-row total broadcast onto the vocabulary -> token-key equi-join
+    back to the exploded stream -> per-doc agg.  The vocabulary frame
+    stays DISTRIBUTED (token-hash partitioned join, no broadcast
+    assumption — web-scale vocabularies don't fit an executor)."""
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("tt"))
+    s = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            -F.log(F.col("cnt").cast("double") / F.col("tt")) * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("s9"),
+    )
+    scale = float(10**ndigits)
+    return (
+        toks.join(s, "tok")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(
+                    (F.sum("s9").cast("double") / F.lit(1e9))
+                    / F.count("*").cast("double")
+                    * F.lit(scale)
+                )
+                / F.lit(scale)
+            ).alias("surprisal")
+        )
+    )

@@ -308,6 +308,31 @@ _TFIDF_SQL = f"""
     """
 
 
+def tx_unigram_surprisal(spark, sf_dir):
+    """Per-doc mean token surprisal vs the corpus unigram distribution
+    (LM-quality signal; order-free scaled-integer sums — see
+    operators/text.py: unigram_surprisal)."""
+    t = Tables(spark, sf_dir)
+    return tx.unigram_surprisal(t.documents)
+
+
+_SURPRISAL_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM freq),
+    s AS (SELECT tok, CAST(floor(-ln(CAST(cnt AS DOUBLE) / tt)
+                    * 1000000000.0) AS BIGINT) AS s9
+          FROM freq CROSS JOIN tot)
+    SELECT doc_id,
+           floor((CAST(sum(s9) AS DOUBLE) / 1000000000.0)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0)
+             / 1000000.0 AS surprisal
+    FROM toks JOIN s USING (tok)
+    GROUP BY doc_id
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -338,11 +363,17 @@ register_suite(
             _TFIDF_SQL,
             [("doc_id", "s"), ("token", "s"), ("tfidf", "d4"), ("rank", "s")],
         ),
+        SubQuery(
+            "tx_unigram_surprisal",
+            tx_unigram_surprisal,
+            _SURPRISAL_SQL,
+            [("doc_id", "s"), ("surprisal", "d6")],
+        ),
     ],
     doc="Token-accounting suite: whitespace/BPE-ish token counts + "
     "rolling-hash document fingerprints + top-N corpus vocabulary + "
-    "per-doc TF-IDF top terms, each oracle-checked row-for-row inside "
-    "the union.",
+    "per-doc TF-IDF top terms + unigram-LM mean surprisal (r04), "
+    "each oracle-checked row-for-row inside the union.",
 )
 
 

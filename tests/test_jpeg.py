@@ -121,3 +121,49 @@ def test_image_resize_real_jpeg(spark):
     df = spark.createDataFrame([(1, jpg)], "doc_id long, payload binary")
     (row,) = image_resize(df, out_w=4, out_h=4).collect()
     assert bytes(row["pixels"]) == bytes([200]) * 16
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(70, 100),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(w, h, ch, quality, sub, seed):
+    """Any dims (incl. 1xN edge strips), channels, quality 70-100, and
+    subsampling: encode->decode preserves dims/channels exactly, is
+    deterministic, and reproduces smooth content within a
+    quality-scaled error bound."""
+    decode_jpeg, encode_jpeg = _codec()
+    rng = np.random.default_rng(seed)
+    # smooth field: random low-frequency gradient (quantization error
+    # bounds only hold for content without full-spectrum noise)
+    gx = rng.integers(0, 5, size=ch)
+    gy = rng.integers(0, 5, size=ch)
+    base = rng.integers(40, 200, size=ch)
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    for c in range(ch):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img[:, :, c] = (base[c] + gx[c] * xx + gy[c] * yy) % 256
+    enc = encode_jpeg(
+        w, h, ch, img.tobytes(), quality=quality, subsampling=sub
+    )
+    assert decode_jpeg(enc) == decode_jpeg(enc)  # deterministic
+    gw, gh, gch, pix = decode_jpeg(enc)
+    assert (gw, gh, gch) == (w, h, ch)
+    dec = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch).astype(int)
+    err = np.abs(dec - img.astype(int))
+    # modulo wraparound creates one sharp edge per channel; exclude the
+    # wrap rows/cols from the smoothness bound by bounding the MEDIAN
+    assert np.median(err) <= 14.0, (np.median(err), err.max())
