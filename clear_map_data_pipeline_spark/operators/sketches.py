@@ -411,3 +411,74 @@ SELECT col AS col_name,
        max(mx) AS max_num
 FROM pb GROUP BY 1
 """
+
+
+def hll_distinct_by_group(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-GROUP HLL distinct estimate — the mergeable-sketch GROUP BY
+    (distinct users per event type / day / shard), the 100 TB shape
+    where exact ``countDistinct`` per group shuffles every key and the
+    sketch shuffles at most 64 (bucket, rank) rows per group per map
+    partition.
+
+    Same register construction, exact power-of-two ``z`` sums, raw
+    estimate, and exact-integer evidence columns as
+    ``hll_distinct_many`` (one row per group: group, n_exact, hll_est,
+    n_buckets, sum_rho); ``n_exact`` rides the same scan via the
+    bucket-partitioning argument documented there."""
+    bucket, rho = hll_bucket_rho(F.col(key_col).cast("long"))
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+            F.col(key_col).cast("long").alias("k"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(
+            F.max("rho").alias("mj"),
+            F.countDistinct("k").alias("_nd"),
+        )
+    )
+    return (
+        regs.groupBy("grp")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("_z_present"),
+            F.count("*").alias("n_buckets"),
+            F.sum("mj").alias("sum_rho"),
+            F.sum("_nd").alias("n_exact"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.lit(_HLL_NUM)
+                / (F.col("_z_present") + (HLL_M - F.col("n_buckets")))
+            ).alias("hll_est"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("sum_rho").cast("long").alias("sum_rho"),
+        )
+    )
+
+
+def hll_distinct_by_group_sql(table: str, group_col: str, key_col: str) -> str:
+    """DuckDB twin of ``hll_distinct_by_group`` — same constants, same
+    register arithmetic, one extra grouping key everywhere."""
+    h = hash31_sql(key_col)
+    return f"""
+SELECT {group_col},
+       CAST(sum(nd) AS BIGINT) AS n_exact,
+       {_HLL_NUM!r} / (sum(pow(2.0, -mj)) + ({HLL_M} - count(*))) AS hll_est,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(mj) AS BIGINT) AS sum_rho
+FROM (
+  SELECT {group_col}, h // {_REM_MOD} AS bucket,
+         max(CASE WHEN h % {_REM_MOD} = 0 THEN {_RHO_MAX}
+                  ELSE {_RHO_MAX} - length(bin(h % {_REM_MOD})) END) AS mj,
+         count(DISTINCT k) AS nd
+  FROM (SELECT {group_col}, {h} AS h, {key_col} AS k FROM {table})
+  GROUP BY 1, 2
+)
+GROUP BY 1
+"""

@@ -125,6 +125,20 @@ def sk_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_SQL = sk.profile_table_sql(_PROFILE_VIEW, _PROFILE_INT, _PROFILE_STR)
 
 
+def sk_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct users — the mergeable-sketch GROUP BY
+    (sketch state shuffles <= 64 rows per group per map partition where
+    exact countDistinct shuffles every key; see operators/sketches.py:
+    hll_distinct_by_group)."""
+    t = Tables(spark, sf_dir)
+    return sk.hll_distinct_by_group(t.events, "event_type", "user_id")
+
+
+_HLL_GROUP_SQL = sk.hll_distinct_by_group_sql(
+    "events", "event_type", "user_id"
+)
+
+
 register_suite(
     "suite_sketches",
     [
@@ -145,6 +159,18 @@ register_suite(
             sk_bloom_pruned_join,
             _BLOOM_SQL,
             [("o_orderpriority", "s"), ("n_orders", "s"), ("revenue", "d2")],
+        ),
+        SubQuery(
+            "sk_hll_users_by_type",
+            sk_hll_users_by_type,
+            _HLL_GROUP_SQL,
+            [
+                ("event_type", "s"),
+                ("n_exact", "s"),
+                ("hll_est", "d2"),
+                ("n_buckets", "s"),
+                ("sum_rho", "s"),
+            ],
         ),
         SubQuery(
             "sk_profile_documents",

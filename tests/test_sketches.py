@@ -168,3 +168,54 @@ def test_profile_table_all_null_column(spark):
     c = prof["cat"]
     assert (c.n_rows, c.n_nulls, c.n_distinct) == (4, 4, 0)
     assert c.hll_est is None  # no observed keys -> no registers -> NULL
+
+
+def test_hll_by_group_matches_per_group_hll_and_merges(spark, sf_dir):
+    """Grouped HLL: (a) each group's row equals running the single-key
+    HLL on that group's slice (same registers, same estimate); (b) the
+    per-group sketch STATE merges — registers built independently on
+    two disjoint halves, MAX-merged per (group, bucket) in a plain
+    reaggregation, reproduce the whole-corpus register table."""
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_distinct,
+        hll_distinct_by_group,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    ev = Tables(spark, sf_dir).events.select("event_type", "user_id")
+    grouped = {
+        r["event_type"]: (r["n_exact"], r["hll_est"], r["n_buckets"], r["sum_rho"])
+        for r in hll_distinct_by_group(ev, "event_type", "user_id").collect()
+    }
+    assert grouped
+    for etype in grouped:
+        (row,) = hll_distinct(
+            ev.filter(F.col("event_type") == etype), "user_id"
+        ).collect()
+        assert grouped[etype] == (
+            row["n_exact"], row["hll_est"], row["n_buckets"], row["sum_rho"]
+        ), etype
+
+    def regs(df):
+        bucket, rho = hll_bucket_rho(F.col("user_id").cast("long"))
+        return (
+            df.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("mj"))
+        )
+
+    half_states = [
+        regs(ev.filter(F.col("user_id") % 2 == i)) for i in (0, 1)
+    ]
+    merged = (
+        half_states[0]
+        .unionByName(half_states[1])
+        .groupBy("event_type", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs(ev).collect())
+    )
