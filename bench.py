@@ -59,6 +59,7 @@ def _ivf_scale_demo(spark) -> dict:
     (save_ivf_index round trip — search never pays the fit), and
     reports measured recall@5 vs the exact baseline at two operating
     points with probe fraction <= 0.125."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -94,7 +95,8 @@ def _ivf_scale_demo(spark) -> dict:
     )
     emb.count()
     cents = lloyd_centroids(emb, k_clusters=k_clusters, max_iter=3)
-    path = tempfile.mkdtemp(prefix="clearmap_ivf_demo_") + "/index"
+    tmp_root = tempfile.mkdtemp(prefix="clearmap_ivf_demo_")
+    path = tmp_root + "/index"
     save_ivf_index(cents, path)
     loaded = load_ivf_index(spark, path)
     queries = emb.filter(F.col("vec_id") % 200 == 0)
@@ -123,6 +125,7 @@ def _ivf_scale_demo(spark) -> dict:
             }
         )
     emb.unpersist()
+    shutil.rmtree(tmp_root, ignore_errors=True)
     return {"n_vectors": n, "points": points}
 
 

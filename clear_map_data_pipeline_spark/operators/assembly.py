@@ -417,9 +417,12 @@ def weighted_sample(
     (``stratified_sample``'s per-stratum-RATE counterpart: exact-k,
     weight-proportional).
 
-    Weights must be positive; NULL/zero weights make the key NULL and
-    such rows sort last (never sampled) under Spark's and DuckDB's
-    shared NULLS LAST default.
+    Weights must be positive to participate: rows with NULL or
+    non-positive weight are FILTERED before key computation (they have
+    zero selection probability by definition — and a 0 weight would
+    otherwise hit ANSI-mode divide-by-zero, while a NULL key would
+    sort FIRST under Spark's ascending default and steal sample
+    slots).  The oracle twin applies the same predicate.
 
     Scale shape: the key is a map-only expression (the shared hash31
     primitive — no RNG state, reproducible on any engine) and exact-k
@@ -432,7 +435,8 @@ def weighted_sample(
     u = (hash31(F.col(id_col)) + F.lit(1)) / F.lit(2147483648.0)
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.select(
+        df.filter(F.col(weight_col) > 0)
+        .select(
             id_col,
             F.col(weight_col).cast("long").alias("weight"),
             (F.floor(key * F.lit(scale)) / F.lit(scale)).alias("es_key"),

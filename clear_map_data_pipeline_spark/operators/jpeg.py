@@ -230,13 +230,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     frame = None
     restart = 0
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them so a conforming padded file parses
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         m = data[pos + 1]
-        if m == 0xD8:
+        if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+            # SOI / TEM / RSTn carry no length field
             pos += 2
             continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG header")
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         seg = data[pos + 4 : pos + 2 + seglen]
         if m in (0xC0, 0xC1):  # SOF0/SOF1

@@ -28,6 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Iterator
 
@@ -268,10 +269,13 @@ def image_features(
             try:
                 w, h, _ch, pixels = decode_real(p)
                 return zlib.adler32(pixels), w, h
-            except NotImplementedError:
-                # magic matched but the variant needs a codec library
-                # (progressive JPEG, ...): stub fallback unless the
-                # caller demanded the real path
+            except (NotImplementedError, ValueError, struct.error,
+                    zlib.error, IndexError):
+                # magic matched but the payload is a variant needing a
+                # codec library (progressive JPEG, ...) OR corrupt /
+                # truncated — real corpora are full of both, and one
+                # bad payload must not abort the whole job: stub
+                # fallback unless the caller demanded the real path
                 if use_real_decoder:
                     raise
         return decode_stub(p)
@@ -331,7 +335,10 @@ def image_resize(
                     if _sniff_real(p) or use_real_decoder:
                         pixels.append(_resize_png(p, n_out))
                         continue
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error,
+                        zlib.error, IndexError):
+                    # undecodable variant or corrupt payload: stub
+                    # resample instead of failing the batch
                     if use_real_decoder:
                         raise
                 stride = max(len(p) // n_out, 1)

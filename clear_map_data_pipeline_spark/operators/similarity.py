@@ -440,16 +440,18 @@ def ann_lsh_pairs(
         )
     cand = _lsh_rep_candidates(v, dim, id_col, num_planes, repetitions)
     # High-recall points generate many candidate pairs, so the pair
-    # scoring dominates: cache each vector's norm ONCE (the per-pair
-    # cosine then costs one dot instead of three — norm(a)*norm(b) on
-    # cached values is the IDENTICAL double, no oracle change) and
-    # broadcast the tiny vector frames onto the pair list.
+    # scoring dominates: cache each vector's norm ONCE — the per-pair
+    # cosine then costs one dot instead of three, and norm(a)*norm(b)
+    # on cached values is the IDENTICAL double, so the oracle is
+    # unchanged.  No broadcast hint: the vector frame is corpus-sized,
+    # so the join strategy is left to the planner/AQE (auto-broadcast
+    # when it fits the threshold, shuffle join at scale).
     vn = v.select("*", norm(F.col("_v")).alias("_nv"))
     denom = F.col("_na") * F.col("_nb")
     cos = F.when(denom != 0, dot(F.col("_a"), F.col("_b")) / denom)
     pairs = (
-        cand.join(F.broadcast(vn.toDF("va", "_a", "_na")), "va")
-        .join(F.broadcast(vn.toDF("vb", "_b", "_nb")), "vb")
+        cand.join(vn.toDF("va", "_a", "_na"), "va")
+        .join(vn.toDF("vb", "_b", "_nb"), "vb")
         .select("va", "vb", F.round(cos, 4).alias("cos_sim"))
     )
     return pairs.filter(F.col("cos_sim") >= threshold)

@@ -476,10 +476,18 @@ def ewma_linear(
     Bit-identity: the fold applies the same double-precision op
     sequence (``acc*(1-a) + a*x`` over the non-null values in order) as
     the window fold, so outputs are row-identical, not merely close —
-    asserted in tests.  Cost: one exchange on ``key``, O(d) work and
-    O(Arrow batch) memory per key; the trade is the Python boundary,
-    which is why the windowed form stays the default under its series
-    bound."""
+    asserted in tests.  Shared preconditions with the windowed fold:
+    (key, order) pairs must be UNIQUE (duplicate order keys make the
+    fold sequence tie-order-dependent in BOTH forms — collect_list's
+    within-tie order is partition-layout-dependent), and NULL — not
+    NaN — is the missing-value representation.  SQL NULLs are skipped
+    exactly like the window's collect_list drop; a genuine NaN VALUE
+    (which Arrow conversion would otherwise make indistinguishable
+    from NULL) is rejected with a clear error, because the windowed
+    twin would silently NaN-poison the series tail instead.  Cost: one
+    exchange on ``key``, O(d) work and O(Arrow batch) memory per key;
+    the trade is the Python boundary, which is why the windowed form
+    stays the default under its series bound."""
     import math
 
     import pandas as pd
@@ -493,18 +501,29 @@ def ewma_linear(
     schema = StructType(
         list(df.schema.fields) + [StructField(out, DoubleType())]
     )
+    # NULL-vs-NaN mask computed ENGINE-side: after Arrow conversion a
+    # float column can no longer tell them apart
+    aug = df.withColumn("_isnull", F.col(value).isNull())
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order, kind="mergesort")
         acc = None
         res = []
-        for x in pdf[value]:
-            if x is not None and not pd.isna(x):
+        for x, isn in zip(pdf[value], pdf["_isnull"]):
+            if not isn:
                 xv = float(x)
+                if math.isnan(xv):
+                    raise ValueError(
+                        "NaN value in EWMA input: NULL is the "
+                        "missing-value representation (the windowed fold "
+                        "would silently NaN-poison the series tail)"
+                    )
                 acc = xv if acc is None else acc * (1.0 - a) + a * xv
             res.append(
                 math.floor(acc * scale) / scale if acc is not None else None
             )
-        return pdf.assign(**{out: pd.Series(res, index=pdf.index, dtype="float64")})
+        return pdf.drop(columns=["_isnull"]).assign(
+            **{out: pd.Series(res, index=pdf.index, dtype="float64")}
+        )
 
-    return df.groupBy(key).applyInPandas(fold, schema=schema)
+    return aug.groupBy(key).applyInPandas(fold, schema=schema)

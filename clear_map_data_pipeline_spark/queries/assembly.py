@@ -164,6 +164,7 @@ def _wsample_sql() -> str:
     SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
            floor(({key}) * 1000000000.0) / 1000000000.0 AS es_key
     FROM documents
+    WHERE n_chars > 0
     ORDER BY es_key, doc_id
     LIMIT {WSAMPLE_K}
     """

@@ -304,3 +304,16 @@ def test_weighted_sample_matches_literal_aes(spark, sf_dir):
 
     plan = asm.weighted_sample(docs, 20, "n_chars")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_null_and_zero_weights_never_sampled(spark):
+    """Rows with NULL or non-positive weight are filtered before key
+    computation: no ANSI divide-by-zero, no NULL key stealing a slot
+    under Spark's NULLS-FIRST ascending default (r04 review finding)."""
+    df = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, None), (4, 0), (5, 80)],
+        "doc_id long, n_chars int",
+    )
+    rows = asm.weighted_sample(df, 4, "n_chars", id_col="doc_id").collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 5}
+    assert all(r["es_key"] is not None for r in rows)

@@ -167,3 +167,38 @@ def test_jpeg_roundtrip_property(w, h, ch, quality, sub, seed):
     # modulo wraparound creates one sharp edge per channel; exclude the
     # wrap rows/cols from the smoothness bound by bounding the MEDIAN
     assert np.median(err) <= 14.0, (np.median(err), err.max())
+
+
+def test_jpeg_fill_bytes_and_corrupt_payloads(spark):
+    """(a) T.81-legal 0xFF fill padding before a marker must parse;
+    (b) corrupt/truncated JPEG payloads fall back to the stub in the
+    Spark operators instead of aborting the batch (r04 review
+    findings)."""
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_stub,
+        image_features,
+    )
+
+    w, h = 16, 8
+    flat = bytes([90]) * (w * h)
+    clean = encode_jpeg(w, h, 1, flat, quality=90)
+    # inject two fill bytes before the SOF marker
+    sof = clean.find(b"\xff\xc0")
+    padded = clean[:sof] + b"\xff\xff" + clean[sof:]
+    assert decode_jpeg(padded) == (w, h, 1, flat)
+
+    garbage = b"\xff\xd8\xff" + b"\x00" * 40           # nothing parseable
+    truncated = clean[: len(clean) // 2]                # mid-entropy cut
+    df = spark.createDataFrame(
+        [(1, clean), (2, garbage), (3, truncated)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in image_features(df).collect()}
+    assert rows[1]["width"] == w
+    for bad, payload in [(2, garbage), (3, truncated)]:
+        crc, sw, sh = decode_stub(payload)
+        assert (rows[bad]["checksum"], rows[bad]["width"], rows[bad]["height"]) == (crc, sw, sh)

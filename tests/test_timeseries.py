@@ -275,3 +275,28 @@ def test_ewma_series_guard_trips_and_linear_path_survives(spark):
         x = float(i % 97)
         y = x if y is None else 0.7 * y + 0.3 * x
     assert out["ewma"] == math.floor(y * 1e6) / 1e6
+
+
+def test_ewma_linear_null_skipped_nan_rejected(spark):
+    """NULL is the missing-value representation (skipped, matching the
+    windowed collect_list drop); a genuine NaN VALUE is rejected with a
+    clear error instead of silently diverging from the windowed twin's
+    NaN-poisoning (r04 review finding)."""
+    import pytest as _pytest
+
+    from clear_map_data_pipeline_spark.operators.stats import ewma_linear
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [(1, d(2020, 1, 1), 10.0), (1, d(2020, 1, 2), None),
+         (1, d(2020, 1, 3), 20.0)],
+        "id long, date date, cases double",
+    )
+    rows = {r["date"]: r["ewma"] for r in ewma_linear(df, "cases", 0.5).collect()}
+    assert rows[d(2020, 1, 2)] == 10.0 and rows[d(2020, 1, 3)] == 15.0
+
+    bad = spark.createDataFrame(
+        [(1, d(2020, 1, 1), float("nan"))], "id long, date date, cases double"
+    )
+    with _pytest.raises(Exception, match="NaN"):
+        ewma_linear(bad, "cases", 0.5).collect()
