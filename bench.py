@@ -40,7 +40,7 @@ HEADLINE = [
     "pipeline_export_weeks_1",
     "sim_ivf_kmeans_topk",
     "st_daily_totals_incremental",
-    "dd_lsh_clusters",
+    "suite_graph",
     "suite_corpus_assembly",
     "suite_sketches",
 ]

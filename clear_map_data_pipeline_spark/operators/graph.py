@@ -170,3 +170,120 @@ def minhash_lsh_clusters(
     return cc.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 9,
+) -> DataFrame:
+    """Deterministic PageRank over an UNDIRECTED edge list (pass both
+    directions; every node must appear as a ``src``) — the iterative
+    graph algorithm beyond connected components: importance scoring of
+    entities in an interaction graph (suppliers by the parts that flow
+    through them, documents by citation, users by interaction).
+
+    r'(v) = (1-d)/N + d * Σ_{u->v} r(u)/deg(u), ``iterations`` fixed
+    rounds from the uniform start — no convergence collect, so the
+    lineage is bounded and the whole computation is one lazy plan.
+
+    Determinism contract (the engine's order-free float discipline):
+    each contribution r(u)/deg(u) is truncated ONCE to 1e-12 integer
+    units and the per-node inbox is summed as LONGS — exact under any
+    partitioning and on any engine — then the damped update applies
+    the same literal constants on both sides.  The oracle replays the
+    rounds as an unrolled CTE chain (the Lloyd-trainer pattern).
+
+    Scale shape: degrees are one map-side-combined aggregate computed
+    once; per round ONE (ranks ⋈ edges on src) equi-join + ONE dst
+    aggregation — the standard message-passing round, shuffle volume =
+    |edges| longs; the edge+degree frame is pinned (cachereg) since
+    every round re-reads it.  Node count reaches the update as a
+    broadcast 1-row frame.
+    """
+    from ..cachereg import pin
+
+    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    edges_deg = pin(edges.join(deg, src))
+    nodes = pin(edges.select(F.col(src).alias("node")).distinct())
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    base, d = 1.0 - damping, float(damping)
+    for _ in range(iterations):
+        contrib = edges_deg.join(
+            ranks.withColumnRenamed("node", src), src
+        ).select(
+            F.col(dst).alias("node"),
+            F.floor(
+                F.col("rank") / F.col("_deg").cast("double") * F.lit(1e12)
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.lit(base) / F.col("_n")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("_s"), F.lit(0)).cast("double")
+                        / F.lit(1e12)
+                    )
+                ).alias("rank"),
+            )
+        )
+    scale = float(10**ndigits)
+    return ranks.select(
+        "node", (F.floor(F.col("rank") * F.lit(scale)) / F.lit(scale)).alias("rank")
+    )
+
+
+def pagerank_sql(
+    edges_cte: str, iterations: int = 3, damping: float = 0.85, ndigits: int = 9
+) -> str:
+    """DuckDB twin of ``pagerank``: the same rounds unrolled as a CTE
+    chain, generated from the SAME Python constants (``repr`` of the
+    identical doubles — e.g. 1-0.85 is 0.15000000000000002 on both
+    sides) so engine and oracle cannot drift.  ``edges_cte`` must
+    define ``e(src, dst)`` with both directions present."""
+    base, d = 1.0 - damping, float(damping)
+    scale = float(10**ndigits)
+    parts = [
+        f"""{edges_cte},
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node,
+             sum(CAST(floor(r.rank / CAST(d.deg AS DOUBLE)
+                            * 1000000000000.0) AS BIGINT)) AS s
+      FROM e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON e.src = r.node
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             {base!r} / n + {d!r}
+               * (CAST(coalesce(c{i}.s, 0) AS DOUBLE) / 1000000000000.0)
+               AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node CROSS JOIN nn
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT node, floor(rank * {scale!r}) / {scale!r} AS rank
+    FROM r{iterations}
+    """

@@ -165,7 +165,6 @@ def _cluster_sql() -> str:
     """
 
 
-@register("dd_lsh_clusters", sql=_cluster_sql())
 def dd_lsh_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: LSH-verified pairs -> distributed connected
     components (alternating large-star/small-star, Kiveris et al. SoCC
@@ -177,6 +176,64 @@ def dd_lsh_clusters(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     return minhash_lsh_clusters(t.documents)
+
+
+def gr_pagerank(spark, sf_dir):
+    """Deterministic PageRank (3 fixed rounds, damping 0.85) over the
+    undirected part<->supplier interaction graph from lineitem (node
+    ids in disjoint residue classes: even = parts, odd = suppliers) —
+    iterative message passing beyond connected components; scaled-
+    integer contribution sums make every round order-free and the
+    oracle an unrolled CTE chain (see operators/graph.py: pagerank)."""
+    from ..operators.graph import pagerank
+
+    t = Tables(spark, sf_dir)
+    fwd = t.lineitem.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges)
+
+
+_PAGERANK_EDGES_CTE = """e AS (
+      SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey FROM lineitem
+    )"""
+
+
+def _pagerank_sql() -> str:
+    from ..operators.graph import pagerank_sql
+
+    return pagerank_sql(_PAGERANK_EDGES_CTE)
+
+
+register_suite(
+    "suite_graph",
+    [
+        SubQuery(
+            "dd_lsh_clusters",
+            dd_lsh_clusters,
+            _cluster_sql(),
+            [("doc_id", "s"), ("cluster_id", "s")],
+        ),
+        SubQuery(
+            "gr_pagerank",
+            gr_pagerank,
+            _pagerank_sql(),
+            [("node", "s"), ("rank", "d9")],
+        ),
+    ],
+    doc="Graph-algorithms suite: LSH-verified near-dup pairs folded to "
+    "connected components (alternating-star, recursive-CTE oracle) + "
+    "deterministic fixed-round PageRank over the part<->supplier "
+    "graph (unrolled-CTE oracle, scaled-integer message sums) — both "
+    "hash-checked row-for-row inside the union.",
+)
 
 
 def _embedding_near_dup_sql(threshold: float = 0.4) -> str:

@@ -100,3 +100,42 @@ def test_lsh_clusters_consistent_with_pairs(spark, sf_dir):
         for r in minhash_lsh_clusters(docs).collect()
     }
     assert labels == _union_find_labels(pairs)
+
+
+def test_pagerank_matches_literal_python(spark):
+    """3-round damped PageRank on a small undirected graph must equal a
+    literal Python replay of the same recurrence (same truncation, same
+    constants) — and be invariant under repartitioning (order-free
+    scaled-integer message sums)."""
+    import math
+
+    from clear_map_data_pipeline_spark.operators.graph import pagerank
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    edges_list = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(edges_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+
+    deg = {}
+    for a, _b in edges_list:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    ranks = {v: 1.0 / n for v in deg}
+    for _ in range(3):
+        inbox = {v: 0 for v in deg}
+        for a, b in edges_list:
+            inbox[b] += math.floor(ranks[a] / float(deg[a]) * 1e12)
+        ranks = {
+            v: (1.0 - 0.85) / n + 0.85 * (float(inbox[v]) / 1e12)
+            for v in deg
+        }
+    want = {v: math.floor(r * 1e9) / 1e9 for v, r in ranks.items()}
+    assert got == want
+    # rank mass conservation (up to truncation dust)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    rep = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(7)).collect()
+    }
+    assert rep == got
