@@ -206,6 +206,10 @@ def pagerank(
     """
     from ..cachereg import pin
 
+    # edges has THREE consumers (degrees, the per-round join, the node
+    # set) and typically carries a distinct() upstream — pin it so the
+    # dedup shuffle runs once, not per consumer
+    edges = pin(edges)
     deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
     edges_deg = pin(edges.join(deg, src))
     nodes = pin(edges.select(F.col(src).alias("node")).distinct())
@@ -226,20 +230,15 @@ def pagerank(
             .alias("_c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                (
-                    F.lit(base) / F.col("_n")
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("_s"), F.lit(0)).cast("double")
-                        / F.lit(1e12)
-                    )
-                ).alias("rank"),
-            )
+        # undirected contract: every node appears as a dst (both edge
+        # directions are present), so the inbox aggregation already
+        # carries the full node set — no rejoin against `nodes` needed
+        ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
+            "node",
+            (
+                F.lit(base) / F.col("_n")
+                + F.lit(d) * (F.col("_s").cast("double") / F.lit(1e12))
+            ).alias("rank"),
         )
     scale = float(10**ndigits)
     return ranks.select(

@@ -180,18 +180,25 @@ def dd_lsh_clusters(spark, sf_dir):
 
 def gr_pagerank(spark, sf_dir):
     """Deterministic PageRank (3 fixed rounds, damping 0.85) over the
-    undirected part<->supplier interaction graph from lineitem (node
-    ids in disjoint residue classes: even = parts, odd = suppliers) —
-    iterative message passing beyond connected components; scaled-
-    integer contribution sums make every round order-free and the
-    oracle an unrolled CTE chain (see operators/graph.py: pagerank)."""
+    undirected part<->supplier interaction graph from every 5th order's
+    lineitems (node ids in disjoint residue classes: even = parts,
+    odd = suppliers; the order-residue filter keeps the registered
+    fixture slot proportionate — the operator itself is round-bounded
+    message passing at any |E|) — iterative computation beyond
+    connected components; scaled-integer contribution sums make every
+    round order-free and the oracle an unrolled CTE chain (see
+    operators/graph.py: pagerank)."""
     from ..operators.graph import pagerank
 
     t = Tables(spark, sf_dir)
-    fwd = t.lineitem.select(
-        (2 * F.col("l_partkey")).alias("src"),
-        (2 * F.col("l_suppkey") + 1).alias("dst"),
-    ).distinct()
+    fwd = (
+        t.lineitem.filter(F.col("l_orderkey") % 5 == 0)
+        .select(
+            (2 * F.col("l_partkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -200,9 +207,10 @@ def gr_pagerank(spark, sf_dir):
 
 _PAGERANK_EDGES_CTE = """e AS (
       SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
-      FROM lineitem
+      FROM lineitem WHERE l_orderkey % 5 = 0
       UNION
-      SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey FROM lineitem
+      SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey
+      FROM lineitem WHERE l_orderkey % 5 = 0
     )"""
 
 
