@@ -422,7 +422,9 @@ def weighted_sample(
     zero selection probability by definition — and a 0 weight would
     otherwise hit ANSI-mode divide-by-zero, while a NULL key would
     sort FIRST under Spark's ascending default and steal sample
-    slots).  The oracle twin applies the same predicate.
+    slots).  The oracle twin applies the same predicate.  The evidence
+    ``weight`` column is the true DOUBLE weight (a 0.7 quality score
+    must not display as 0), matching the es_key's own arithmetic.
 
     Scale shape: the key is a map-only expression (the shared hash31
     primitive — no RNG state, reproducible on any engine) and exact-k
@@ -438,7 +440,7 @@ def weighted_sample(
         df.filter(F.col(weight_col) > 0)
         .select(
             id_col,
-            F.col(weight_col).cast("long").alias("weight"),
+            F.col(weight_col).cast("double").alias("weight"),
             (F.floor(key * F.lit(scale)) / F.lit(scale)).alias("es_key"),
         )
         .orderBy("es_key", id_col)

@@ -270,12 +270,13 @@ def image_features(
                 w, h, _ch, pixels = decode_real(p)
                 return zlib.adler32(pixels), w, h
             except (NotImplementedError, ValueError, struct.error,
-                    zlib.error, IndexError):
+                    zlib.error, IndexError, KeyError):
                 # magic matched but the payload is a variant needing a
-                # codec library (progressive JPEG, ...) OR corrupt /
-                # truncated — real corpora are full of both, and one
-                # bad payload must not abort the whole job: stub
-                # fallback unless the caller demanded the real path
+                # codec library OR corrupt / truncated (KeyError:
+                # SOS referencing an undefined Huffman/quant table id)
+                # — real corpora are full of both, and one bad payload
+                # must not abort the whole job: stub fallback unless
+                # the caller demanded the real path
                 if use_real_decoder:
                     raise
         return decode_stub(p)
@@ -336,9 +337,10 @@ def image_resize(
                         pixels.append(_resize_png(p, n_out))
                         continue
                 except (NotImplementedError, ValueError, struct.error,
-                        zlib.error, IndexError):
-                    # undecodable variant or corrupt payload: stub
-                    # resample instead of failing the batch
+                        zlib.error, IndexError, KeyError):
+                    # undecodable variant or corrupt payload (KeyError:
+                    # undefined table id): stub resample instead of
+                    # failing the batch
                     if use_real_decoder:
                         raise
                 stride = max(len(p) // n_out, 1)

@@ -422,6 +422,13 @@ def hll_distinct_by_group(
     sketch shuffles at most 64 (bucket, rank) rows per group per map
     partition.
 
+    NULL keys are filtered before register construction (matching
+    ``hll_distinct``'s ``bucket IS NOT NULL`` guard): a NULL key would
+    build a register row with NULL ``mj`` that ``sum(pow(2,-mj))``
+    skips but ``count(*)`` counts, inflating n_buckets and deflating
+    the estimate for groups containing NULLs.  countDistinct ignores
+    NULLs too, so the semantics line up.
+
     Same register construction, exact power-of-two ``z`` sums, raw
     estimate, and exact-integer evidence columns as
     ``hll_distinct_many`` (one row per group: group, n_exact, hll_est,
@@ -429,7 +436,8 @@ def hll_distinct_by_group(
     bucket-partitioning argument documented there."""
     bucket, rho = hll_bucket_rho(F.col(key_col).cast("long"))
     regs = (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             F.col(group_col).alias("grp"),
             bucket.alias("bucket"),
             rho.alias("rho"),
@@ -477,7 +485,8 @@ FROM (
          max(CASE WHEN h % {_REM_MOD} = 0 THEN {_RHO_MAX}
                   ELSE {_RHO_MAX} - length(bin(h % {_REM_MOD})) END) AS mj,
          count(DISTINCT k) AS nd
-  FROM (SELECT {group_col}, {h} AS h, {key_col} AS k FROM {table})
+  FROM (SELECT {group_col}, {h} AS h, {key_col} AS k FROM {table}
+        WHERE {key_col} IS NOT NULL)
   GROUP BY 1, 2
 )
 GROUP BY 1

@@ -512,6 +512,8 @@ def bm25_scores(
     back as a 1-row frame.  Scoring is map-only: the whole operator is
     one tiny agg + one broadcast crossJoin regardless of corpus size.
     Rendering: floor-scale truncation (engine-parity rule)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     for t in query_terms:
         if not t.isalnum():
             raise ValueError(f"query term {t!r} must be alphanumeric")

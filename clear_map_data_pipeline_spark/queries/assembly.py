@@ -161,7 +161,7 @@ def _wsample_sql() -> str:
         f"-ln((({h}) + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE)"
     )
     return f"""
-    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
            floor(({key}) * 1000000000.0) / 1000000000.0 AS es_key
     FROM documents
     WHERE n_chars > 0
@@ -204,7 +204,7 @@ register_suite(
             "asm_weighted_sample",
             asm_weighted_sample,
             _wsample_sql(),
-            [("doc_id", "s"), ("weight", "s"), ("es_key", "d9")],
+            [("doc_id", "s"), ("weight", "d4"), ("es_key", "d9")],
         ),
     ],
     doc="""Corpus-assembly suite: concat-and-chunk sequence packing

@@ -317,3 +317,19 @@ def test_weighted_sample_null_and_zero_weights_never_sampled(spark):
     rows = asm.weighted_sample(df, 4, "n_chars", id_col="doc_id").collect()
     assert {r["doc_id"] for r in rows} == {1, 2, 5}
     assert all(r["es_key"] is not None for r in rows)
+
+
+def test_weighted_sample_fractional_weights_preserved(spark):
+    """The evidence `weight` column is the true DOUBLE weight — a 0.7
+    quality score must display as 0.7, not truncate to 0 (r04 advice).
+    Fractional weights also participate in the key arithmetic."""
+    df = spark.createDataFrame(
+        [(1, 0.7), (2, 0.3), (3, 2.5)], "doc_id long, quality double"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in asm.weighted_sample(df, 3, "quality", id_col="doc_id").collect()
+    }
+    assert rows[1]["weight"] == 0.7
+    assert rows[3]["weight"] == 2.5
+    assert all(r["es_key"] is not None for r in rows.values())

@@ -202,3 +202,37 @@ def test_jpeg_fill_bytes_and_corrupt_payloads(spark):
     for bad, payload in [(2, garbage), (3, truncated)]:
         crc, sw, sh = decode_stub(payload)
         assert (rows[bad]["checksum"], rows[bad]["width"], rows[bad]["height"]) == (crc, sw, sh)
+
+
+def test_jpeg_undefined_table_id_keyerror_falls_back_to_stub(spark):
+    """A structurally-valid JPEG whose SOS references Huffman/quant
+    table ids that were never defined raises KeyError inside
+    decode_jpeg — the batch-level dispatch must stub-fall-back, not
+    abort the whole Spark batch (r04 advice: KeyError was missing from
+    the except tuples)."""
+    import pytest
+
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_stub,
+        image_features,
+    )
+
+    enc = bytearray(encode_jpeg(8, 8, 1, bytes([50]) * 64, quality=90))
+    sos = enc.find(b"\xff\xda")
+    assert sos != -1 and enc[sos + 4] == 1  # Ns=1, grayscale
+    enc[sos + 6] = 0x33  # Td=3/Ta=3: never defined by the encoder
+    bad = bytes(enc)
+    with pytest.raises(KeyError):
+        decode_jpeg(bad)
+
+    df = spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
+    (row,) = image_features(df).collect()
+    crc, sw, sh = decode_stub(bad)
+    assert (row["checksum"], row["width"], row["height"]) == (crc, sw, sh)
+    # and the forced-real path surfaces the error instead of hiding it
+    with pytest.raises(Exception):
+        image_features(df, use_real_decoder=True).collect()

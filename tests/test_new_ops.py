@@ -357,3 +357,15 @@ def test_fuzzy_match_join_soundness_random_corpora(spark):
     assert any(
         r["left_id"] == 0 and r["right_id"] == 100 for r in got
     ), "planted near-dup pair missed"
+
+
+def test_bm25_empty_query_terms_raises(spark):
+    """bm25_scores([]) must fail fast with a clear ValueError, not an
+    opaque TypeError at F.floor(None * scale) (r04 advice)."""
+    import pytest
+
+    from clear_map_data_pipeline_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])

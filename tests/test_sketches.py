@@ -219,3 +219,26 @@ def test_hll_by_group_matches_per_group_hll_and_merges(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, regs(ev).collect())
     )
+
+
+def test_hll_by_group_null_keys_filtered(spark):
+    """NULL keys must not build a register row (r04 advice): a group
+    containing NULL keys gets the SAME registers/estimate as the same
+    group without them — countDistinct semantics, and parity with
+    hll_distinct's bucket IS NOT NULL guard."""
+    from clear_map_data_pipeline_spark.operators.sketches import (
+        hll_distinct_by_group,
+    )
+
+    clean = spark.createDataFrame(
+        [("a", i) for i in range(1, 40)], "grp string, k long"
+    )
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [("a", None), ("a", None)], "grp string, k long"
+        )
+    )
+    (want,) = hll_distinct_by_group(clean, "grp", "k").collect()
+    (got,) = hll_distinct_by_group(noisy, "grp", "k").collect()
+    assert tuple(got) == tuple(want)
+    assert got["n_exact"] == 39
