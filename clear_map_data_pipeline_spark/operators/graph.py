@@ -179,12 +179,25 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     ndigits: int = 9,
+    directed: bool = False,
 ) -> DataFrame:
-    """Deterministic PageRank over an UNDIRECTED edge list (pass both
-    directions; every node must appear as a ``src``) — the iterative
-    graph algorithm beyond connected components: importance scoring of
-    entities in an interaction graph (suppliers by the parts that flow
-    through them, documents by citation, users by interaction).
+    """Deterministic PageRank — the iterative graph algorithm beyond
+    connected components: importance scoring of entities in an
+    interaction graph (suppliers by the parts that flow through them,
+    documents by citation, users by interaction).
+
+    ``directed=False`` (default) expects an UNDIRECTED edge list (both
+    directions present; src-set == dst-set) and VERIFIES that contract
+    with a one-time aggregate over the pinned edge frame, raising
+    ``ValueError`` on violation — a directed list fed to the undirected
+    fast path would otherwise silently shrink the rank frame each
+    round (nodes with no in-edges vanish), diverging from the SQL twin
+    (r04 verdict finding #2).  ``directed=True`` handles an arbitrary
+    edge list: the node set is src ∪ dst and each round LEFT-rejoins
+    the inbox onto it (coalesce 0 for nodes with no in-edges) — the
+    exact shape of the oracle's LEFT JOIN.  Nodes without out-edges
+    leak their mass (no dangling-node redistribution), matching the
+    twin.
 
     r'(v) = (1-d)/N + d * Σ_{u->v} r(u)/deg(u), ``iterations`` fixed
     rounds from the uniform start — no convergence collect, so the
@@ -210,9 +223,45 @@ def pagerank(
     # set) and typically carries a distinct() upstream — pin it so the
     # dedup shuffle runs once, not per consumer
     edges = pin(edges)
+    if directed:
+        nodes = pin(
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    else:
+        # one-time contract check: every node must appear on BOTH edge
+        # sides (src-set == dst-set).  One aggregate job over the
+        # pinned frame — it doubles as the cache-materializing action.
+        sides = (
+            edges.select(
+                F.col(src).alias("node"),
+                F.lit(1).alias("_s"),
+                F.lit(0).alias("_d"),
+            )
+            .unionByName(
+                edges.select(
+                    F.col(dst).alias("node"),
+                    F.lit(0).alias("_s"),
+                    F.lit(1).alias("_d"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.max("_s").alias("_s"), F.max("_d").alias("_d"))
+        )
+        n_onesided = sides.filter(
+            (F.col("_s") == 0) | (F.col("_d") == 0)
+        ).count()
+        if n_onesided:
+            raise ValueError(
+                f"pagerank(directed=False) requires an undirected edge "
+                f"list (both directions present), but {n_onesided} "
+                f"node(s) appear on only one side; pass directed=True "
+                f"for an arbitrary edge list"
+            )
+        nodes = pin(edges.select(F.col(src).alias("node")).distinct())
     deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
     edges_deg = pin(edges.join(deg, src))
-    nodes = pin(edges.select(F.col(src).alias("node")).distinct())
     n_nodes = nodes.agg(F.count("*").cast("double").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
@@ -230,9 +279,15 @@ def pagerank(
             .alias("_c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        # undirected contract: every node appears as a dst (both edge
-        # directions are present), so the inbox aggregation already
-        # carries the full node set — no rejoin against `nodes` needed
+        # undirected contract (checked above): every node appears as a
+        # dst, so the inbox aggregation already carries the full node
+        # set — no rejoin needed.  Directed mode LEFT-rejoins onto the
+        # node set so in-edge-less nodes keep their (1-d)/N floor,
+        # matching the oracle's LEFT JOIN + coalesce.
+        if directed:
+            sums = nodes.join(sums, "node", "left").select(
+                "node", F.coalesce(F.col("_s"), F.lit(0)).alias("_s")
+            )
         ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
             "node",
             (

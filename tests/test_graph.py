@@ -139,3 +139,61 @@ def test_pagerank_matches_literal_python(spark):
         for r in pagerank(edges.repartition(7)).collect()
     }
     assert rep == got
+
+
+def test_pagerank_directed_input_raises_without_flag(spark):
+    """Feeding a directed edge list to the undirected fast path must
+    raise, not silently shrink the rank frame each round (r04 verdict
+    finding #2: node 4 has no out-edge / node 1 no in-edge here)."""
+    import pytest
+
+    from clear_map_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 4)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="directed=True"):
+        pagerank(edges)
+
+
+def test_pagerank_directed_matches_literal_python(spark):
+    """directed=True on an arbitrary edge list must equal the literal
+    replay over the src∪dst node set with LEFT-join semantics: nodes
+    with no in-edges keep the (1-d)/N floor, nodes with no out-edges
+    leak their mass (oracle LEFT JOIN + coalesce shape)."""
+    import math
+
+    from clear_map_data_pipeline_spark.operators.graph import pagerank
+
+    edges_list = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 3)]
+    edges = spark.createDataFrame(edges_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, directed=True).collect()
+    }
+
+    nodes = sorted({a for a, _ in edges_list} | {b for _, b in edges_list})
+    deg = {}
+    for a, _b in edges_list:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        inbox = {v: 0 for v in nodes}
+        for a, b in edges_list:
+            inbox[b] += math.floor(ranks[a] / float(deg[a]) * 1e12)
+        ranks = {
+            v: (1.0 - 0.85) / n + 0.85 * (float(inbox[v]) / 1e12)
+            for v in nodes
+        }
+    want = {v: math.floor(r * 1e9) / 1e9 for v, r in ranks.items()}
+    assert got == want
+    # node 5 (sink) and node 6 (source) are both present in the output
+    assert 5 in got and 6 in got
+
+    # undirected mode on a symmetric list still agrees with itself
+    # after the contract check (regression: check must not reject a
+    # valid undirected list)
+    sym = edges_list + [(b, a) for a, b in edges_list]
+    sdf = spark.createDataFrame(sym, "src long, dst long")
+    assert pagerank(sdf).count() == n
