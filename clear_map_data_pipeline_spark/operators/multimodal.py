@@ -7,9 +7,10 @@ pure-stdlib: ``decode_png`` zlib inflate + scanline unfilter incl.
 Paeth, 8-bit gray/RGB/RGBA; ``decode_wav`` PCM 8/16-bit) and — new in
 r04 — baseline JPEG (``operators/jpeg.py``: Huffman entropy decode,
 dequant + IDCT, chroma upsampling, YCbCr->RGB, restart markers; plus
-the round-trip encoder) all decode for REAL; operators sniff magic
-bytes and use them automatically.  Formats that still need codec
-libraries (progressive JPEG, WebP, video) fall back to the
+the round-trip encoder), and r05 — progressive JPEG (SOF2: spectral
+selection + successive approximation) all decode for REAL; operators
+sniff magic bytes and use them automatically.  Formats that still need
+codec libraries (arithmetic-coded JPEG, WebP, video) fall back to the
 deterministic ``decode_stub`` pseudo-features, with ``decode_real`` as
 the documented seam where PIL/ffmpeg plug in.
 
@@ -230,9 +231,9 @@ def encode_wav(
 
 def decode_real(payload: bytes):
     """The real-decoder dispatch: PNG (``decode_png``, pure stdlib) and
-    baseline JPEG (``jpeg.decode_jpeg``) decode natively; formats that
-    require codec libraries (progressive JPEG/WebP/video) still raise
-    at this seam — plug PIL/ffmpeg in here."""
+    baseline + progressive JPEG (``jpeg.decode_jpeg``) decode natively;
+    formats that require codec libraries (arithmetic-coded JPEG, WebP,
+    video) still raise at this seam — plug PIL/ffmpeg in here."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:3] == JPEG_MAGIC:

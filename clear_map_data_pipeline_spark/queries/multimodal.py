@@ -85,6 +85,43 @@ def mm_jpeg_decode(spark, sf_dir):
     return mm.image_features(with_payload)
 
 
+def mm_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode inside the registered suite
+    (r05): gradient gray payloads are synthesized per sampled doc by
+    ``encode_jpeg_progressive`` (multi-scan: interleavable DC, split AC
+    bands, two successive-approximation refinement passes), then
+    ``image_features``' sniffed real decode accumulates every scan and
+    recovers true dimensions + a deterministic pixel checksum.  The
+    gradient content (not flat) keeps AC coefficients nonzero so the
+    EOB-run / refinement paths execute on every payload."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 23 == 0)
+
+    def _enc(it):
+        from ..operators.jpeg import encode_jpeg_progressive
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                base = int(d) % 193
+                px = bytes(
+                    (base + 2 * x + 3 * y) % 256
+                    for y in range(8)
+                    for x in range(16)
+                )
+                payloads.append(
+                    encode_jpeg_progressive(16, 8, 1, px, quality=85)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.image_features(with_payload, use_real_decoder=True)
+
+
 @register("mm_multimodal_suite")
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
@@ -96,6 +133,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_audio_features", mm_audio_features, "peak_amp"),
         ("mm_frame_sample", mm_frame_sample, "frame_len"),
         ("mm_jpeg_decode", mm_jpeg_decode, "checksum"),
+        ("mm_jpeg_progressive", mm_jpeg_progressive, "checksum"),
     ]
     out = None
     for name, builder, val_col in subs:

@@ -62,16 +62,81 @@ def test_jpeg_restart_markers_roundtrip():
         assert pix == img.tobytes(), f"restart_interval={ri}"
 
 
-def test_jpeg_progressive_raises_not_implemented():
-    """A SOF2 frame must hit the documented NotImplementedError seam
-    (stub fallback upstream), not mis-decode."""
+def test_jpeg_doctored_sof2_rejected_and_arithmetic_still_raises():
+    """(a) A baseline stream relabeled SOF2 carries a baseline SOS
+    header (Ss=0, Se=63) that is invalid for a progressive DC scan —
+    ValueError, not a mis-decode (stub fallback upstream).  (b) The
+    arithmetic-coding seam still raises NotImplementedError."""
     decode_jpeg, encode_jpeg = _codec()
     enc = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=90))
     sof = enc.find(b"\xff\xc0")
     assert sof != -1
     enc[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive scan band"):
         decode_jpeg(bytes(enc))
+    enc[sof + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_flat_gray_exact():
+    """Progressive encode of a flat gray image decodes EXACTLY (flat
+    blocks quantize to DC-only) — the mm_jpeg_decode fixture shape."""
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    decode_jpeg, _ = _codec()
+    w, h = 16, 8
+    flat = bytes([77]) * (w * h)
+    got = decode_jpeg(encode_jpeg_progressive(w, h, 1, flat, quality=90))
+    assert got == (w, h, 1, flat)
+
+
+def test_jpeg_progressive_matches_baseline_decode_exactly():
+    """Progressive coding is a lossless reordering of the same
+    quantized coefficients: for any image, decode(progressive stream)
+    must be BYTE-IDENTICAL to decode(baseline stream) at the same
+    quality/subsampling — full-noise content, odd dims, and 4:2:0 pad
+    blocks included.  This pins every scan kind the script emits: DC
+    first/refine (interleaved for color), split AC bands, EOB runs,
+    ZRL-in-refinement, and buffered correction bits."""
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    decode_jpeg, encode_jpeg = _codec()
+    rng = np.random.RandomState(7)
+    for w, h in [(8, 8), (17, 9), (32, 24), (64, 48)]:
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8).tobytes()
+        for q in (50, 85, 95):
+            assert (
+                decode_jpeg(encode_jpeg(w, h, 1, img, quality=q))
+                == decode_jpeg(encode_jpeg_progressive(w, h, 1, img, quality=q))
+            ), ("gray", w, h, q)
+    for sub in ("444", "420"):
+        for w, h in [(16, 16), (24, 18), (19, 13), (33, 31)]:
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+            assert (
+                decode_jpeg(
+                    encode_jpeg(w, h, 3, img, quality=88, subsampling=sub)
+                )
+                == decode_jpeg(
+                    encode_jpeg_progressive(
+                        w, h, 3, img, quality=88, subsampling=sub
+                    )
+                )
+            ), ("color", sub, w, h)
+    # sparse image: long zero runs -> multi-block EOB runs + ZRL paths
+    simg = np.zeros((64, 64), dtype=np.uint8)
+    simg[5, 9] = 255
+    simg[40, 33] = 200
+    assert (
+        decode_jpeg(encode_jpeg(64, 64, 1, simg.tobytes(), quality=95))
+        == decode_jpeg(
+            encode_jpeg_progressive(64, 64, 1, simg.tobytes(), quality=95)
+        )
+    )
 
 
 def test_image_features_decodes_real_jpeg(spark):
@@ -236,3 +301,60 @@ def test_jpeg_undefined_table_id_keyerror_falls_back_to_stub(spark):
     # and the forced-real path surfaces the error instead of hiding it
     with pytest.raises(Exception):
         image_features(df, use_real_decoder=True).collect()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(70, 100),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_parity_property(w, h, ch, quality, sub, seed):
+    """Property form of the lossless-reordering invariant: for ANY
+    dims/channels/quality/subsampling and full-spectrum noise content,
+    the progressive stream decodes byte-identical to the baseline
+    stream (both carry the same quantized coefficients)."""
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    decode_jpeg, encode_jpeg = _codec()
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    assert decode_jpeg(
+        encode_jpeg(w, h, ch, img, quality=quality, subsampling=sub)
+    ) == decode_jpeg(
+        encode_jpeg_progressive(
+            w, h, ch, img, quality=quality, subsampling=sub
+        )
+    )
+
+
+def test_image_features_decodes_progressive_jpeg(spark):
+    """Spark dispatch: a progressive (SOF2) payload is magic-sniffed
+    and decodes for REAL — same checksum as the baseline encoding of
+    the same pixels (closes the r04 'second-most-common web format'
+    seam: progressive no longer stub-falls-back)."""
+    import zlib
+
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        image_features,
+    )
+
+    w, h = 16, 8
+    flat = bytes([93]) * (w * h)
+    prog = encode_jpeg_progressive(w, h, 1, flat, quality=90)
+    df = spark.createDataFrame([(1, prog)], "doc_id long, payload binary")
+    (row,) = image_features(df, use_real_decoder=True).collect()
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["checksum"] == zlib.adler32(flat)
