@@ -31,14 +31,14 @@ HEADLINE = [
     "suite_dedup_exact",
     "suite_dedup_fingerprints",
     "sim_ann_lsh_pairs",
-    "sim_ivf_topk",
+    "suite_ivf",
     "suite_text_quality",
     "tx_stratified_sample",
     "j_merge_upsert",
     "j_range_bucket_join",
     "mm_multimodal_suite",
     "pipeline_export_weeks_1",
-    "sim_ivf_kmeans_topk",
+    "mnt_zorder_key",
     "st_daily_totals_incremental",
     "suite_graph",
     "suite_corpus_assembly",

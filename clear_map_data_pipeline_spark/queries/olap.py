@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as tx
+from ..registry import register
 from ..session import Tables
 from .suites import SubQuery, register_suite
 
@@ -490,3 +491,67 @@ register_suite(
     "CountMin heavy-hitter estimates, each oracle-checked row-for-row "
     "inside the union.",
 )
+
+
+# --- Z-order maintenance key (r05: the freed IVF slot's net-new entry) ---
+
+ZORDER_BITS = 16
+
+
+def _zorder_terms(n_cols: int, bits: int, bucket_names: list[str]) -> str:
+    """The bit-interleave expression shared (by construction) between
+    the Spark operator and the DuckDB twin: sum over bit planes of
+    ((bucket_i >> b) & 1) << (b * n + i)."""
+    return " + ".join(
+        f"((({bucket_names[i]} >> {b}) & 1) << {b * n_cols + i})"
+        for b in range(bits)
+        for i in range(n_cols)
+    )
+
+
+_ZORDER_SQL = f"""
+WITH src AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+  FROM orders
+),
+b AS (
+  SELECT CAST(min(ck) AS DOUBLE) AS lo0, CAST(max(ck) AS DOUBLE) AS hi0,
+         CAST(min(dd) AS DOUBLE) AS lo1, CAST(max(dd) AS DOUBLE) AS hi1
+  FROM src
+),
+k AS (
+  SELECT o_orderkey,
+    least(65535, CAST(floor((CAST(ck AS DOUBLE) - lo0) / (hi0 - lo0)
+                            * 65535) AS BIGINT)) AS b0,
+    least(65535, CAST(floor((CAST(dd AS DOUBLE) - lo1) / (hi1 - lo1)
+                            * 65535) AS BIGINT)) AS b1
+  FROM src, b
+)
+SELECT o_orderkey, CAST(({_zorder_terms(2, ZORDER_BITS, ["b0", "b1"])})
+                        AS BIGINT) AS zkey
+FROM k
+"""
+
+
+@register("mnt_zorder_key", sql=_ZORDER_SQL)
+def mnt_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_orderdate) —
+    the lakehouse-maintenance layout primitive (operators/maintenance.
+    py: zorder_value): min/max-normalize each column to a 16-bit
+    bucket, interleave the bit planes, and the resulting single sort
+    key clusters BOTH dimensions for min/max file pruning.  Pure
+    codegen arithmetic (shift/and/or), no UDF; one tiny bounds
+    aggregate inlined as literals.  The oracle replays the identical
+    normalization (IEEE double division of integer-valued inputs is
+    engine-exact) and the identical interleave terms — generated from
+    the same Python loop so they cannot drift.  Previously tests-only;
+    registered r05 in the slot freed by the IVF suite fold."""
+    from ..operators.maintenance import zorder_value
+
+    t = Tables(spark, sf_dir)
+    df = t.orders.select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    z = zorder_value(df, ["o_custkey", "od"], bits=ZORDER_BITS, out="zkey")
+    return z.select("o_orderkey", "zkey")

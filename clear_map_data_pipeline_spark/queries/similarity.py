@@ -271,7 +271,6 @@ def _ivf_sql(centroid_mod: int = 50, query_mod: int = 100, nprobe: int = 2, k: i
     """
 
 
-@register("sim_ivf_topk", sql=_ivf_sql())
 def sim_ivf_topk(spark, sf_dir):
     """IVF approximate top-5: nearest-centroid inverted lists (centroids
     = the deterministic id % 50 sample), queries probe their 2 nearest
@@ -387,16 +386,6 @@ def _ivf_lloyd_sql(
     """
 
 
-@register(
-    "sim_ivf_kmeans_topk",
-    sql=_ivf_lloyd_sql(
-        IVF_KMEANS_PARAMS["k_clusters"],
-        IVF_KMEANS_PARAMS["nprobe"],
-        5,
-        IVF_KMEANS_PARAMS["n_assign"],
-        IVF_KMEANS_PARAMS["max_iter"],
-    ),
-)
 def sim_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-5 over TRAINED centroids — deterministic distributed
     spherical k-means (``operators/similarity.py: lloyd_centroids``):
@@ -418,3 +407,35 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     equal-or-lower probe fraction."""
     t = Tables(spark, sf_dir)
     return sim.ivf_topk_lloyd(t.embeddings, **IVF_KMEANS_PARAMS)
+
+
+# One registry slot for the two IVF variants (r05: same probe/rank
+# shape, different trainers — the suite fold frees a slot for a net-new
+# oracle-checked operator while both full result sets keep hash-checking
+# row-for-row inside the union).
+register_suite(
+    "suite_ivf",
+    [
+        SubQuery(
+            "sim_ivf_topk",
+            sim_ivf_topk,
+            _ivf_sql(),
+            [("va", "s"), ("vb", "s"), ("cos_sim", "d4"), ("rank", "s")],
+        ),
+        SubQuery(
+            "sim_ivf_kmeans_topk",
+            sim_ivf_kmeans_topk,
+            _ivf_lloyd_sql(
+                IVF_KMEANS_PARAMS["k_clusters"],
+                IVF_KMEANS_PARAMS["nprobe"],
+                5,
+                IVF_KMEANS_PARAMS["n_assign"],
+                IVF_KMEANS_PARAMS["max_iter"],
+            ),
+            [("va", "s"), ("vb", "s"), ("cos_sim", "d4"), ("rank", "s")],
+        ),
+    ],
+    doc="IVF approximate top-5 suite: deterministic-sample centroids "
+    "(training-free) + trained Lloyd centroids (unrolled-CTE oracle), "
+    "identical probe/rank structure.",
+)

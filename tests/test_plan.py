@@ -175,11 +175,11 @@ def test_contamination_benchmark_side_is_broadcast(spark, sf_dir):
 
 
 def test_ivf_trained_centroids_are_broadcast(spark, sf_dir):
-    from clear_map_data_pipeline_spark.registry import load_all
-
-    plan = _formatted_plan(
-        load_all()["sim_ivf_kmeans_topk"].builder(spark, sf_dir)
+    from clear_map_data_pipeline_spark.queries.similarity import (
+        sim_ivf_kmeans_topk,
     )
+
+    plan = _formatted_plan(sim_ivf_kmeans_topk(spark, sf_dir))
     # both the assignment and probe cross-joins against the centroid
     # frame must be broadcast — never a shuffled join of vectors x cents
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
