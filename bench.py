@@ -129,6 +129,161 @@ def _ivf_scale_demo(spark) -> dict:
     return {"n_vectors": n, "points": points}
 
 
+def _lsh_scale_demo(spark) -> dict:
+    """The cheap-LSH-operating-point story, MEASURED (r04-verdict task
+    #1): the registered ANN point honestly costs a 0.64 candidate
+    fraction because the fixture is near-uniform (recall at cosine >=
+    0.35 is the hard regime).  The 100 TB claim is different: on a
+    near-dup corpus — genuine planted pairs at cosine >= 0.9 — the
+    amplification formula picks a HIGH-planes/moderate-reps point whose
+    candidate fraction collapses (~reps/2^planes).  This demo plants
+    2,000 duplicate pairs (perturbation scaled so pair cosine lands in
+    ~[0.88, 0.99]) among 10,000 deterministic hash-noise vectors; the
+    ground truth is the planted pairs that clear the 0.9 threshold (a
+    background pair at 64 dims sits ~7 sigma below 0.9 cosine, so no
+    unplanted pair qualifies; the admitted set's min cosine is measured
+    and reported).  lsh_params_for_recall(0.9, 0.9) picks the operating
+    point; recall + the deduped candidate fraction are measured."""
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.similarity import (
+        ann_lsh_pairs,
+        cosine,
+        lsh_candidate_fraction,
+        lsh_params_for_recall,
+    )
+
+    n_base, dim = 10000, 64
+    u = 9.223372036854776e18  # 2^63: xxhash64 -> uniform [-1, 1]
+    vec = (
+        f"transform(sequence(1, {dim}), i -> cast(xxhash64(concat("
+        f"cast(vec_id as string), ':', cast(i as string))) as double) / {u})"
+    )
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"), F.expr(vec).alias("embedding")
+    )
+    # planted near-dups: every 5th base vector gets one perturbed copy;
+    # delta in [0.2, 0.45] => pair cosine ~ 1/sqrt(1+delta^2) in
+    # [0.91, 0.98] plus cross-term spread
+    noise = (
+        f"transform(sequence(1, {dim}), i -> cast(xxhash64(concat('p', "
+        f"cast(vec_id as string), ':', cast(i as string))) as double) / {u})"
+    )
+    delta = (
+        f"0.2 + 0.125 * (cast(xxhash64(concat('d', cast(vec_id as string)))"
+        f" as double) / {u} + 1.0)"
+    )
+    dups = (
+        base.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + n_base).alias("vec_id"),
+            F.expr(
+                f"zip_with(embedding, {noise}, (x, e) -> x + ({delta}) * e)"
+            ).alias("embedding"),
+        )
+    )
+    emb = base.unionByName(dups).persist()
+    emb.count()
+    truth = (
+        base.filter(F.col("vec_id") % 5 == 0)
+        .select(F.col("vec_id").alias("va"), F.col("embedding").alias("_a"))
+        .join(
+            dups.select(
+                (F.col("vec_id") - n_base).alias("va"),
+                F.col("vec_id").alias("vb"),
+                F.col("embedding").alias("_b"),
+            ),
+            "va",
+        )
+    )
+    # ground truth = planted pairs that actually clear the threshold
+    # (the delta range intentionally leaves a tail of near-misses just
+    # under 0.9 — realistic, and they must not inflate the denominator);
+    # same round-then-compare rule as ann_lsh_pairs' verify filter
+    truth = truth.withColumn(
+        "_cos", F.round(cosine(F.col("_a"), F.col("_b")), 4)
+    ).filter(F.col("_cos") >= 0.9)
+    stats_row = truth.agg(
+        F.min("_cos").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    min_cos, n_truth = stats_row["m"], stats_row["n"]
+    truth_pairs = truth.select("va", "vb").persist()
+
+    planes, reps = lsh_params_for_recall(
+        0.9, 0.9, max_planes=16, max_repetitions=64
+    )
+    approx = ann_lsh_pairs(
+        emb, dim, num_planes=planes, threshold=0.9, repetitions=reps
+    ).select("va", "vb")
+    hit = truth_pairs.join(approx, ["va", "vb"], "left_semi").count()
+    cand_frac = lsh_candidate_fraction(
+        emb, dim, num_planes=planes, repetitions=reps
+    )
+    emb.unpersist()
+    truth_pairs.unpersist()
+    return {
+        "n_vectors": n_base + 2000,
+        "n_planted_pairs": n_truth,
+        "min_planted_cosine": round(float(min_cos), 4),
+        "num_planes": planes,
+        "repetitions": reps,
+        "recall": round(hit / n_truth, 3),
+        "candidate_fraction": round(cand_frac, 5),
+    }
+
+
+def _dedup_scale_demo(spark, sf_dir: str) -> dict:
+    """The flagship dedup chain at 10x corpus size (r04-verdict task
+    #6, the ivf_scale_demo pattern): replicate every sf document 10
+    times (copy 0 verbatim, copies 1-9 with a copy-marker token — each
+    doc becomes a 10-member near-dup family), run the full
+    minhash -> LSH -> verify -> connected-components chain, and report
+    wall clock plus the CC round count — the O(log n) observable behind
+    the 100 TB claim (rounds must stay flat as the corpus grows)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.graph import (
+        minhash_lsh_clusters,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    n_docs = docs.count()
+    reps = 10
+    corpus = docs.select(
+        F.explode(F.expr(f"sequence(0, {reps - 1})")).alias("c"),
+        "doc_id",
+        "text",
+    ).select(
+        (F.col("doc_id") * reps + F.col("c")).alias("doc_id"),
+        F.when(F.col("c") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" copyvariant"),
+                F.col("c").cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    stats: dict = {}
+    t0 = _t.perf_counter()
+    clusters = minhash_lsh_clusters(corpus, stats=stats)
+    n_clustered = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    wall = _t.perf_counter() - t0
+    return {
+        "n_docs": n_docs * reps,
+        "wall_sec": round(wall, 3),
+        "cc_rounds": stats.get("rounds"),
+        "n_verified_pairs": stats.get("n_pairs"),
+        "n_clustered_docs": n_clustered,
+        "n_clusters": n_clusters,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -142,6 +297,20 @@ def main() -> None:
     missing = [n for n in HEADLINE if n not in registry]
     if missing:  # a stale HEADLINE name is a bench bug, not a skip
         raise SystemExit(f"HEADLINE names not in registry: {missing}")
+
+    # Noise floor (r04-verdict task #7): a trivial fixed plan — count(*)
+    # over lineitem — timed best-of-3 BEFORE the headline loop.  Rounds
+    # keep re-litigating box contention; this number lets cross-round
+    # ratios be normalized mechanically (a 2x noise floor means the box,
+    # not the plans, got slower).
+    from pyspark.sql import functions as _F
+
+    noise_floor = float("inf")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        li.agg(_F.count("*")).collect()
+        noise_floor = min(noise_floor, time.perf_counter() - t0)
 
     # Warm every headline plan at the smallest fixture first: triggers
     # whole-stage codegen compilation, Python-UDF worker spawn (workers
@@ -158,14 +327,18 @@ def main() -> None:
     # steady-state cost of the PLAN — the quantity that scales with
     # data, and the one a cluster scheduler would amortize to.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = registry[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        # best-of-3 spread: how contended this query's runs were — the
+        # mechanical noise context for cross-round comparisons
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     # quality metric alongside the timings: recall@5 of the trained-IVF
     # ANN vs the exact brute-force baseline (judge-visible: a fast but
@@ -182,6 +355,8 @@ def main() -> None:
     emb = Tables(spark, sf_dir).embeddings
     recall = ivf_recall_at_k(emb, k=5, trained="lloyd", **IVF_KMEANS_PARAMS)
     ivf_scale_demo = _ivf_scale_demo(spark)
+    lsh_scale_demo = _lsh_scale_demo(spark)
+    dedup_scale_demo = _dedup_scale_demo(spark, sf_dir)
 
     # same discipline for the LSH path: recall vs the exact all-pairs
     # baseline at its 0.35 threshold, measured AT THE REGISTERED
@@ -224,6 +399,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "noise_floor_sec": round(noise_floor, 3),
+                "spread": spreads,
                 "ivf_kmeans_recall_at_5": round(recall, 3),
                 # the honest cost metric next to the recall: fraction of
                 # inverted lists each query probes, and the index
@@ -237,6 +414,12 @@ def main() -> None:
                 # sqrt(N) probe economics at 10x the fixture: k grows,
                 # the probed fraction collapses, recall stays >= 0.95
                 "ivf_scale_demo": ivf_scale_demo,
+                # cheap-LSH-point story, measured on a planted near-dup
+                # corpus (r05): formula-picked point, recall >= 0.9 at a
+                # collapsed candidate fraction
+                "lsh_scale_demo": lsh_scale_demo,
+                # flagship dedup chain at 10x corpus: wall + CC rounds
+                "dedup_scale_demo": dedup_scale_demo,
                 "ann_lsh_recall": round(lsh_recall_reg, 3),
                 "ann_lsh_candidate_fraction": round(lsh_cand_frac_reg, 3),
                 "ann_lsh_cheap_recall": round(lsh_recall_cheap, 3),

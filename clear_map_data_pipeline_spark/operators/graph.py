@@ -88,6 +88,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 30,
     use_reliable_checkpoint: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph with its component's
     minimum node id.  Returns (node, component) for every distinct
@@ -98,7 +99,9 @@ def connected_components(
     on consecutive rounds mean an identical edge set (the set is exactly
     the star edges at the fixpoint).  Raises after ``max_iterations``
     rounds without convergence (log²-bounded; 30 covers graphs far past
-    any realistic pair-list size)."""
+    any realistic pair-list size).  Pass a dict as ``stats`` to receive
+    ``{"rounds": n}`` — the scale-demo observable (rounds grow
+    O(log diameter), the claim behind the 100 TB story)."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -112,7 +115,7 @@ def connected_components(
         else cur.localCheckpoint(eager=True)
     )
     prev_fp = None
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         nxt = _small_star(_large_star(cur))
         nxt = (
             nxt.checkpoint(eager=True)
@@ -128,6 +131,8 @@ def connected_components(
         ).collect()[0]
         if prev_fp == (fp["n"], fp["h"]):
             cur = nxt
+            if stats is not None:
+                stats["rounds"] = _round + 1
             break
         prev_fp = (fp["n"], fp["h"])
         cur = nxt
@@ -153,6 +158,7 @@ def minhash_lsh_clusters(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH verified pairs -> connected
     components -> (doc_id, cluster_id = component min doc_id), one row
@@ -160,13 +166,16 @@ def minhash_lsh_clusters(
 
     The verified pair list is materialized once (localCheckpoint) before
     the iterative clustering so the shingle/LSH pipeline runs exactly
-    once, not once per star-contraction round."""
+    once, not once per star-contraction round.  ``stats`` (optional
+    dict) receives the CC round count plus the verified pair count."""
     from .dedup import minhash_lsh_dedup_pairs
 
     pairs = minhash_lsh_dedup_pairs(
         df, id_col, text_col, shingle_k, num_hashes, bands, threshold
     ).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    if stats is not None:
+        stats["n_pairs"] = pairs.count()
+    cc = connected_components(pairs, "doc_a", "doc_b", stats=stats)
     return cc.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
     )
