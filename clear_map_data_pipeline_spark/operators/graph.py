@@ -223,8 +223,10 @@ def pagerank(
     once; per round ONE (ranks ⋈ edges on src) equi-join + ONE dst
     aggregation — the standard message-passing round, shuffle volume =
     |edges| longs; the edge+degree frame is pinned (cachereg) since
-    every round re-reads it.  Node count reaches the update as a
-    broadcast 1-row frame.
+    every round re-reads it.  N is collected once (by the job that
+    validates the undirected contract / counts the node set) and the
+    (1-d)/N floor inlines as a literal — the identical IEEE double the
+    oracle's SQL division yields, with no per-round broadcast join.
     """
     from ..cachereg import pin
 
@@ -238,11 +240,14 @@ def pagerank(
             .unionByName(edges.select(F.col(dst).alias("node")))
             .distinct()
         )
+        n = nodes.count()
     else:
         # one-time contract check: every node must appear on BOTH edge
-        # sides (src-set == dst-set).  One aggregate job over the
-        # pinned frame — it doubles as the cache-materializing action.
-        sides = (
+        # sides (src-set == dst-set).  ONE aggregate job over the
+        # pinned frame returns the violation count AND N together, and
+        # doubles as the cache-materializing action — the check costs
+        # no job the algorithm wasn't already paying for the node set.
+        nodes = pin(
             edges.select(
                 F.col(src).alias("node"),
                 F.lit(1).alias("_s"),
@@ -258,24 +263,30 @@ def pagerank(
             .groupBy("node")
             .agg(F.max("_s").alias("_s"), F.max("_d").alias("_d"))
         )
-        n_onesided = sides.filter(
-            (F.col("_s") == 0) | (F.col("_d") == 0)
-        ).count()
-        if n_onesided:
+        chk = nodes.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                ((F.col("_s") == 0) | (F.col("_d") == 0)).cast("long")
+            ).alias("bad"),
+        ).collect()[0]
+        if chk["bad"]:
             raise ValueError(
                 f"pagerank(directed=False) requires an undirected edge "
-                f"list (both directions present), but {n_onesided} "
+                f"list (both directions present), but {chk['bad']} "
                 f"node(s) appear on only one side; pass directed=True "
                 f"for an arbitrary edge list"
             )
-        nodes = pin(edges.select(F.col(src).alias("node")).distinct())
+        nodes = nodes.select("node")
+        n = chk["n"]
     deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
     edges_deg = pin(edges.join(deg, src))
-    n_nodes = nodes.agg(F.count("*").cast("double").alias("_n"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
-    )
+    # N is known (collected by the contract check / node count), so the
+    # per-round (1-d)/N floor inlines as a literal — same IEEE double
+    # the oracle's SQL division produces — instead of a broadcast
+    # 1-row crossJoin per round
+    ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
     base, d = 1.0 - damping, float(damping)
+    floor_lit = F.lit(base / float(n))
     for _ in range(iterations):
         contrib = edges_deg.join(
             ranks.withColumnRenamed("node", src), src
@@ -297,10 +308,10 @@ def pagerank(
             sums = nodes.join(sums, "node", "left").select(
                 "node", F.coalesce(F.col("_s"), F.lit(0)).alias("_s")
             )
-        ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
+        ranks = sums.select(
             "node",
             (
-                F.lit(base) / F.col("_n")
+                floor_lit
                 + F.lit(d) * (F.col("_s").cast("double") / F.lit(1e12))
             ).alias("rank"),
         )
