@@ -322,19 +322,31 @@ def pagerank(
 
 
 def pagerank_sql(
-    edges_cte: str, iterations: int = 3, damping: float = 0.85, ndigits: int = 9
+    edges_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    ndigits: int = 9,
+    directed: bool = False,
 ) -> str:
     """DuckDB twin of ``pagerank``: the same rounds unrolled as a CTE
     chain, generated from the SAME Python constants (``repr`` of the
     identical doubles — e.g. 1-0.85 is 0.15000000000000002 on both
     sides) so engine and oracle cannot drift.  ``edges_cte`` must
-    define ``e(src, dst)`` with both directions present."""
+    define ``e(src, dst)``; with ``directed=False`` both directions
+    must be present (node set = distinct src, the engine's undirected
+    contract), with ``directed=True`` the node set is src ∪ dst —
+    mirroring the engine's ``directed=True`` LEFT-rejoin mode."""
     base, d = 1.0 - damping, float(damping)
     scale = float(10**ndigits)
+    nodes_cte = (
+        "SELECT src AS node FROM e UNION SELECT dst FROM e"
+        if directed
+        else "SELECT DISTINCT src AS node FROM e"
+    )
     parts = [
         f"""{edges_cte},
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nodes AS ({nodes_cte}),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
     ]

@@ -220,6 +220,40 @@ def _pagerank_sql() -> str:
     return pagerank_sql(_PAGERANK_EDGES_CTE)
 
 
+def gr_pagerank_directed(spark, sf_dir):
+    """Directed PageRank (r05): the part -> supplier CITATION graph —
+    edges flow one way only, so suppliers are pure sinks (rank floor +
+    inbox, no out-flow) and parts with no in-edges keep the (1-d)/N
+    floor.  Exercises ``pagerank(directed=True)``: node set = src ∪
+    dst, per-round LEFT rejoin + coalesce — the semantics variant the
+    undirected contract check refuses to mis-run silently.  Every 10th
+    order keeps the registered slot proportionate."""
+    from ..operators.graph import pagerank
+
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            (2 * F.col("l_partkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, directed=True)
+
+
+_PAGERANK_DIR_EDGES_CTE = """e AS (
+      SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    )"""
+
+
+def _pagerank_directed_sql() -> str:
+    from ..operators.graph import pagerank_sql
+
+    return pagerank_sql(_PAGERANK_DIR_EDGES_CTE, directed=True)
+
+
 register_suite(
     "suite_graph",
     [
@@ -235,12 +269,19 @@ register_suite(
             _pagerank_sql(),
             [("node", "s"), ("rank", "d9")],
         ),
+        SubQuery(
+            "gr_pagerank_directed",
+            gr_pagerank_directed,
+            _pagerank_directed_sql(),
+            [("node", "s"), ("rank", "d9")],
+        ),
     ],
     doc="Graph-algorithms suite: LSH-verified near-dup pairs folded to "
     "connected components (alternating-star, recursive-CTE oracle) + "
     "deterministic fixed-round PageRank over the part<->supplier "
-    "graph (unrolled-CTE oracle, scaled-integer message sums) — both "
-    "hash-checked row-for-row inside the union.",
+    "graph, undirected AND directed modes (unrolled-CTE oracles, "
+    "scaled-integer message sums) — all hash-checked row-for-row "
+    "inside the union.",
 )
 
 
