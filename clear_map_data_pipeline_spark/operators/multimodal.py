@@ -65,11 +65,12 @@ def attach_binary_payload(
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
 def _sniff_real(p: bytes) -> bool:
     """True when the payload's magic names a format we decode natively."""
-    return p[:8] == PNG_MAGIC or p[:3] == JPEG_MAGIC
+    return p[:8] == PNG_MAGIC or p[:3] == JPEG_MAGIC or p[:6] in GIF_MAGICS
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
@@ -240,8 +241,10 @@ def decode_real(payload: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
     raise NotImplementedError(
-        "non-PNG/JPEG image decode requires PIL/ffmpeg; plug in here"
+        "non-PNG/JPEG/GIF image decode requires PIL/ffmpeg; plug in here"
     )
 
 
@@ -409,6 +412,223 @@ def audio_features(
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW inflate (LSB-first code packing, clear/end
+    codes, 12-bit cap with deferred-clear tolerance).  Returns exactly
+    ``n_pixels`` palette indices."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh() -> tuple[dict, int, int]:
+        return {i: bytes([i]) for i in range(1 << mcs)}, end + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # "early change": the decoder's table lags one entry behind
+            # the encoder's, so it must widen one code earlier
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW deflate — the exact inverse convention of
+    ``_lzw_decode`` (same width-growth boundary, clear emitted when the
+    12-bit table fills)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {bytes([i]): i for i in range(1 << mcs)}, end + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    prev = indices[:1]
+    for s in indices[1:]:
+        cand = prev + bytes([s])
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        prev = bytes([s])
+    emit(table[prev], width)
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame of a GIF for real — LZW inflate, local/
+    global palette mapping, interlace reordering — returning (w, h, 3,
+    RGB bytes) in the ``decode_real`` shape (frame's own dimensions;
+    single-frame GIFs, the training-corpus common case, cover the
+    logical screen).  GIF is palette-lossless, so ``encode_gif`` ->
+    ``decode_gif`` round-trips EXACTLY."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    if pos + 7 > len(data):
+        raise ValueError("truncated GIF header")
+    packed = data[pos + 4]
+    pos += 7
+    gct: bytes = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            p = pos + 2
+            while data[p] != 0:
+                p += 1 + data[p]
+            pos = p + 1
+        elif b == 0x2C:  # first image descriptor: decode it
+            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            ipacked = data[pos + 9]
+            p = pos + 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                pal = data[p : p + n]
+                p += n
+            if not pal:
+                raise ValueError("GIF frame has no color table")
+            mcs = data[p]
+            p += 1
+            lzw = bytearray()
+            while data[p] != 0:
+                ln = data[p]
+                lzw.extend(data[p + 1 : p + 1 + ln])
+                p += 1 + ln
+            idx = _lzw_decode(bytes(lzw), mcs, w * h)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+                ordered: list[bytes | None] = [None] * h
+                src = 0
+                for start, step in _INTERLACE_PASSES:
+                    for r in range(start, h, step):
+                        ordered[r] = rows[src]
+                        src += 1
+                idx = b"".join(ordered)  # type: ignore[arg-type]
+            npal = len(pal) // 3
+            rgb = bytearray(w * h * 3)
+            for i, k in enumerate(idx):
+                if k >= npal:
+                    raise ValueError("GIF index outside color table")
+                rgb[3 * i : 3 * i + 3] = pal[3 * k : 3 * k + 3]
+            return w, h, 3, bytes(rgb)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
+    raise ValueError("GIF contains no image descriptor")
+
+
+def encode_gif(
+    w: int,
+    h: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
+    """Single-frame GIF89a encoder — round-trip companion of
+    ``decode_gif`` (global color table, real LZW with width growth +
+    table-full clear, optional interlaced row order)."""
+    if len(indices) != w * h:
+        raise ValueError("index buffer does not match dimensions")
+    if not 2 <= len(palette) <= 256:
+        raise ValueError("palette must have 2..256 entries")
+    if max(indices) >= len(palette):
+        raise ValueError("index outside palette")
+    bits = max(2, (len(palette) - 1).bit_length())
+    pal = bytearray()
+    for i in range(1 << bits):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        pal.extend((r, g, b))
+    out = bytearray(b"GIF89a")
+    out.extend(w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+    out.append(0x80 | (bits - 1))  # GCT present, 2^bits entries
+    out.extend((0, 0))  # background, aspect
+    out.extend(pal)
+    out.append(0x2C)  # image descriptor
+    out.extend((0).to_bytes(2, "little") * 2)
+    out.extend(w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+    out.append(0x40 if interlace else 0x00)
+    if interlace:
+        rows = [indices[r * w : (r + 1) * w] for r in range(h)]
+        indices = b"".join(
+            rows[r]
+            for start, step in _INTERLACE_PASSES
+            for r in range(start, h, step)
+        )
+    mcs = bits
+    out.append(mcs)
+    lzw = _lzw_encode(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0x00)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
 
 
 def gif_frames(data: bytes) -> list[bytes]:

@@ -122,6 +122,35 @@ def mm_jpeg_progressive(spark, sf_dir):
     return mm.image_features(with_payload, use_real_decoder=True)
 
 
+def mm_gif_decode(spark, sf_dir):
+    """REAL GIF decode inside the registered suite (r05): palette GIFs
+    (LZW-compressed, 4-color gradient indices) synthesized per sampled
+    doc by ``encode_gif``, then ``image_features``' sniffed real decode
+    LZW-inflates + palette-expands and checksums the exact RGB buffer —
+    GIF is palette-lossless so the checksum is fully deterministic."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 29 == 0)
+
+    def _enc(it):
+        from ..operators.multimodal import encode_gif
+
+        palette = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                base = int(d) % 4
+                idx = bytes((base + x + y) % 4 for y in range(6) for x in range(10))
+                payloads.append(encode_gif(10, 6, idx, palette))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.image_features(with_payload, use_real_decoder=True)
+
+
 @register("mm_multimodal_suite")
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
@@ -134,6 +163,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_frame_sample", mm_frame_sample, "frame_len"),
         ("mm_jpeg_decode", mm_jpeg_decode, "checksum"),
         ("mm_jpeg_progressive", mm_jpeg_progressive, "checksum"),
+        ("mm_gif_decode", mm_gif_decode, "checksum"),
     ]
     out = None
     for name, builder, val_col in subs:

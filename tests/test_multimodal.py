@@ -298,3 +298,74 @@ def test_frame_sample_real_gif(spark):
     assert all(bytes(r["frame_bytes"])[0] == 0x2C for r in by_doc[1])
     assert len(by_doc[2]) == 2
     assert len(by_doc[3]) == 4  # stub path: byte slices
+
+
+def test_gif_lzw_roundtrip_exact():
+    """GIF is palette-lossless: encode_gif -> decode_gif must reproduce
+    the RGB expansion EXACTLY — across palette sizes (width growth up
+    to 12 bits), interlaced row order, degenerate 1x1/1-row shapes,
+    the dictionary-full clear/reset path, and run-heavy content (deep
+    dictionary chains + the KwKwK code)."""
+    import numpy as np
+
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    cases = [(8, 8, 4), (17, 9, 16), (40, 33, 256), (1, 1, 2), (64, 1, 7)]
+    for w, h, npal in cases:
+        palette = [
+            tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(npal)
+        ]
+        idx = bytes(rng.randint(0, npal, w * h).astype(np.uint8))
+        want = b"".join(bytes(palette[k]) for k in idx)
+        for inter in (False, True):
+            assert decode_gif(encode_gif(w, h, idx, palette, interlace=inter)) == (
+                w, h, 3, want,
+            ), (w, h, npal, inter)
+    # 30k random 256-color pixels force the 4096-entry table reset
+    w, h = 200, 150
+    palette = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(256)]
+    idx = bytes(rng.randint(0, 256, w * h).astype(np.uint8))
+    want = b"".join(bytes(palette[k]) for k in idx)
+    assert decode_gif(encode_gif(w, h, idx, palette)) == (w, h, 3, want)
+    # long runs: deep chains + KwKwK
+    idx2 = bytes(([0] * 500 + [1] * 300 + [2] * 200) * 30)[: w * h]
+    want2 = b"".join(bytes(palette[k]) for k in idx2)
+    assert decode_gif(encode_gif(w, h, idx2, palette)) == (w, h, 3, want2)
+
+
+def test_gif_decode_independent_fixture():
+    """decode_gif on the HAND-BUILT _tiny_gif fixture (written byte by
+    byte from the GIF89a spec, not by our encoder): one black pixel."""
+    from clear_map_data_pipeline_spark.operators.multimodal import decode_gif
+
+    assert decode_gif(_tiny_gif(1)) == (1, 1, 3, b"\x00\x00\x00")
+
+
+def test_image_features_decodes_real_gif(spark):
+    """Spark dispatch: a GIF payload is magic-sniffed and decodes for
+    REAL — checksum is the adler32 of the palette-expanded RGB buffer,
+    dims are the frame's true dimensions."""
+    import zlib
+
+    import numpy as np
+
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        encode_gif,
+        image_features,
+    )
+
+    w, h = 12, 5
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    rng = np.random.RandomState(11)
+    idx = bytes(rng.randint(0, 4, w * h).astype(np.uint8))
+    rgb = b"".join(bytes(palette[k]) for k in idx)
+    df = spark.createDataFrame(
+        [(1, encode_gif(w, h, idx, palette))], "doc_id long, payload binary"
+    )
+    (row,) = image_features(df, use_real_decoder=True).collect()
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["checksum"] == zlib.adler32(rgb)
