@@ -8,11 +8,13 @@ Paeth, 8-bit gray/RGB/RGBA; ``decode_wav`` PCM 8/16-bit) and — new in
 r04 — baseline JPEG (``operators/jpeg.py``: Huffman entropy decode,
 dequant + IDCT, chroma upsampling, YCbCr->RGB, restart markers; plus
 the round-trip encoder), and r05 — progressive JPEG (SOF2: spectral
-selection + successive approximation) all decode for REAL; operators
+selection + successive approximation), GIF (LZW + palette, interlace)
+and lossless WebP (``operators/webp.py``: full VP8L — prefix codes,
+LZ77, color cache, all four transforms) all decode for REAL; operators
 sniff magic bytes and use them automatically.  Formats that still need
-codec libraries (arithmetic-coded JPEG, WebP, video) fall back to the
-deterministic ``decode_stub`` pseudo-features, with ``decode_real`` as
-the documented seam where PIL/ffmpeg plug in.
+codec libraries (arithmetic-coded JPEG, lossy/VP8 WebP, video) fall
+back to the deterministic ``decode_stub`` pseudo-features, with
+``decode_real`` as the documented seam where PIL/ffmpeg plug in.
 
 Scale notes:
 - payloads stay in executor memory one Arrow batch at a time; tune
@@ -70,7 +72,12 @@ GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 def _sniff_real(p: bytes) -> bool:
     """True when the payload's magic names a format we decode natively."""
-    return p[:8] == PNG_MAGIC or p[:3] == JPEG_MAGIC or p[:6] in GIF_MAGICS
+    return (
+        p[:8] == PNG_MAGIC
+        or p[:3] == JPEG_MAGIC
+        or p[:6] in GIF_MAGICS
+        or (p[:4] == b"RIFF" and p[8:12] == b"WEBP")
+    )
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
@@ -231,10 +238,12 @@ def encode_wav(
 
 
 def decode_real(payload: bytes):
-    """The real-decoder dispatch: PNG (``decode_png``, pure stdlib) and
-    baseline + progressive JPEG (``jpeg.decode_jpeg``) decode natively;
-    formats that require codec libraries (arithmetic-coded JPEG, WebP,
-    video) still raise at this seam — plug PIL/ffmpeg in here."""
+    """The real-decoder dispatch: PNG (``decode_png``, pure stdlib),
+    baseline + progressive JPEG (``jpeg.decode_jpeg``), GIF
+    (``decode_gif``), and lossless WebP (``webp.decode_webp``) decode
+    natively; formats that require codec libraries (arithmetic-coded
+    JPEG, lossy/VP8 WebP, video) still raise at this seam — plug
+    PIL/ffmpeg in here."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:3] == JPEG_MAGIC:
@@ -243,8 +252,12 @@ def decode_real(payload: bytes):
         return decode_jpeg(payload)
     if payload[:6] in GIF_MAGICS:
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)  # lossless; lossy raises -> stub
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF image decode requires PIL/ffmpeg; plug in here"
+        "non-PNG/JPEG/GIF/WebP image decode requires PIL/ffmpeg; plug in here"
     )
 
 

@@ -151,6 +151,40 @@ def mm_gif_decode(spark, sf_dir):
     return mm.image_features(with_payload, use_real_decoder=True)
 
 
+def mm_webp_decode(spark, sf_dir):
+    """REAL lossless-WebP (VP8L) decode inside the registered suite
+    (r05): per sampled doc a 4-color gradient is palette-encoded
+    (color-indexing transform, sub-byte packing) by ``encode_webp``,
+    then ``image_features``' sniffed real decode inflates the prefix-
+    coded stream, inverts the transform, and checksums the exact RGBA
+    buffer — VP8L is lossless so the checksum is fully deterministic."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 31 == 0)
+
+    def _enc(it):
+        from ..operators.webp import encode_webp
+
+        palette = [(0, 0, 128), (64, 64, 160), (128, 128, 192), (255, 255, 255)]
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                base = int(d) % 4
+                idx = [(base + x + y) % 4 for y in range(6) for x in range(10)]
+                rgb = b"".join(bytes(palette[k]) for k in idx)
+                payloads.append(
+                    encode_webp(10, 6, 3, rgb, transform="palette",
+                                palette=palette)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.image_features(with_payload, use_real_decoder=True)
+
+
 @register("mm_multimodal_suite")
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
@@ -164,6 +198,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_jpeg_decode", mm_jpeg_decode, "checksum"),
         ("mm_jpeg_progressive", mm_jpeg_progressive, "checksum"),
         ("mm_gif_decode", mm_gif_decode, "checksum"),
+        ("mm_webp_decode", mm_webp_decode, "checksum"),
     ]
     out = None
     for name, builder, val_col in subs:
