@@ -207,6 +207,9 @@ def _lsh_scale_demo(spark) -> dict:
         F.min("_cos").alias("m"), F.count("*").alias("n")
     ).collect()[0]
     min_cos, n_truth = stats_row["m"], stats_row["n"]
+    if n_truth == 0:  # degenerate fixture: report, don't crash the bench
+        emb.unpersist()
+        return {"n_planted_pairs": 0, "error": "no pair cleared threshold"}
     truth_pairs = truth.select("va", "vb").persist()
 
     planes, reps = lsh_params_for_recall(
@@ -222,7 +225,7 @@ def _lsh_scale_demo(spark) -> dict:
     emb.unpersist()
     truth_pairs.unpersist()
     return {
-        "n_vectors": n_base + 2000,
+        "n_vectors": n_base + n_base // 5,
         "n_planted_pairs": n_truth,
         "min_planted_cosine": round(float(min_cos), 4),
         "num_planes": planes,

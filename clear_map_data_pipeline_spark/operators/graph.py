@@ -278,6 +278,10 @@ def pagerank(
             )
         nodes = nodes.select("node")
         n = chk["n"]
+    if n == 0:  # empty edge list: empty (node, rank) frame, no 1/0
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
     edges_deg = pin(edges.join(deg, src))
     # N is known (collected by the contract check / node count), so the

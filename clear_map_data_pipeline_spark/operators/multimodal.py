@@ -456,11 +456,9 @@ def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes:
             continue
         if code == end:
             break
-        if prev is None:
+        if code in table:
             entry = table[code]
-        elif code in table:
-            entry = table[code]
-        elif code == next_code:
+        elif prev is not None and code == next_code:
             entry = prev + prev[:1]  # the KwKwK case
         else:
             raise ValueError(f"bad GIF LZW code {code}")
@@ -526,6 +524,18 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _skip_gif_subblocks(data: bytes, p: int) -> int:
+    """Advance past a (len, payload)* sub-block chain to just after its
+    0x00 terminator — shared by the container walk and the decoder."""
+    while p < len(data):
+        ln = data[p]
+        p += 1
+        if ln == 0:
+            return p
+        p += ln
+    raise ValueError("truncated GIF sub-blocks")
+
+
 def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode the FIRST frame of a GIF for real — LZW inflate, local/
     global palette mapping, interlace reordering — returning (w, h, 3,
@@ -550,10 +560,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         if b == 0x3B:
             break
         if b == 0x21:  # extension
-            p = pos + 2
-            while data[p] != 0:
-                p += 1 + data[p]
-            pos = p + 1
+            pos = _skip_gif_subblocks(data, pos + 2)
         elif b == 0x2C:  # first image descriptor: decode it
             w = int.from_bytes(data[pos + 5 : pos + 7], "little")
             h = int.from_bytes(data[pos + 7 : pos + 9], "little")
@@ -569,10 +576,12 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             mcs = data[p]
             p += 1
             lzw = bytearray()
-            while data[p] != 0:
+            while p < len(data) and data[p] != 0:
                 ln = data[p]
                 lzw.extend(data[p + 1 : p + 1 + ln])
                 p += 1 + ln
+            if p >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
             idx = _lzw_decode(bytes(lzw), mcs, w * h)
             if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
                 rows = [idx[r * w : (r + 1) * w] for r in range(h)]
@@ -665,22 +674,13 @@ def gif_frames(data: bytes) -> list[bytes]:
     if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
         pos += 3 * (2 << (packed & 0x07))
 
-    def skip_subblocks(p: int) -> int:
-        while p < len(data):
-            ln = data[p]
-            p += 1
-            if ln == 0:
-                return p
-            p += ln
-        raise ValueError("truncated GIF sub-blocks")
-
     frames: list[bytes] = []
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: introducer, label, sub-blocks
-            pos = skip_subblocks(pos + 2)
+            pos = _skip_gif_subblocks(data, pos + 2)
         elif b == 0x2C:  # image descriptor
             start = pos
             p = pos + 10  # 0x2C + 9-byte descriptor
@@ -688,7 +688,7 @@ def gif_frames(data: bytes) -> list[bytes]:
             if ipacked & 0x80:  # local color table
                 p += 3 * (2 << (ipacked & 0x07))
             p += 1  # LZW minimum code size
-            p = skip_subblocks(p)
+            p = _skip_gif_subblocks(data, p)
             frames.append(data[start:p])
             pos = p
         else:

@@ -427,7 +427,11 @@ def hll_distinct_by_group(
     build a register row with NULL ``mj`` that ``sum(pow(2,-mj))``
     skips but ``count(*)`` counts, inflating n_buckets and deflating
     the estimate for groups containing NULLs.  countDistinct ignores
-    NULLs too, so the semantics line up.
+    NULLs too — with one deliberate shape difference: a group whose
+    keys are ALL NULL is absent from this output (no registers exist),
+    where ``groupBy().agg(countDistinct)`` would emit it with 0.  The
+    SQL twin behaves identically; left-join back to the group list if
+    zero-rows matter downstream.
 
     Same register construction, exact power-of-two ``z`` sums, raw
     estimate, and exact-integer evidence columns as

@@ -381,7 +381,10 @@ def _inv_predictor(pix: list[int], w: int, h: int, bits: int, sub: list[int]):
                 left = pix[i - 1]
                 top = pix[i - w]
                 tl = pix[i - w - 1]
-                tr = pix[i - w + 1] if x + 1 < w else pix[i - w]
+                # rightmost column: TR is the leftmost pixel of the
+                # CURRENT row (RFC 9649) — exactly what flat row-major
+                # i-w+1 yields, no special case
+                tr = pix[i - w + 1]
                 pred = _predict(mode, left, top, tl, tr)
             pix[i] = _add_px(pix[i], pred)
 
@@ -734,6 +737,8 @@ def encode_webp(
     path to exercise: None (plain literals), 'subtract_green',
     'predictor' (constant left-predict, mode 1), or 'palette' (pass the
     palette; pixels must be palette-expandable)."""
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dimensions must be in 1..16384 (14-bit fields)")
     if len(pixels) != w * h * ch:
         raise ValueError("pixel buffer does not match dimensions")
     if ch not in (3, 4):

@@ -197,3 +197,14 @@ def test_pagerank_directed_matches_literal_python(spark):
     sym = edges_list + [(b, a) for a, b in edges_list]
     sdf = spark.createDataFrame(sym, "src long, dst long")
     assert pagerank(sdf).count() == n
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """An empty edge list (e.g. a filtered-out graph) must return an
+    empty (node, rank) frame, not divide by zero building the plan
+    (r05 self-review finding)."""
+    from clear_map_data_pipeline_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    assert pagerank(empty, directed=True).count() == 0

@@ -172,3 +172,13 @@ def test_image_features_decodes_real_webp_and_stubs_lossy(spark):
     assert (rows[2]["checksum"], rows[2]["width"], rows[2]["height"]) == (
         crc, sw, sh,
     )
+
+
+def test_webp_encoder_rejects_oversized_dims():
+    """VP8L dimension fields are 14 bits: w/h outside 1..16384 must
+    raise, not silently truncate into a corrupt header (r05
+    self-review finding)."""
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp(16385, 1, 3, bytes(16385 * 3))
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp(0, 1, 3, b"")
