@@ -1,0 +1,467 @@
+"""FLAC codec — no codec libraries, stdlib only.
+
+Closes the compressed-audio leg of the multimodal ``decode_real`` seam
+(``operators/multimodal.py: audio_features`` sniffs the ``fLaC``
+magic): a decoder per the public FLAC format spec (RFC 9639) — MSB-
+first bit reading, STREAMINFO, frame headers with UTF-8-coded frame
+numbers, constant / verbatim / fixed (orders 0-4) / LPC subframes,
+partitioned Rice residuals (4- and 5-bit parameters, raw escape),
+wasted bits, and left/side, right/side, mid/side stereo decorrelation
+— plus a round-trip companion encoder (verbatim or fixed-order-2 +
+Rice subframes; independent, left/side or mid/side stereo) so every
+decode path is exercised by self-made fixtures.  FLAC is lossless:
+round-trips are sample-exact.
+
+MP3/AAC (MDCT + entropy coding) remain the documented stub seam.
+
+Reference parity note: the reference pipeline (il_analysis_git.py) has
+no media operators — beyond-reference extension surface, in the same
+spirit as ``operators/jpeg.py`` / ``operators/webp.py``.
+"""
+
+from __future__ import annotations
+
+FLAC_MAGIC = b"fLaC"
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+class _BitReader:
+    """MSB-first bit reader (FLAC convention)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # byte position
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC stream")
+            self.bitbuf = (self.bitbuf << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        v = (self.bitbuf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+
+
+def _rice_read(br: _BitReader, param: int) -> int:
+    q = br.unary()
+    v = (q << param) | (br.bits(param) if param else 0)
+    return (v >> 1) ^ -(v & 1)  # zigzag
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    """The UTF-8-style frame/sample number coding."""
+    b0 = br.bits(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n == 0:
+        raise ValueError("bad FLAC frame number coding")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = br.bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad FLAC frame number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _read_residuals(
+    br: _BitReader, blocksize: int, pred_order: int
+) -> list[int]:
+    method = br.bits(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.bits(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (pred_order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("bad FLAC partition order")
+        param = br.bits(pbits)
+        if param == escape:
+            raw = br.bits(5)
+            out.extend(br.signed(raw) if raw else 0 for _ in range(n))
+        else:
+            out.extend(_rice_read(br, param) for _ in range(n))
+    return out
+
+
+def _read_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if br.bits(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    ftype = br.bits(6)
+    wasted = 0
+    if br.bits(1):
+        wasted = br.unary() + 1
+    bps -= wasted
+    if ftype == 0:  # constant
+        v = br.signed(bps)
+        samples = [v] * blocksize
+    elif ftype == 1:  # verbatim
+        samples = [br.signed(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # fixed, order = ftype - 8
+        order = ftype - 8
+        samples = [br.signed(bps) for _ in range(order)]
+        res = _read_residuals(br, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif ftype >= 32:  # LPC, order = (ftype & 31) + 1
+        order = (ftype & 31) + 1
+        samples = [br.signed(bps) for _ in range(order)]
+        precision = br.bits(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = br.signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.signed(precision) for _ in range(order)]
+        res = _read_residuals(br, blocksize, order)
+        for r in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(r + (pred >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {ftype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+_BLOCKSIZE_BASE = {1: 192}
+for _i in range(2, 6):
+    _BLOCKSIZE_BASE[_i] = 576 << (_i - 2)
+for _i in range(8, 16):
+    _BLOCKSIZE_BASE[_i] = 256 << (_i - 8)
+
+_SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def decode_flac(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a FLAC stream.  Returns (n_channels, sample_rate, bits,
+    samples) with samples channel-interleaved — the same contract as
+    ``multimodal.decode_wav``."""
+    if data[:4] != FLAC_MAGIC:
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    si = None
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if btype == 0:  # STREAMINFO
+            br = _BitReader(body)
+            br.bits(16)  # min blocksize
+            br.bits(16)  # max blocksize
+            br.bits(24)  # min framesize
+            br.bits(24)  # max framesize
+            rate = br.bits(20)
+            n_ch = br.bits(3) + 1
+            bps = br.bits(5) + 1
+            total = br.bits(36)
+            si = (rate, n_ch, bps, total)
+        if last:
+            break
+    if si is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    rate, n_ch, bps, total = si
+
+    br = _BitReader(data, pos)
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    decoded = 0
+    while (total == 0 or decoded < total) and br.pos < len(data):
+        sync = br.bits(14)
+        if sync != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        br.bits(1)  # reserved
+        br.bits(1)  # blocking strategy
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        ch_code = br.bits(4)
+        ss_code = br.bits(3)
+        br.bits(1)  # reserved
+        _read_utf8_number(br)
+        if bs_code == 6:
+            blocksize = br.bits(8) + 1
+        elif bs_code == 7:
+            blocksize = br.bits(16) + 1
+        elif bs_code in _BLOCKSIZE_BASE:
+            blocksize = _BLOCKSIZE_BASE[bs_code]
+        else:
+            raise ValueError("reserved FLAC block size code")
+        if sr_code == 12:
+            br.bits(8)
+        elif sr_code in (13, 14):
+            br.bits(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        frame_bps = bps if ss_code == 0 else _SAMPLE_SIZE[ss_code]
+        br.bits(8)  # header CRC-8 (not verified here)
+
+        if ch_code < 8:
+            if ch_code + 1 != n_ch:
+                raise ValueError("FLAC frame channel count mismatch")
+            sub = [
+                _read_subframe(br, blocksize, frame_bps)
+                for _ in range(n_ch)
+            ]
+        elif ch_code in (8, 9, 10):
+            if n_ch != 2:
+                raise ValueError("stereo decorrelation needs 2 channels")
+            if ch_code == 8:  # left/side
+                left = _read_subframe(br, blocksize, frame_bps)
+                side = _read_subframe(br, blocksize, frame_bps + 1)
+                sub = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _read_subframe(br, blocksize, frame_bps + 1)
+                right = _read_subframe(br, blocksize, frame_bps)
+                sub = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _read_subframe(br, blocksize, frame_bps)
+                side = _read_subframe(br, blocksize, frame_bps + 1)
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+                sub = [left, right]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        br.align()
+        br.bits(16)  # frame CRC-16 (not verified here)
+        for c in range(n_ch):
+            chans[c].extend(sub[c])
+        decoded += blocksize
+
+    if total:
+        chans = [c[:total] for c in chans]
+    samples: list[int] = []
+    for i in range(len(chans[0])):
+        for c in range(n_ch):
+            samples.append(chans[c][i])
+    return n_ch, rate, bps, samples
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    """MSB-first bit writer (FLAC convention)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.bitbuf = (self.bitbuf << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.bitbuf >> self.nbits) & 0xFF)
+        self.bitbuf &= (1 << self.nbits) - 1
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_number(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (6 * (nbytes - 1) + (7 - nbytes))):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    out.append(lead | (n >> (6 * (nbytes - 1))))
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _rice_write(bw: _BitWriter, v: int, param: int) -> None:
+    z = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag
+    bw.unary(z >> param)
+    if param:
+        bw.write(z & ((1 << param) - 1), param)
+
+
+def _write_subframe(
+    bw: _BitWriter, samples: list[int], bps: int, mode: str
+) -> None:
+    if mode == "verbatim" or len(samples) <= 2:
+        bw.write(0, 1)
+        bw.write(1, 6)  # verbatim
+        bw.write(0, 1)  # no wasted bits
+        for s in samples:
+            bw.write(s, bps)
+        return
+    # fixed order 2 + single-partition Rice residuals
+    bw.write(0, 1)
+    bw.write(8 + 2, 6)
+    bw.write(0, 1)
+    for s in samples[:2]:
+        bw.write(s, bps)
+    res = [
+        samples[i] - (2 * samples[i - 1] - samples[i - 2])
+        for i in range(2, len(samples))
+    ]
+    zsum = sum((v << 1) if v >= 0 else ((-v) << 1) - 1 for v in res)
+    mean = zsum // max(len(res), 1)
+    param = 0
+    while (1 << (param + 1)) < mean + 1 and param < 14:
+        param += 1
+    bw.write(0, 2)  # 4-bit Rice method
+    bw.write(0, 4)  # partition order 0
+    bw.write(param, 4)
+    for v in res:
+        _rice_write(bw, v, param)
+
+
+def encode_flac(
+    n_ch: int,
+    rate: int,
+    bps: int,
+    samples: list[int],
+    blocksize: int = 4096,
+    subframe: str = "fixed",
+    stereo: str = "independent",
+) -> bytes:
+    """FLAC encoder — round-trip companion of ``decode_flac``
+    (lossless: sample-exact).  ``subframe``: 'verbatim' or 'fixed'
+    (order-2 + Rice).  ``stereo`` (2-channel only): 'independent',
+    'left_side', or 'mid_side' — each exercises the matching
+    decorrelation decode path."""
+    if len(samples) % n_ch:
+        raise ValueError("sample count not divisible by channel count")
+    if stereo != "independent" and n_ch != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+    total = len(samples) // n_ch
+    chans = [samples[c::n_ch] for c in range(n_ch)]
+
+    out = bytearray(FLAC_MAGIC)
+    si = _BitWriter()
+    si.write(min(blocksize, total) or blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    body = si.out + bytes(16)  # zero MD5 (unset, per spec allowance)
+    out.append(0x80)  # last metadata block, type 0
+    out += len(body).to_bytes(3, "big")
+    out += body
+
+    for fno, start in enumerate(range(0, total, blocksize)):
+        n = min(blocksize, total - start)
+        hdr = _BitWriter()
+        hdr.write(0x3FFE, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)  # fixed blocksize strategy
+        hdr.write(7, 4)  # explicit 16-bit blocksize
+        hdr.write(0, 4)  # sample rate from STREAMINFO
+        if stereo == "left_side":
+            hdr.write(8, 4)
+        elif stereo == "mid_side":
+            hdr.write(10, 4)
+        else:
+            hdr.write(n_ch - 1, 4)
+        ss = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+        hdr.write(ss, 3)
+        hdr.write(0, 1)
+        hdr_bytes = bytearray(hdr.out)
+        assert hdr.nbits == 0
+        hdr_bytes += _utf8_number(fno)
+        hdr_bytes += (n - 1).to_bytes(2, "big")
+        hdr_bytes.append(_crc8(bytes(hdr_bytes)))
+
+        fw = _BitWriter()
+        fw.out = bytearray(hdr_bytes)
+        blocks = [ch[start : start + n] for ch in chans]
+        if stereo == "left_side":
+            left, right = blocks
+            side = [l - r for l, r in zip(left, right)]
+            _write_subframe(fw, left, bps, subframe)
+            _write_subframe(fw, side, bps + 1, subframe)
+        elif stereo == "mid_side":
+            left, right = blocks
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            side = [l - r for l, r in zip(left, right)]
+            _write_subframe(fw, mid, bps, subframe)
+            _write_subframe(fw, side, bps + 1, subframe)
+        else:
+            for blk in blocks:
+                _write_subframe(fw, blk, bps, subframe)
+        fw.align()
+        frame = bytes(fw.out)
+        out += frame
+        out += _crc16(frame).to_bytes(2, "big")
+    return bytes(out)

@@ -384,20 +384,28 @@ def audio_features(
 ) -> DataFrame:
     """Audio feature extraction, reduced to duration + amplitude stats
     with vectorized numpy per batch.  RIFF/WAVE payloads (magic-
-    sniffed) decode for REAL via ``decode_wav`` — true sample rate,
-    channel-interleaved PCM, absolute amplitudes for 16-bit signed;
-    other payloads are interpreted as headerless unsigned 8-bit PCM at
-    ``sample_rate`` (the stub stand-in).  Same scale shape as
-    image_features: map-side only, narrow output, payload pruned
-    immediately after."""
+    sniffed) decode for REAL via ``decode_wav``, FLAC payloads via
+    ``flac.decode_flac`` (r05) — true sample rate, channel-interleaved
+    PCM, absolute amplitudes for signed samples; other payloads are
+    interpreted as headerless unsigned 8-bit PCM at ``sample_rate``
+    (the stub stand-in; MP3/AAC plug in at this seam).  Same scale
+    shape as image_features: map-side only, narrow output, payload
+    pruned immediately after."""
     import numpy as np
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import FLAC_MAGIC, decode_flac
+
         for pdf in it:
             ns, dur, mean, peak = [], [], [], []
             for p in pdf["payload"]:
-                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-                    n_ch, rate, _bits, samples = decode_wav(p)
+                if (p[:4] == b"RIFF" and p[8:12] == b"WAVE") or p[
+                    :4
+                ] == FLAC_MAGIC:
+                    if p[:4] == FLAC_MAGIC:
+                        n_ch, rate, _bits, samples = decode_flac(p)
+                    else:
+                        n_ch, rate, _bits, samples = decode_wav(p)
                     arr = np.abs(np.asarray(samples, dtype=np.int64))
                     n = len(arr) // max(n_ch, 1)
                     ns.append(n)

@@ -412,20 +412,25 @@ def a13_quantile_vector(spark, sf_dir):
 def o_topk_per_group(spark, sf_dir):
     """O-class generalization: top-k per group with deterministic
     tie-break — the scalable replacement for sort-then-slice idioms
-    (ref :75,:147 global sorts)."""
+    (ref :75,:147 global sorts).
+
+    r05: the registered query now runs the SKEW-SAFE two-stage salted
+    formulation (``operators/skew.py: salted_topk_per_group``) — local
+    top-k per (key, salt-bucket), bounded global re-rank — which is
+    row-identical to the single-window form (the oracle keeps the
+    plain ``row_number()`` SQL), so the 100 TB hot-key path is the one
+    the correctness gate hash-checks."""
+    from ..operators.skew import salted_topk_per_group
+
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    proj = t.orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
     )
-    return (
-        t.orders.select(
-            F.col("o_custkey").alias("c_custkey"),
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
+    return salted_topk_per_group(
+        proj,
+        "c_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
     )
 
 

@@ -185,6 +185,38 @@ def mm_webp_decode(spark, sf_dir):
     return mm.image_features(with_payload, use_real_decoder=True)
 
 
+def mm_flac_audio(spark, sf_dir):
+    """REAL FLAC decode inside the registered suite (r05): a short
+    deterministic triangle-wave PCM stream is FLAC-encoded per sampled
+    doc (fixed-order-2 + Rice subframes), then ``audio_features``'
+    sniffed real decode reconstructs the exact samples — FLAC is
+    lossless, so duration/peak/mean are fully deterministic."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 37 == 0)
+
+    def _enc(it):
+        from ..operators.flac import encode_flac
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                amp = 100 + int(d) % 900
+                pcm = [
+                    amp * (1 - abs((i % 64) - 32) // 16) for i in range(512)
+                ]
+                payloads.append(
+                    encode_flac(1, 16000, 16, pcm, blocksize=256)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.audio_features(with_payload)
+
+
 @register("mm_multimodal_suite")
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
@@ -199,6 +231,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_jpeg_progressive", mm_jpeg_progressive, "checksum"),
         ("mm_gif_decode", mm_gif_decode, "checksum"),
         ("mm_webp_decode", mm_webp_decode, "checksum"),
+        ("mm_flac_audio", mm_flac_audio, "peak_amp"),
     ]
     out = None
     for name, builder, val_col in subs:
