@@ -704,22 +704,210 @@ def gif_frames(data: bytes) -> list[bytes]:
     return frames
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes in
+    [start, end) — 32-bit sizes, 64-bit largesize, and to-end (0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """Descend a box path (e.g. [moov, trak, mdia, minf, stbl]),
+    returning every (start, end) matching the full path."""
+    if not path:
+        yield start, end
+        return
+    for typ, b, e in _mp4_boxes(data, start, end):
+        if typ == path[0]:
+            yield from _mp4_find(data, b, e, path[1:])
+
+
+def mp4_sample_ranges(data: bytes) -> list[tuple[int, int]]:
+    """REAL MP4 (ISO-BMFF) demux to per-sample byte ranges: walk
+    moov→trak→mdia→minf→stbl, join the sample-size (stsz), chunk-offset
+    (stco/co64), and sample-to-chunk (stsc) tables — the standard
+    sample-location algorithm, no codec work.  Uses the first track
+    that carries an stbl with samples (training corpora: the video
+    track).  Returns [(offset, size)] in decode order."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    for sb, se in _mp4_find(
+        data, 0, len(data), [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
+    ):
+        sizes: list[int] | None = None
+        offsets: list[int] | None = None
+        stsc: list[tuple[int, int]] | None = None
+        for typ, b, e in _mp4_boxes(data, sb, se):
+            if typ == b"stsz":
+                uniform = int.from_bytes(data[b + 4 : b + 8], "big")
+                count = int.from_bytes(data[b + 8 : b + 12], "big")
+                if uniform:
+                    sizes = [uniform] * count
+                else:
+                    sizes = [
+                        int.from_bytes(data[b + 12 + 4 * i : b + 16 + 4 * i], "big")
+                        for i in range(count)
+                    ]
+            elif typ in (b"stco", b"co64"):
+                width = 4 if typ == b"stco" else 8
+                count = int.from_bytes(data[b + 4 : b + 8], "big")
+                offsets = [
+                    int.from_bytes(
+                        data[b + 8 + width * i : b + 8 + width * (i + 1)], "big"
+                    )
+                    for i in range(count)
+                ]
+            elif typ == b"stsc":
+                count = int.from_bytes(data[b + 4 : b + 8], "big")
+                stsc = [
+                    (
+                        int.from_bytes(data[b + 8 + 12 * i : b + 12 + 12 * i], "big"),
+                        int.from_bytes(data[b + 12 + 12 * i : b + 16 + 12 * i], "big"),
+                    )
+                    for i in range(count)
+                ]
+        if not sizes or offsets is None or stsc is None:
+            continue
+        # samples-per-chunk for chunk c (1-based): the last stsc run
+        # with first_chunk <= c
+        out: list[tuple[int, int]] = []
+        s = 0
+        for c, chunk_off in enumerate(offsets, start=1):
+            per = 0
+            for first, n in stsc:
+                if first <= c:
+                    per = n
+                else:
+                    break
+            pos = chunk_off
+            for _ in range(per):
+                if s >= len(sizes):
+                    break
+                out.append((pos, sizes[s]))
+                pos += sizes[s]
+                s += 1
+        if out:
+            return out
+    raise ValueError("MP4 contains no sample table")
+
+
+def mp4_frames(data: bytes) -> list[bytes]:
+    """Per-sample byte strings from an MP4 container (see
+    ``mp4_sample_ranges``); decoding the codec payloads themselves
+    stays at the ``decode_real`` seam."""
+    out = []
+    for off, size in mp4_sample_ranges(data):
+        if off + size > len(data):
+            raise ValueError("MP4 sample range outside file")
+        out.append(data[off : off + size])
+    return out
+
+
+def encode_mp4(samples: list[bytes], chunking: list[int] | None = None) -> bytes:
+    """Minimal valid MP4 muxer — round-trip companion of
+    ``mp4_frames`` (test fixtures + small artifacts): ftyp + mdat of
+    the concatenated samples + moov/trak/mdia/minf/stbl whose
+    stsz/stco/stsc tables locate each sample.  ``chunking`` splits the
+    samples into chunks (default: one chunk) to exercise multi-run
+    sample-to-chunk joins."""
+    import struct
+
+    if chunking is None:
+        chunking = [len(samples)]
+    if sum(chunking) != len(samples):
+        raise ValueError("chunking must partition the samples")
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    mdat_start = len(ftyp) + 8  # offset of the first sample
+
+    # chunk offsets within mdat payload
+    chunk_offs = []
+    pos = mdat_start
+    i = 0
+    for n in chunking:
+        chunk_offs.append(pos)
+        for _ in range(n):
+            pos += len(samples[i])
+            i += 1
+    # stsc runs: collapse consecutive equal samples-per-chunk
+    runs: list[tuple[int, int]] = []
+    for c, n in enumerate(chunking, start=1):
+        if not runs or runs[-1][1] != n:
+            runs.append((c, n))
+
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, len(samples))
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, len(chunk_offs))
+        + b"".join(struct.pack(">I", o) for o in chunk_offs),
+    )
+    stsc = box(
+        b"stsc",
+        struct.pack(">II", 0, len(runs))
+        + b"".join(struct.pack(">III", f, n, 1) for f, n in runs),
+    )
+    stts = box(
+        b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", len(samples), 1)
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(
+        b"hdlr", struct.pack(">II", 0, 0) + b"vide" + bytes(12) + b"\x00"
+    )
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
 def frame_sample(
     df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """Frame sampling for video-like payloads, row-expanding
     mapInPandas — frames stream out batch by batch.
 
-    GIF payloads (magic-sniffed) get REAL frames: the container's
-    block structure is walked to per-frame byte regions, and
-    ``n_frames`` evenly spaced frames are emitted (all of them when
-    the animation is shorter).  Other payloads emit ``n_frames``
-    evenly spaced byte-slices (the deterministic stub); MP4/WebM
-    demuxing stays at the decoder seam."""
+    GIF payloads (magic-sniffed) get REAL frames via the container's
+    block structure; MP4 payloads (r05) get REAL samples via the
+    ISO-BMFF stsz/stco/stsc demux — in both cases ``n_frames`` evenly
+    spaced frames are emitted (all of them when the stream is
+    shorter).  Other payloads emit ``n_frames`` evenly spaced
+    byte-slices (the deterministic stub); decoding the codec payloads
+    (H.264/VP9/AV1) stays at the decoder seam."""
 
     def _frames_of(p: bytes) -> list[bytes]:
+        all_frames = None
         if p[:6] in (b"GIF87a", b"GIF89a"):
             all_frames = gif_frames(p)
+        elif p[4:8] == b"ftyp":
+            try:
+                all_frames = mp4_frames(p)
+            except ValueError:
+                all_frames = None  # corrupt container: stub slices
+        if all_frames is not None:
             if not all_frames:
                 return []
             if len(all_frames) <= n_frames:

@@ -217,6 +217,41 @@ def mm_flac_audio(spark, sf_dir):
     return mm.audio_features(with_payload)
 
 
+def mm_mp4_frames(spark, sf_dir):
+    """REAL MP4 demux inside the registered suite (r05): a small
+    deterministic container (7 variable-size samples over 2 chunks) is
+    muxed per sampled doc by ``encode_mp4``, then ``frame_sample``'s
+    sniffed ISO-BMFF walk (stsz/stco/stsc join) extracts true sample
+    bytes — frame lengths are exact container facts, codec decode
+    stays at the seam."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 41 == 0)
+
+    def _enc(it):
+        from ..operators.multimodal import encode_mp4
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                base = int(d) % 7
+                samples = [
+                    bytes([(base + i) % 256]) * (3 + (base + i) % 5)
+                    for i in range(7)
+                ]
+                payloads.append(encode_mp4(samples, chunking=[3, 4]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    frames = mm.frame_sample(with_payload, n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
+
+
 @register("mm_multimodal_suite")
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
@@ -232,6 +267,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_gif_decode", mm_gif_decode, "checksum"),
         ("mm_webp_decode", mm_webp_decode, "checksum"),
         ("mm_flac_audio", mm_flac_audio, "peak_amp"),
+        ("mm_mp4_frames", mm_mp4_frames, "frame_len"),
     ]
     out = None
     for name, builder, val_col in subs:
