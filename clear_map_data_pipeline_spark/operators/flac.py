@@ -79,10 +79,10 @@ def _read_utf8_number(br: _BitReader) -> int:
         return b0
     n = 0
     mask = 0x40
-    while b0 & mask:
+    while mask and b0 & mask:
         n += 1
         mask >>= 1
-    if n == 0:
+    if n == 0 or mask == 0:  # 0x80 (bare continuation) or 0xFF lead
         raise ValueError("bad FLAC frame number coding")
     v = b0 & (mask - 1)
     for _ in range(n):
@@ -166,10 +166,9 @@ for _i in range(8, 16):
     _BLOCKSIZE_BASE[_i] = 256 << (_i - 8)
 
 _SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
-_SAMPLE_RATES = {
-    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
-    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
-}
+# frame-header sample-rate codes 1-11 name fixed rates, but the stream
+# rate is authoritative from STREAMINFO; the decoder only skips the
+# explicit-rate payload bits for codes 12-14
 
 
 def decode_flac(data: bytes) -> tuple[int, int, int, list[int]]:
@@ -232,6 +231,8 @@ def decode_flac(data: bytes) -> tuple[int, int, int, list[int]]:
             br.bits(16)
         elif sr_code == 15:
             raise ValueError("invalid FLAC sample rate code")
+        if ss_code != 0 and ss_code not in _SAMPLE_SIZE:
+            raise ValueError("reserved FLAC sample size code")
         frame_bps = bps if ss_code == 0 else _SAMPLE_SIZE[ss_code]
         br.bits(8)  # header CRC-8 (not verified here)
 

@@ -399,13 +399,21 @@ def audio_features(
         for pdf in it:
             ns, dur, mean, peak = [], [], [], []
             for p in pdf["payload"]:
+                decoded = None
                 if (p[:4] == b"RIFF" and p[8:12] == b"WAVE") or p[
                     :4
                 ] == FLAC_MAGIC:
-                    if p[:4] == FLAC_MAGIC:
-                        n_ch, rate, _bits, samples = decode_flac(p)
-                    else:
-                        n_ch, rate, _bits, samples = decode_wav(p)
+                    # corrupt magic-matching payloads degrade to the
+                    # stub — one bad document must not abort the batch
+                    try:
+                        if p[:4] == FLAC_MAGIC:
+                            decoded = decode_flac(p)
+                        else:
+                            decoded = decode_wav(p)
+                    except ValueError:
+                        decoded = None
+                if decoded is not None:
+                    n_ch, rate, _bits, samples = decoded
                     arr = np.abs(np.asarray(samples, dtype=np.int64))
                     n = len(arr) // max(n_ch, 1)
                     ns.append(n)
@@ -752,12 +760,20 @@ def mp4_sample_ranges(data: bytes) -> list[tuple[int, int]]:
         offsets: list[int] | None = None
         stsc: list[tuple[int, int]] | None = None
         for typ, b, e in _mp4_boxes(data, sb, se):
+            # every count is validated against its own box size BEFORE
+            # allocation: a crafted count must raise ValueError (stub
+            # fallback upstream), never force a multi-GB list or read
+            # past the box into sibling tables (r05 self-review)
             if typ == b"stsz":
                 uniform = int.from_bytes(data[b + 4 : b + 8], "big")
                 count = int.from_bytes(data[b + 8 : b + 12], "big")
                 if uniform:
+                    if count > len(data):
+                        raise ValueError("MP4 stsz count exceeds file size")
                     sizes = [uniform] * count
                 else:
+                    if 12 + 4 * count > e - b:
+                        raise ValueError("MP4 stsz table exceeds its box")
                     sizes = [
                         int.from_bytes(data[b + 12 + 4 * i : b + 16 + 4 * i], "big")
                         for i in range(count)
@@ -765,6 +781,8 @@ def mp4_sample_ranges(data: bytes) -> list[tuple[int, int]]:
             elif typ in (b"stco", b"co64"):
                 width = 4 if typ == b"stco" else 8
                 count = int.from_bytes(data[b + 4 : b + 8], "big")
+                if 8 + width * count > e - b:
+                    raise ValueError("MP4 chunk-offset table exceeds its box")
                 offsets = [
                     int.from_bytes(
                         data[b + 8 + width * i : b + 8 + width * (i + 1)], "big"
@@ -773,6 +791,8 @@ def mp4_sample_ranges(data: bytes) -> list[tuple[int, int]]:
                 ]
             elif typ == b"stsc":
                 count = int.from_bytes(data[b + 4 : b + 8], "big")
+                if 8 + 12 * count > e - b:
+                    raise ValueError("MP4 stsc table exceeds its box")
                 stsc = [
                     (
                         int.from_bytes(data[b + 8 + 12 * i : b + 12 + 12 * i], "big"),
@@ -797,9 +817,16 @@ def mp4_sample_ranges(data: bytes) -> list[tuple[int, int]]:
             for _ in range(per):
                 if s >= len(sizes):
                     break
+                if pos + sizes[s] > len(data):
+                    raise ValueError("MP4 sample range outside file")
                 out.append((pos, sizes[s]))
                 pos += sizes[s]
                 s += 1
+        if s < len(sizes):
+            # chunk tables cover fewer samples than stsz declares:
+            # corrupt container — raise (stub fallback) rather than
+            # silently returning a partial frame list
+            raise ValueError("MP4 chunk tables cover fewer samples than stsz")
         if out:
             return out
     raise ValueError("MP4 contains no sample table")
@@ -809,12 +836,7 @@ def mp4_frames(data: bytes) -> list[bytes]:
     """Per-sample byte strings from an MP4 container (see
     ``mp4_sample_ranges``); decoding the codec payloads themselves
     stays at the ``decode_real`` seam."""
-    out = []
-    for off, size in mp4_sample_ranges(data):
-        if off + size > len(data):
-            raise ValueError("MP4 sample range outside file")
-        out.append(data[off : off + size])
-    return out
+    return [data[o : o + s] for o, s in mp4_sample_ranges(data)]
 
 
 def encode_mp4(samples: list[bytes], chunking: list[int] | None = None) -> bytes:
@@ -898,24 +920,31 @@ def frame_sample(
     byte-slices (the deterministic stub); decoding the codec payloads
     (H.264/VP9/AV1) stays at the decoder seam."""
 
+    def _pick(n_total: int) -> list[int]:
+        if n_total <= n_frames:
+            return list(range(n_total))
+        return [k * n_total // n_frames for k in range(n_frames)]
+
     def _frames_of(p: bytes) -> list[bytes]:
-        all_frames = None
+        # both container walks fall back to stub slices on corrupt
+        # payloads — one bad document must never abort the batch
         if p[:6] in (b"GIF87a", b"GIF89a"):
-            all_frames = gif_frames(p)
+            try:
+                all_frames = gif_frames(p)
+                return [all_frames[i] for i in _pick(len(all_frames))]
+            except ValueError:
+                pass
         elif p[4:8] == b"ftyp":
             try:
-                all_frames = mp4_frames(p)
+                # select the sampled ranges BEFORE slicing bytes: only
+                # n_frames samples are materialized, not the whole mdat
+                rngs = mp4_sample_ranges(p)
+                return [
+                    p[rngs[i][0] : rngs[i][0] + rngs[i][1]]
+                    for i in _pick(len(rngs))
+                ]
             except ValueError:
-                all_frames = None  # corrupt container: stub slices
-        if all_frames is not None:
-            if not all_frames:
-                return []
-            if len(all_frames) <= n_frames:
-                return all_frames
-            return [
-                all_frames[k * len(all_frames) // n_frames]
-                for k in range(n_frames)
-            ]
+                pass
         step = max(len(p) // n_frames, 1)
         return [bytes(p[k * step : k * step + step]) for k in range(n_frames)]
 

@@ -431,3 +431,74 @@ def test_frame_sample_real_mp4(spark):
         rows.setdefault(r["doc_id"], []).append(bytes(r["frame_bytes"]))
     assert rows[1] == [samples[k * 7 // 4] for k in range(4)]
     assert len(rows[2]) == 4  # stub slices, batch not aborted
+
+
+def test_mp4_adversarial_counts_raise_not_allocate():
+    """Crafted table counts must raise ValueError before allocating
+    (r05 self-review: a 124-byte payload claiming 2^31 samples forced
+    a ~17 GB list) — and chunk tables covering fewer samples than stsz
+    declares must raise, not silently truncate."""
+    import struct
+
+    import pytest
+
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        encode_mp4,
+        mp4_frames,
+        mp4_sample_ranges,
+    )
+
+    def box(typ, body):
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom")
+    huge_stsz = box(b"stsz", struct.pack(">III", 0, 1, 1 << 31))
+    stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", 16))
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 1, 1))
+    bad = ftyp + box(
+        b"moov",
+        box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", huge_stsz + stco + stsc)))),
+    )
+    with pytest.raises(ValueError):
+        mp4_sample_ranges(bad)
+    # stsz table longer than its box
+    lying_stsz = box(b"stsz", struct.pack(">III", 0, 0, 1000))
+    bad2 = ftyp + box(
+        b"moov",
+        box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", lying_stsz + stco + stsc)))),
+    )
+    with pytest.raises(ValueError):
+        mp4_sample_ranges(bad2)
+    # chunk capacity below stsz count
+    good = bytearray(encode_mp4([b"aa", b"bb", b"cc"], chunking=[3]))
+    i = bytes(good).find(b"stsc") + 4
+    # rewrite samples-per-chunk 3 -> 2
+    good[i + 8 + 4 : i + 8 + 8] = struct.pack(">I", 2)
+    with pytest.raises(ValueError, match="fewer samples"):
+        mp4_frames(bytes(good))
+
+
+def test_audio_features_corrupt_flac_falls_back_to_stub(spark):
+    """A payload with the fLaC magic but garbage after must degrade to
+    the headerless-PCM stub, not abort the batch (r05 self-review)."""
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    bad = b"fLaC" + b"\x77" * 40
+    df = spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
+    (row,) = audio_features(df).collect()
+    assert row["n_samples"] == len(bad)  # stub path: raw byte count
+
+
+def test_frame_sample_corrupt_gif_falls_back_to_stub(spark):
+    """GIF-magic corruption degrades to stub slices — same contract as
+    the MP4 path (r05 self-review: was an uncaught ValueError)."""
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    bad = b"GIF89a" + b"\x01\x02\x03" * 5
+    df = spark.createDataFrame([(7, bad)], "doc_id long, payload binary")
+    rows = frame_sample(df, n_frames=4).collect()
+    assert len(rows) == 4
