@@ -252,6 +252,46 @@ def mm_mp4_frames(spark, sf_dir):
     )
 
 
+def mm_mjpeg_video(spark, sf_dir):
+    """END-TO-END MJPEG video decode inside the registered suite (r05):
+    a small Motion-JPEG MP4 is muxed per sampled doc — 3 independent
+    baseline-JPEG frames (deterministic 16x16 RGB gradients keyed by
+    doc_id and frame index) in an ISO-BMFF container via ``encode_mp4``
+    — then ``video_frame_features`` demuxes the container (stsz/stco/
+    stsc walk) AND decodes every sampled frame through the real JPEG
+    path: width/height are true frame dimensions, checksum is the
+    adler32 of the decoded pixel buffer."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 43 == 0)
+
+    def _enc(it):
+        from ..operators.jpeg import encode_jpeg
+        from ..operators.multimodal import encode_mp4
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                frames = []
+                for k in range(3):
+                    seed = (int(d) + 7 * k) % 251
+                    px = bytes(
+                        (seed + 11 * x + 5 * y + 29 * c) % 256
+                        for y in range(16)
+                        for x in range(16)
+                        for c in range(3)
+                    )
+                    frames.append(encode_jpeg(16, 16, 3, px, quality=90))
+                payloads.append(encode_mp4(frames, chunking=[2, 1]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.video_frame_features(with_payload, n_frames=3)
+
+
 @register("mm_multimodal_suite")
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
@@ -268,6 +308,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_webp_decode", mm_webp_decode, "checksum"),
         ("mm_flac_audio", mm_flac_audio, "peak_amp"),
         ("mm_mp4_frames", mm_mp4_frames, "frame_len"),
+        ("mm_mjpeg_video", mm_mjpeg_video, "checksum"),
     ]
     out = None
     for name, builder, val_col in subs:

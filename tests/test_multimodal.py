@@ -502,3 +502,96 @@ def test_frame_sample_corrupt_gif_falls_back_to_stub(spark):
     df = spark.createDataFrame([(7, bad)], "doc_id long, payload binary")
     rows = frame_sample(df, n_frames=4).collect()
     assert len(rows) == 4
+
+
+# ---- end-to-end MJPEG video decode (r05): demux + per-frame JPEG
+
+
+def test_video_frame_features_mjpeg_end_to_end(spark):
+    """An MJPEG MP4 (3 independent baseline-JPEG frames in an ISO-BMFF
+    container) must demux AND decode for real: true 16x16 dimensions
+    and per-frame pixel checksums equal to decoding each JPEG payload
+    directly."""
+    import zlib as _zlib
+
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        encode_mp4,
+        video_frame_features,
+    )
+
+    frames = []
+    for k in range(3):
+        px = bytes(
+            (31 * k + 11 * x + 5 * y + 29 * c) % 256
+            for y in range(16)
+            for x in range(16)
+            for c in range(3)
+        )
+        frames.append(encode_jpeg(16, 16, 3, px, quality=90))
+    payload = encode_mp4(frames, chunking=[2, 1])
+    df = spark.createDataFrame([(5, payload)], "doc_id long, payload binary")
+    rows = sorted(
+        video_frame_features(df, n_frames=3).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 3
+    for k, r in enumerate(rows):
+        w, h, _ch, pixels = decode_jpeg(frames[k])
+        assert (r["width"], r["height"]) == (16, 16) == (w, h)
+        assert r["checksum"] == _zlib.adler32(pixels)
+        assert r["n_bytes"] == len(frames[k])
+
+
+def test_video_frame_features_non_container_stubs(spark):
+    """Payloads with neither container nor image magic emit n_frames
+    deterministic stub slices — the decoder-seam contract."""
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_stub,
+        video_frame_features,
+    )
+
+    raw = bytes(range(256)) * 4
+    df = spark.createDataFrame([(9, raw)], "doc_id long, payload binary")
+    rows = sorted(
+        video_frame_features(df, n_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 4
+    step = len(raw) // 4
+    for k, r in enumerate(rows):
+        c, w, h = decode_stub(raw[k * step : k * step + step])
+        assert (r["checksum"], r["width"], r["height"]) == (c, w, h)
+
+
+def test_video_frame_features_corrupt_frame_survives(spark):
+    """A container whose sample bytes START with JPEG magic but are
+    truncated garbage must not abort the batch: that frame degrades to
+    stub features while intact frames still real-decode."""
+    import zlib as _zlib
+
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        encode_mp4,
+        video_frame_features,
+    )
+
+    good = encode_jpeg(8, 8, 1, bytes(range(64)), quality=85)
+    bad = b"\xff\xd8\xff" + b"\x00" * 16  # JPEG magic, truncated body
+    payload = encode_mp4([good, bad])
+    df = spark.createDataFrame([(3, payload)], "doc_id long, payload binary")
+    rows = sorted(
+        video_frame_features(df, n_frames=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    _w, _h, _ch, pixels = decode_jpeg(good)
+    assert rows[0]["checksum"] == _zlib.adler32(pixels)
+    assert (rows[0]["width"], rows[0]["height"]) == (8, 8)
+    # frame 1 fell back to the stub, not an exception
+    assert rows[1]["n_bytes"] == len(bad)
