@@ -182,15 +182,20 @@ def encode_png(w: int, h: int, ch: int, pixels: bytes) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
-    """REAL WAV (RIFF PCM) decode, pure stdlib: 8-bit unsigned or
-    16-bit signed little-endian PCM.  Returns (n_channels,
-    sample_rate, bits, samples) with samples interleaved."""
+    """REAL WAV (RIFF) decode, pure stdlib, covering the encodings
+    audio corpora actually carry: integer PCM (fmt 1: 8-bit unsigned,
+    16/24/32-bit signed LE), IEEE float32 (fmt 3, scaled to the int16
+    grid), G.711 A-law / mu-law (fmt 6/7 — telephony speech), and
+    IMA/DVI ADPCM (fmt 0x11, block-structured 4-bit — r05, decoders in
+    ``operators/pcm.py``).  Returns (n_channels, sample_rate,
+    source_bits, samples) with samples interleaved; companded/float
+    sources decode to linear 16-bit-range ints."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
-    n_ch = rate = bits = None
+    audio_fmt = n_ch = rate = bits = block_align = None
     pcm = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -198,10 +203,16 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
         body = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
         if cid == b"fmt ":
-            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+            audio_fmt, n_ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_fmt != 1 or bits not in (8, 16):
+            ok = (
+                (audio_fmt == 1 and bits in (8, 16, 24, 32))
+                or (audio_fmt == 3 and bits == 32)
+                or (audio_fmt in (6, 7) and bits == 8)
+                or (audio_fmt == 0x11 and bits == 4)
+            )
+            if not ok:
                 raise ValueError(
                     f"unsupported WAV (fmt={audio_fmt}, bits={bits})"
                 )
@@ -209,29 +220,98 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
             pcm = body
     if n_ch is None or pcm is None:
         raise ValueError("truncated WAV")
-    if bits == 8:
+    if audio_fmt == 0x11:
+        from .pcm import ima_adpcm_decode
+
+        samples = ima_adpcm_decode(pcm, n_ch, block_align)
+    elif audio_fmt == 6:
+        from .pcm import alaw_decode_byte
+
+        samples = [alaw_decode_byte(b) for b in pcm]
+    elif audio_fmt == 7:
+        from .pcm import mulaw_decode_byte
+
+        samples = [mulaw_decode_byte(b) for b in pcm]
+    elif audio_fmt == 3:
+        n = len(pcm) // 4
+        floats = struct.unpack(f"<{n}f", pcm[: n * 4])
+        samples = [
+            max(-32768, min(32767, round(x * 32767.0))) for x in floats
+        ]
+    elif bits == 8:
         samples = list(pcm)
-    else:
+    elif bits == 16:
         n = len(pcm) // 2
         samples = list(struct.unpack(f"<{n}h", pcm[: n * 2]))
+    elif bits == 24:
+        samples = [
+            int.from_bytes(pcm[i : i + 3], "little", signed=True)
+            for i in range(0, len(pcm) - 2, 3)
+        ]
+    else:  # 32-bit integer PCM
+        n = len(pcm) // 4
+        samples = list(struct.unpack(f"<{n}i", pcm[: n * 4]))
     return n_ch, rate, bits, samples
 
 
 def encode_wav(
-    samples: list[int], sample_rate: int = 16000, bits: int = 16
+    samples: list[int],
+    sample_rate: int = 16000,
+    bits: int = 16,
+    fmt: str = "pcm",
+    n_ch: int = 1,
 ) -> bytes:
-    """Minimal mono PCM WAV encoder — test companion of decode_wav."""
+    """WAV encoder — round-trip companion of ``decode_wav``.  ``fmt``:
+    'pcm' (bits 8/16/24/32), 'float32' (int16-range input scaled to
+    [-1, 1] floats), 'mulaw' / 'alaw' (G.711 companding of int16
+    input), 'ima_adpcm' (4-bit block ADPCM)."""
     import struct
 
-    if bits == 8:
-        pcm = bytes(s & 0xFF for s in samples)
+    tag, block_align = 1, None
+    if fmt == "pcm":
+        if bits == 8:
+            pcm = bytes(s & 0xFF for s in samples)
+        elif bits == 16:
+            pcm = struct.pack(f"<{len(samples)}h", *samples)
+        elif bits == 24:
+            pcm = b"".join(
+                int(s).to_bytes(3, "little", signed=True) for s in samples
+            )
+        elif bits == 32:
+            pcm = struct.pack(f"<{len(samples)}i", *samples)
+        else:
+            raise ValueError(f"unsupported PCM bits={bits}")
+    elif fmt == "float32":
+        tag, bits = 3, 32
+        pcm = struct.pack(
+            f"<{len(samples)}f", *[s / 32767.0 for s in samples]
+        )
+    elif fmt == "mulaw":
+        from .pcm import mulaw_encode_sample
+
+        tag, bits = 7, 8
+        pcm = bytes(mulaw_encode_sample(s) for s in samples)
+    elif fmt == "alaw":
+        from .pcm import alaw_encode_sample
+
+        tag, bits = 6, 8
+        pcm = bytes(alaw_encode_sample(s) for s in samples)
+    elif fmt == "ima_adpcm":
+        from .pcm import ima_adpcm_encode
+
+        tag, bits = 0x11, 4
+        pcm, block_align = ima_adpcm_encode(samples, n_ch=n_ch)
     else:
-        pcm = struct.pack(f"<{len(samples)}h", *samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
-                      sample_rate * bits // 8, bits // 8, bits)
+        raise ValueError(f"unknown fmt {fmt!r}")
+    if block_align is None:
+        block_align = max(n_ch * bits // 8, 1)
+    hdr = struct.pack(
+        "<HHIIHH", tag, n_ch, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
     body = (
         b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fmt " + struct.pack("<I", len(hdr)) + hdr
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -410,7 +490,10 @@ def audio_features(
                             decoded = decode_flac(p)
                         else:
                             decoded = decode_wav(p)
-                    except ValueError:
+                    except (ValueError, struct.error):
+                        # struct.error: fmt chunk shorter than its
+                        # declared 16-byte body — seen in truncated
+                        # corpus payloads
                         decoded = None
                 if decoded is not None:
                     n_ch, rate, _bits, samples = decoded

@@ -252,6 +252,42 @@ def mm_mp4_frames(spark, sf_dir):
     )
 
 
+def mm_g711_adpcm_audio(spark, sf_dir):
+    """REAL companded/compressed audio decode inside the registered
+    suite (r05): per sampled doc a deterministic triangle-wave PCM
+    stream is encoded as G.711 mu-law, A-law, or IMA-ADPCM WAV (format
+    rotates by doc_id), then ``audio_features``' sniffed real path
+    decodes it — duration uses the container's true sample count and
+    rate, peak is the companded/predicted amplitude, all
+    deterministic."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 47 == 0)
+
+    def _enc(it):
+        from ..operators.multimodal import encode_wav
+
+        fmts = ["mulaw", "alaw", "ima_adpcm"]
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                amp = 200 + int(d) % 1800
+                pcm = [
+                    amp - abs((i * (amp // 50)) % (2 * amp) - amp)
+                    for i in range(505)
+                ]
+                payloads.append(
+                    encode_wav(pcm, 8000, fmt=fmts[int(d) % 3])
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.audio_features(with_payload)
+
+
 def mm_mjpeg_video(spark, sf_dir):
     """END-TO-END MJPEG video decode inside the registered suite (r05):
     a small Motion-JPEG MP4 is muxed per sampled doc — 3 independent
@@ -309,6 +345,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_flac_audio", mm_flac_audio, "peak_amp"),
         ("mm_mp4_frames", mm_mp4_frames, "frame_len"),
         ("mm_mjpeg_video", mm_mjpeg_video, "checksum"),
+        ("mm_g711_adpcm_audio", mm_g711_adpcm_audio, "peak_amp"),
     ]
     out = None
     for name, builder, val_col in subs:
