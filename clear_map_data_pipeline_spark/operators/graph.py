@@ -377,3 +377,108 @@ def pagerank_sql(
     SELECT node, floor(rank * {scale!r}) / {scale!r} AS rank
     FROM r{iterations}
     """
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts via DEGREE-ORDERED ORIENTATION —
+    the shape that survives power-law graphs at 100 TB (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW 2011).
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to its higher one, which caps every node's out-degree at
+    O(sqrt(m)); wedges are then a self-join of the oriented list on the
+    source (so a degree-10^7 hub generates no quadratic wedge blowup —
+    its edges all point INTO it), and a triangle is a wedge whose
+    (v, w) closure exists in the same oriented list.  Total wedge count
+    is bounded by m^{3/2} regardless of skew; the naive
+    neighbour-pair-per-vertex join is Theta(sum deg^2), which one hot
+    vertex turns into the job.
+
+    Input may contain duplicates, self-loops, or both orientations —
+    all normalized away.  Output: (node, n_triangles) for EVERY node of
+    the graph, zeros included."""
+    e = _canonical(edges, src, dst).select(
+        F.col("dst").alias("a"), F.col("src").alias("b")
+    )  # canonical (a, b) = (min, max)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient toward the higher (degree, id); carry both endpoints' rank
+    er = (
+        e.join(deg.withColumnsRenamed({"node": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "d": "db"}), "b")
+    )
+    a_lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = er.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    v_lower = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    # wedge (v, w) around apex u, v rank-below w -> the closing edge,
+    # if present, is oriented exactly v -> w
+    wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).where(v_lower).select(
+        F.col("o1.u").alias("apex"),
+        F.col("o1.v").alias("v"),
+        F.col("o2.v").alias("w"),
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+    )
+    counts = (
+        tris.select(F.col("apex").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return deg.join(counts, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+
+
+def triangle_sql(edges_cte: str) -> str:
+    """DuckDB twin of ``triangle_count``: exact enumeration over the
+    canonical (a < b) edge list — each triangle appears exactly once as
+    (x < y < z) via the three-way join, then every corner is credited.
+    ``edges_cte`` must define ``e(src, dst)`` (any orientation/dupes —
+    normalized here the same way the operator does)."""
+    return f"""
+    WITH {edges_cte},
+    ec AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM ec UNION ALL SELECT b FROM ec
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM ec e1
+      JOIN ec e2 ON e2.a = e1.b
+      JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    cnt AS (SELECT node, count(*) AS n FROM corners GROUP BY node)
+    SELECT deg.node, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+    FROM deg LEFT JOIN cnt ON deg.node = cnt.node
+    """

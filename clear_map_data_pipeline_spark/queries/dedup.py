@@ -254,6 +254,51 @@ def _pagerank_directed_sql() -> str:
     return pagerank_sql(_PAGERANK_DIR_EDGES_CTE, directed=True)
 
 
+def gr_triangles(spark, sf_dir):
+    """Per-node triangle counts (r05) over the part co-occurrence
+    graph: parts sharing an order are connected, so each multi-part
+    order contributes a clique and orders sharing parts fuse them —
+    a non-bipartite graph with real triangles.  Runs the
+    degree-ordered-orientation counter (operators/graph.py:
+    triangle_count — wedge work bounded by m^1.5 on any skew);
+    every 11th order keeps the registered slot proportionate."""
+    from ..operators.graph import triangle_count
+
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.filter(F.col("l_orderkey") % 11 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_count(e)
+
+
+_TRIANGLE_EDGES_CTE = """e AS (
+      SELECT x.l_partkey AS src, y.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 11 = 0) x
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 11 = 0) y
+      USING (l_orderkey)
+      WHERE x.l_partkey < y.l_partkey
+    )"""
+
+
+def _triangle_sql() -> str:
+    from ..operators.graph import triangle_sql
+
+    return triangle_sql(_TRIANGLE_EDGES_CTE)
+
+
 register_suite(
     "suite_graph",
     [
@@ -275,13 +320,20 @@ register_suite(
             _pagerank_directed_sql(),
             [("node", "s"), ("rank", "d9")],
         ),
+        SubQuery(
+            "gr_triangles",
+            gr_triangles,
+            _triangle_sql(),
+            [("node", "s"), ("n_triangles", "s")],
+        ),
     ],
     doc="Graph-algorithms suite: LSH-verified near-dup pairs folded to "
     "connected components (alternating-star, recursive-CTE oracle) + "
     "deterministic fixed-round PageRank over the part<->supplier "
     "graph, undirected AND directed modes (unrolled-CTE oracles, "
-    "scaled-integer message sums) — all hash-checked row-for-row "
-    "inside the union.",
+    "scaled-integer message sums) + degree-ordered triangle counting "
+    "over the part co-occurrence graph (exact-enumeration oracle) — "
+    "all hash-checked row-for-row inside the union.",
 )
 
 

@@ -208,3 +208,98 @@ def test_pagerank_empty_edges_returns_empty(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty).count() == 0
     assert pagerank(empty, directed=True).count() == 0
+
+
+# ---- triangle counting (r05): degree-ordered orientation
+
+
+def _brute_triangles(edges_list):
+    """Literal per-node triangle counts: enumerate all node triples of
+    the canonical edge set (test-scale only)."""
+    import itertools
+
+    es = {
+        (min(a, b), max(a, b)) for a, b in edges_list if a != b
+    }
+    nodes = sorted({v for e in es for v in e})
+    cnt = {v: 0 for v in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in es and (x, z) in es and (y, z) in es:
+            cnt[x] += 1
+            cnt[y] += 1
+            cnt[z] += 1
+    return cnt
+
+
+def test_triangle_count_known_shapes(spark):
+    from clear_map_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4: every node is in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # C5 (odd cycle, no chords) and K3,3 (bipartite): zero triangles
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    got = triangle_count(spark.createDataFrame(c5, "src long, dst long"))
+    assert all(r["n_triangles"] == 0 for r in got.collect())
+    k33 = [(a, b) for a in range(3) for b in range(10, 13)]
+    got = triangle_count(spark.createDataFrame(k33, "src long, dst long"))
+    rows = got.collect()
+    assert len(rows) == 6 and all(r["n_triangles"] == 0 for r in rows)
+
+
+def test_triangle_count_normalizes_input(spark):
+    """Duplicates, self-loops, and mixed orientations must not change
+    the counts."""
+    from clear_map_data_pipeline_spark.operators.graph import triangle_count
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    messy = tri + [(2, 1), (3, 2), (1, 1), (2, 3), (3, 1)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(messy, "src long, dst long")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_random_vs_brute(spark):
+    """Deterministic pseudo-random graph (hash-derived, skewed toward
+    low node ids so hubs exist) vs the literal triple enumeration."""
+    edges = []
+    for i in range(400):
+        h = (i * 2654435761) & 0xFFFFFFFF
+        a = h % 40
+        b = (h >> 8) % ((a % 7) * 5 + 3)  # skew: low ids are hubs
+        edges.append((a, b))
+    from clear_map_data_pipeline_spark.operators.graph import triangle_count
+
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_count_total_is_three_per_triangle(spark):
+    """Global invariant: sum of per-node counts = 3 x number of
+    distinct triangles (each triangle credits its three corners)."""
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(9) for b in range(a + 1, 9) if (a + b) % 3]
+    df = triangle_count(spark.createDataFrame(edges, "src long, dst long"))
+    total = df.agg(F.sum("n_triangles")).collect()[0][0]
+    brute = _brute_triangles(edges)
+    assert total == sum(brute.values())
+    assert total % 3 == 0
