@@ -603,3 +603,127 @@ def unigram_surprisal(
             ).alias("surprisal")
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Collocation mining: adjacent-bigram PMI over the corpus — the
+    phrase-detection pass (word2vec-style phrase merging, stopword-pair
+    screening) a training-data pipeline runs before tokenizer training.
+
+    PMI(w1, w2) = ln( p(w1 w2) / (p(w1) p(w2)) ) with p from corpus
+    counts: bigram mass M = all adjacent pairs, unigram mass N = all
+    tokens.  Output per surviving pair (count >= ``min_count``): the
+    exact integer counts plus ``pmi_e6`` = floor(PMI * 1e6) — the
+    ln is evaluated once per pair on exact-integer-derived doubles in
+    a fixed expression shape (the surprisal/PageRank floor-scale
+    recipe), so the rendering is engine-stable.
+
+    Scale shape: two explode->groupBy counting passes (map-side
+    partial combine — stopword pairs merge before they shuffle), corpus
+    masses broadcast as 1-row frames, then two equi-joins of the
+    bigram table against the unigram table on the token key (AQE
+    broadcasts the unigram side when the vocabulary fits).  Nothing is
+    ever per-document quadratic; ``min_count`` prunes the long tail
+    before the joins."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    )
+    t = df.select(toks.alias("t"))
+    bigrams = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), "
+                "slice(t, 2, greatest(size(t) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pair")
+    )
+    uni = (
+        t.select(F.explode(F.col("t")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    m_tot = pair_counts.agg(
+        F.sum("n_pair").cast("double").alias("m")
+    )
+    n_tot = uni.agg(F.sum("n_w").cast("double").alias("n"))
+    return (
+        pair_counts.where(F.col("n_pair") >= min_count)
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(m_tot))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.floor(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("m"))
+                    / (
+                        (F.col("n_w1").cast("double") / F.col("n"))
+                        * (F.col("n_w2").cast("double") / F.col("n"))
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )
+
+
+def pmi_collocations_sql(
+    docs_filter: str = "TRUE", min_count: int = 3
+) -> str:
+    """DuckDB twin of ``pmi_collocations`` — identical tokenization,
+    counting, and ln expression shape."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '')"
+    )
+    return f"""
+    WITH tl AS (
+      SELECT {toks} AS t FROM documents WHERE {docs_filter}
+    ),
+    bg AS (
+      SELECT p[1] AS w1, p[2] AS w2
+      FROM (SELECT unnest(list_zip(t[1:-2], t[2:])) AS p FROM tl)
+    ),
+    pair_counts AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(t) AS w FROM tl) GROUP BY 1
+    ),
+    mt AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS m FROM pair_counts),
+    nt AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM uni)
+    SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+           CAST(floor(
+             ln((CAST(p.n_pair AS DOUBLE) / m)
+                / ((CAST(u1.n_w AS DOUBLE) / n)
+                   * (CAST(u2.n_w AS DOUBLE) / n))) * 1000000.0
+           ) AS BIGINT) AS pmi_e6
+    FROM pair_counts p
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w
+    CROSS JOIN mt CROSS JOIN nt
+    WHERE p.n_pair >= {min_count}
+    """

@@ -333,6 +333,20 @@ _SURPRISAL_SQL = f"""
     """
 
 
+def tx_pmi_collocations(spark, sf_dir):
+    """Collocation mining (r05): adjacent-bigram PMI over the corpus —
+    word2vec-style phrase detection.  Two map-side-combined counting
+    passes, broadcast corpus masses, unigram-table equi-joins; exact
+    integer counts beside the floor-scaled ln score (operators/text.py:
+    pmi_collocations)."""
+    t = Tables(spark, sf_dir)
+    return tx.pmi_collocations(t.documents, min_count=5)
+
+
+def _pmi_sql() -> str:
+    return tx.pmi_collocations_sql(min_count=5)
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -369,11 +383,19 @@ register_suite(
             _SURPRISAL_SQL,
             [("doc_id", "s"), ("surprisal", "d6")],
         ),
+        SubQuery(
+            "tx_pmi_collocations",
+            tx_pmi_collocations,
+            _pmi_sql(),
+            [("w1", "s"), ("w2", "s"), ("n_pair", "s"),
+             ("n_w1", "s"), ("n_w2", "s"), ("pmi_e6", "s")],
+        ),
     ],
     doc="Token-accounting suite: whitespace/BPE-ish token counts + "
     "rolling-hash document fingerprints + top-N corpus vocabulary + "
-    "per-doc TF-IDF top terms + unigram-LM mean surprisal (r04), "
-    "each oracle-checked row-for-row inside the union.",
+    "per-doc TF-IDF top terms + unigram-LM mean surprisal (r04) + "
+    "adjacent-bigram PMI collocations (r05), each oracle-checked "
+    "row-for-row inside the union.",
 )
 
 

@@ -112,3 +112,40 @@ def test_linear_classifier_scores(spark):
     # deterministic weights: same call, same vector
     assert classifier_weights(8) == classifier_weights(8)
     assert all(-1.0 <= w < 1.0 for w in classifier_weights(64))
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Tiny corpus with a planted collocation: counts and the
+    floor-scaled ln score recomputed literally."""
+    import math
+
+    from clear_map_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = [
+        (1, "new york is big new york is old"),
+        (2, "big new york"),
+        (3, "x"),      # single token: no bigrams
+        (4, ""),       # empty: no tokens at all
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    # bigram masses: doc1 has 7, doc2 has 2 -> M = 9; tokens N = 12
+    # pairs with count >= 2: (new, york) x3, (york, is) x2, (big, new) x2
+    assert set(rows) == {("new", "york"), ("york", "is"), ("big", "new")}
+    bn = rows[("big", "new")]
+    assert (bn["n_pair"], bn["n_w1"], bn["n_w2"]) == (2, 2, 3)
+    want = math.floor(math.log((2 / 9) / ((2 / 12) * (3 / 12))) * 1e6)
+    assert bn["pmi_e6"] == want
+    ny = rows[("new", "york")]
+    assert (ny["n_pair"], ny["n_w1"], ny["n_w2"]) == (3, 3, 3)
+    want = math.floor(math.log((3 / 9) / ((3 / 12) * (3 / 12))) * 1e6)
+    assert ny["pmi_e6"] == want
+    yi = rows[("york", "is")]
+    assert (yi["n_pair"], yi["n_w1"], yi["n_w2"]) == (2, 3, 2)
+    want = math.floor(math.log((2 / 9) / ((3 / 12) * (2 / 12))) * 1e6)
+    assert yi["pmi_e6"] == want
