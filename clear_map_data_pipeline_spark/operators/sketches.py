@@ -495,3 +495,132 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------
+
+
+def mg_candidates(
+    df: DataFrame,
+    key_col: str,
+    capacity: int,
+    prune_factor: int = 4,
+) -> DataFrame:
+    """Per-partition Misra-Gries frequent-key summary (the mergeable
+    heavy-hitter sketch of Agarwal et al., "Mergeable Summaries",
+    PODS'12) over one key column.
+
+    Guarantee (the classical mass argument): within a partition, each
+    prune subtracts the (capacity+1)-th largest counter value ``delta``
+    from every counter, and the top capacity+1 counters each lose a
+    full ``delta`` — so the pruned mass is >= (capacity+1) * delta, and
+    the cumulative delta over all prunes is <= N_p / (capacity+1).  A
+    key absent from the partition's summary therefore has true local
+    count <= N_p / (capacity+1), and summing over partitions: EVERY key
+    with global count > N / (capacity+1) survives in at least one
+    partition's candidate set.
+
+    Execution shape: Arrow-batched ``mapInPandas`` whose generator
+    keeps one bounded dict per partition (state <= prune_factor *
+    capacity entries, vectorized ``value_counts`` per batch — no
+    per-row Python).  Output per partition: its candidate keys with
+    ``wt = 0`` plus ONE sentinel row (key NULL, ``wt`` = partition's
+    non-null key count), so a single pass yields both the candidate
+    union and the exact global mass N — no second scan for the total.
+
+    NULL keys are ignored (not counted, never candidates).
+
+    Why this beats the one-pass groupBy at 100 TB: a full token count
+    shuffles one row per DISTINCT key per partition (web-scale
+    vocabularies: billions of rows even after map-side combine), while
+    the MG pass shuffles <= capacity rows per partition REGARDLESS of
+    vocabulary size.  The price is a second source scan for the exact
+    verify pass (heavy_hitters below) — scans are cheap, shuffles are
+    not."""
+    import pandas as pd  # noqa: PLC0415 - executor-side import
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    limit = capacity * prune_factor
+
+    def run(batches):
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            s = pdf[key_col].dropna()
+            n_rows += int(len(s))
+            for k, c in s.value_counts().items():
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > limit:
+                vals = sorted(counters.values(), reverse=True)
+                delta = vals[capacity]
+                counters = {
+                    k: v - delta for k, v in counters.items() if v > delta
+                }
+        yield pd.DataFrame(
+            {
+                key_col: list(counters.keys()) + [None],
+                "wt": [0] * len(counters) + [n_rows],
+            }
+        )
+
+    return df.select(key_col).mapInPandas(
+        run, schema=f"{key_col} string, wt long"
+    )
+
+
+def heavy_hitters(
+    keys: DataFrame, key_col: str, phi_denom: int = 500
+) -> DataFrame:
+    """EXACT phi-heavy hitters (phi = 1/phi_denom): all keys whose
+    global count satisfies ``count * phi_denom > N``, with exact
+    counts — the sketch only bounds the candidate set, it never
+    changes the answer (the Bloom-prefilter discipline: provably a
+    no-op on results, decisive on shuffle volume).
+
+    Two passes: (1) ``mg_candidates`` with capacity = phi_denom — its
+    N/(capacity+1) guarantee strictly covers the N/phi_denom threshold,
+    so no true heavy hitter can be missed; (2) an exact count of ONLY
+    the candidate keys via a broadcast semi-join (candidates <=
+    partitions * capacity rows — broadcastable by construction), then
+    the integer threshold filter.  The comparison is pure integer
+    arithmetic (``freq * phi_denom > n_total``) so Spark and the DuckDB
+    twin agree bit-for-bit with no float boundary.
+
+    Output: (key, freq, n_total) — unordered set semantics."""
+    from ..cachereg import pin
+
+    mg = pin(mg_candidates(keys, key_col, capacity=phi_denom))
+    n_total = mg.agg(F.sum("wt").cast("long").alias("n_total"))
+    cands = mg.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    exact = (
+        keys.where(F.col(key_col).isNotNull())
+        .join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .where(F.col("freq") * phi_denom > F.col("n_total"))
+        .select(key_col, "freq", "n_total")
+    )
+
+
+def heavy_hitters_sql(
+    keys_view: str, key_col: str, phi_denom: int = 500
+) -> str:
+    """DuckDB twin of ``heavy_hitters`` — the plain exact formulation
+    (GROUP BY + HAVING over the full key stream); equality with the
+    sketch-pruned Spark plan is exactly the Misra-Gries coverage
+    guarantee under test."""
+    return f"""
+SELECT {key_col}, freq, n_total FROM (
+  SELECT {key_col},
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+  FROM {keys_view}
+  WHERE {key_col} IS NOT NULL
+  GROUP BY {key_col}
+)
+WHERE freq * {phi_denom} > n_total
+"""

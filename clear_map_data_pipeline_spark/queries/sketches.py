@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketches as sk
+from ..operators import text as tx
 from ..session import Tables
 from .suites import SubQuery, register_suite
 
@@ -139,6 +140,34 @@ _HLL_GROUP_SQL = sk.hll_distinct_by_group_sql(
 )
 
 
+# --- Misra-Gries exact heavy hitters ----------------------------------
+
+# phi = 1/30 sits just above the fixture's near-uniform token share
+# (31-token vocabulary, ~3.2% each), so only genuinely-frequent tokens
+# clear it — a dozen-odd rows at every sf, never empty, never "all".
+_HH_PHI_DENOM = 30
+_HH_TOKS_VIEW = (
+    "(SELECT unnest(list_filter(string_split_regex(lower(text), "
+    "'\\s+'), x -> x <> '')) AS token FROM documents)"
+)
+
+
+def sk_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitter tokens (phi = 1/30) over documents.text:
+    per-partition Misra-Gries candidates (bounded state, <= capacity
+    rows shuffled per partition regardless of vocabulary) + a
+    broadcast-semi-join exact verify pass.  The oracle is the plain
+    GROUP BY/HAVING over the full token stream — the hash match IS the
+    Misra-Gries coverage guarantee under test (see
+    operators/sketches.py: heavy_hitters)."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(F.explode(tx.tokens("text")).alias("token"))
+    return sk.heavy_hitters(toks, "token", phi_denom=_HH_PHI_DENOM)
+
+
+_HH_SQL = sk.heavy_hitters_sql(_HH_TOKS_VIEW, "token", _HH_PHI_DENOM)
+
+
 register_suite(
     "suite_sketches",
     [
@@ -171,6 +200,12 @@ register_suite(
                 ("n_buckets", "s"),
                 ("sum_rho", "s"),
             ],
+        ),
+        SubQuery(
+            "sk_heavy_tokens",
+            sk_heavy_tokens,
+            _HH_SQL,
+            [("token", "s"), ("freq", "s"), ("n_total", "s")],
         ),
         SubQuery(
             "sk_profile_documents",

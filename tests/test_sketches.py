@@ -242,3 +242,97 @@ def test_hll_by_group_null_keys_filtered(spark):
     (got,) = hll_distinct_by_group(noisy, "grp", "k").collect()
     assert tuple(got) == tuple(want)
     assert got["n_exact"] == 39
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------
+
+
+def _zipf_keys(spark, n_keys=4000, n_rows=60000, partitions=4):
+    """Deterministic zipf-ish key stream: key k gets ~ n_rows/(k+1)/H
+    occurrences — vocabulary far above the MG prune limit, a heavy
+    head, and a long singleton tail."""
+    import pyspark.sql.functions as F
+
+    # row i -> key floor(c / (i+1)) style inverse-CDF on a hash-shuffled
+    # index keeps it deterministic without Python-side data generation.
+    return (
+        spark.range(n_rows)
+        .repartition(partitions)
+        .select(
+            F.concat(
+                F.lit("k"),
+                F.floor(
+                    F.pow(
+                        F.lit(float(n_keys)),
+                        (F.pmod(F.xxhash64("id"), 10**6) / F.lit(1e6)),
+                    )
+                ).cast("long"),
+            ).alias("token")
+        )
+    )
+
+
+def test_mg_candidates_superset_bounded_and_prunes(spark):
+    """The mergeable-summaries guarantee on data that FORCES pruning:
+    every key with global count > N/(capacity+1) appears among the
+    candidates, per-partition state stays bounded, and at least one
+    prune actually fired (vocab >> prune limit)."""
+    capacity = 30
+    df = _zipf_keys(spark)
+    vocab = df.distinct().count()
+    assert vocab > capacity * 4, "fixture must exceed the prune limit"
+    out = sk.mg_candidates(df, "token", capacity=capacity).collect()
+    cands = {r["token"] for r in out if r["token"] is not None}
+    n_parts = sum(1 for r in out if r["token"] is None)
+    n_total = sum(r["wt"] for r in out)
+    assert n_total == df.count()
+    # bounded candidate volume: <= prune limit per partition
+    assert len(cands) <= n_parts * capacity * 4
+    assert len(cands) < vocab, "pruning must have dropped tail keys"
+    truth = {
+        r["token"]: r["cnt"]
+        for r in df.groupBy("token").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    heavy = {k for k, c in truth.items() if c * (capacity + 1) > n_total}
+    assert heavy, "fixture must contain true heavy keys"
+    missed = heavy - cands
+    assert not missed, f"MG guarantee violated: missed {missed}"
+
+
+def test_heavy_hitters_matches_literal_recompute(spark):
+    """End-to-end exactness through the prune-forced regime: the
+    sketch-pruned two-pass answer equals the literal full groupBy."""
+    phi_denom = 25
+    df = _zipf_keys(spark, n_rows=40000)
+    got = {
+        (r["token"], r["freq"], r["n_total"])
+        for r in sk.heavy_hitters(df, "token", phi_denom=phi_denom).collect()
+    }
+    n = df.count()
+    want = {
+        (r["token"], r["cnt"], n)
+        for r in df.groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") * phi_denom > F.lit(n))
+        .collect()
+    }
+    assert want, "fixture must produce heavy hitters"
+    assert got == want
+
+
+def test_heavy_hitters_ignores_null_keys(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] * 2 + [(None,)] * 90, ["k"]
+    ).repartition(3)
+    rows = sk.heavy_hitters(df, "k", phi_denom=3).collect()
+    # N counts only the 10 non-null keys: 'a' (8*3 > 10) qualifies,
+    # 'b' (2*3 < 10) does not, NULL never appears.
+    assert [(r["k"], r["freq"], r["n_total"]) for r in rows] == [("a", 8, 10)]
+
+
+def test_mg_candidates_capacity_validation(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        sk.mg_candidates(df, "k", capacity=0)
