@@ -12,8 +12,9 @@ round-trip companion encoder (FDCT + Annex-K tables scaled by quality,
 Scope: baseline and extended-sequential Huffman JPEGs (SOF0/SOF1) AND
 progressive Huffman JPEGs (SOF2: spectral selection + successive
 approximation, the second-most-common web format — r05) with 8-bit
-samples.  Arithmetic coding and hierarchical modes still raise,
-keeping the documented stub fallback for those.  The round-trip
+samples.  Sequential arithmetic coding (SOF9) decodes via
+``operators/jpeg_arith.py``; progressive-arithmetic and hierarchical
+modes still raise, keeping the documented stub fallback for those.  The round-trip
 companion ``encode_jpeg_progressive`` emits a standard multi-scan
 script (DC first/refine, split AC bands, two successive-approximation
 refinement passes) so the decoder's EOB-run, ZRL-in-refinement, and
@@ -238,8 +239,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
+    cond: dict = {}  # DAC arithmetic conditioning
     frame = None
     progressive = False
+    arithmetic = False
     store: dict[int, np.ndarray] = {}
     any_scan = False
     restart = 0
@@ -262,7 +265,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated JPEG header")
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         seg = data[pos + 4 : pos + 2 + seglen]
-        if m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+        if m in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/SOF1/SOF2/SOF9
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG samples supported")
@@ -272,6 +275,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (w, h, comps)
             progressive = m == 0xC2
+            arithmetic = m == 0xC9
             if progressive:
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -284,10 +288,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
                     for cid, ch, cv, _tq in comps
                 }
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "non-baseline JPEG mode not supported — stub fallback"
             )
+        elif m == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    cond[("dc", tb)] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    cond[("ac", tb)] = cs  # Kx
+                p += 2
         elif m == 0xC4:  # DHT, possibly several tables
             p = 0
             while p < len(seg):
@@ -326,6 +340,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tdta >> 4, tdta & 0xF)
+            if arithmetic:
+                from .jpeg_arith import decode_scan_arith
+
+                return decode_scan_arith(
+                    data, pos + 2 + seglen, frame, scan, qt, cond, restart
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos + 2 + seglen, frame, scan, qt, huff, restart

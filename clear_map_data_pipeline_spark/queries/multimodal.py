@@ -122,6 +122,40 @@ def mm_jpeg_progressive(spark, sf_dir):
     return mm.image_features(with_payload, use_real_decoder=True)
 
 
+def mm_jpeg_arith(spark, sf_dir):
+    """REAL sequential-arithmetic JPEG (SOF9) decode inside the
+    registered suite (r05): gradient gray payloads are synthesized per
+    sampled doc by ``encode_jpeg_arith`` (T.81 QM coder + Annex-F
+    conditioning, operators/jpeg_arith.py), then ``image_features``'
+    sniffed real decode runs the arithmetic entropy path end-to-end.
+    The gradient content keeps AC coefficients nonzero so the EOB /
+    zero-run / magnitude contexts all adapt on every payload."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 29 == 0)
+
+    def _enc(it):
+        from ..operators.jpeg_arith import encode_jpeg_arith
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                base = int(d) % 181
+                px = bytes(
+                    (base + 3 * x + 5 * y) % 256
+                    for y in range(8)
+                    for x in range(16)
+                )
+                payloads.append(encode_jpeg_arith(16, 8, 1, px, quality=85))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.image_features(with_payload, use_real_decoder=True)
+
+
 def mm_gif_decode(spark, sf_dir):
     """REAL GIF decode inside the registered suite (r05): palette GIFs
     (LZW-compressed, 4-color gradient indices) synthesized per sampled
@@ -340,6 +374,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_frame_sample", mm_frame_sample, "frame_len"),
         ("mm_jpeg_decode", mm_jpeg_decode, "checksum"),
         ("mm_jpeg_progressive", mm_jpeg_progressive, "checksum"),
+        ("mm_jpeg_arith", mm_jpeg_arith, "checksum"),
         ("mm_gif_decode", mm_gif_decode, "checksum"),
         ("mm_webp_decode", mm_webp_decode, "checksum"),
         ("mm_flac_audio", mm_flac_audio, "peak_amp"),

@@ -62,11 +62,13 @@ def test_jpeg_restart_markers_roundtrip():
         assert pix == img.tobytes(), f"restart_interval={ri}"
 
 
-def test_jpeg_doctored_sof2_rejected_and_arithmetic_still_raises():
+def test_jpeg_doctored_sof2_rejected_and_arith_progressive_raises():
     """(a) A baseline stream relabeled SOF2 carries a baseline SOS
     header (Ss=0, Se=63) that is invalid for a progressive DC scan —
     ValueError, not a mis-decode (stub fallback upstream).  (b) The
-    arithmetic-coding seam still raises NotImplementedError."""
+    remaining arithmetic seam — progressive-arithmetic SOF10 — still
+    raises NotImplementedError (sequential SOF9 decodes for real as of
+    r05)."""
     decode_jpeg, encode_jpeg = _codec()
     enc = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=90))
     sof = enc.find(b"\xff\xc0")
@@ -74,7 +76,7 @@ def test_jpeg_doctored_sof2_rejected_and_arithmetic_still_raises():
     enc[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive scan band"):
         decode_jpeg(bytes(enc))
-    enc[sof + 1] = 0xC9  # arithmetic sequential
+    enc[sof + 1] = 0xCA  # arithmetic progressive
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(enc))
 
@@ -358,3 +360,212 @@ def test_image_features_decodes_progressive_jpeg(spark):
     (row,) = image_features(df, use_real_decoder=True).collect()
     assert (row["width"], row["height"]) == (w, h)
     assert row["checksum"] == zlib.adler32(flat)
+
+
+# --- arithmetic-coded JPEG (T.81 Annex D/E/F, r05) --------------------
+
+
+def test_arith_qe_table_structural_invariants():
+    """The transcribed Table D.3: every Qe a valid 16-bit probability
+    (< 0x8000), every transition in range, the terminal adaptive state
+    (112) a self-loop, and the fixed sign bin (113) non-adaptive."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import QE_TABLE
+
+    assert len(QE_TABLE) == 114
+    for i, (qe, nmps, nlps, sw) in enumerate(QE_TABLE):
+        assert 0 < qe < 0x8000, i
+        assert 0 <= nmps < len(QE_TABLE), i
+        assert 0 <= nlps < len(QE_TABLE), i
+        assert sw in (0, 1), i
+    assert QE_TABLE[112][1] == QE_TABLE[112][2] == 112
+    assert QE_TABLE[113][1] == QE_TABLE[113][2] == 113 and QE_TABLE[113][3] == 0
+
+
+def test_arith_raw_coder_roundtrip_adversarial():
+    """The QM coder pair on decision streams engineered to hit every
+    output path: heavy MPS skew (long renorm gaps), heavy LPS skew,
+    alternation, and uniform noise — byte stuffing, stacked-0xFF
+    resolution and carry propagation all fire across 120 streams."""
+    import random
+
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+        _fresh_stats,
+    )
+
+    rng = random.Random(42)
+    saw_stuff = saw_multibyte = False
+    for trial in range(120):
+        n_ctx = rng.randint(1, 8)
+        n = rng.randint(1, 2500)
+        kind = trial % 4
+        bits = []
+        for _ in range(n):
+            c = rng.randrange(n_ctx)
+            if kind == 0:
+                d = 1 if rng.random() < 0.98 else 0
+            elif kind == 1:
+                d = 0 if rng.random() < 0.98 else 1
+            elif kind == 2:
+                d = len(bits) % 2
+            else:
+                d = rng.randint(0, 1)
+            bits.append((c, d))
+        enc = ArithEncoder()
+        st = _fresh_stats(n_ctx)
+        for c, d in bits:
+            enc.encode(st, c, d)
+        data = enc.flush() + b"\xff\xd9"
+        saw_stuff = saw_stuff or b"\xff\x00" in data
+        saw_multibyte = saw_multibyte or len(data) > 10
+        dec = ArithDecoder(data, 0)
+        st2 = _fresh_stats(n_ctx)
+        got = [dec.decode(st2, c) for c, _ in bits]
+        assert got == [d for _, d in bits], f"trial {trial}"
+    assert saw_stuff and saw_multibyte
+
+
+def test_arith_decoder_zero_feeds_after_marker():
+    """Decoding past the entropy segment end must zero-feed (T.81
+    marker discipline), never consume the marker or crash."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+        _fresh_stats,
+    )
+
+    enc = ArithEncoder()
+    st = _fresh_stats(1)
+    for d in (1, 0, 1, 1, 0):
+        enc.encode(st, 0, d)
+    data = enc.flush() + b"\xff\xd9"
+    dec = ArithDecoder(data, 0)
+    st2 = _fresh_stats(1)
+    out = [dec.decode(st2, 0) for _ in range(200)]  # far past the data
+    assert out[:5] == [1, 0, 1, 1, 0]
+    assert dec.marker_hit
+    assert data[dec.raw_pos : dec.raw_pos + 2] == b"\xff\xd9"
+
+
+def test_arith_matches_baseline_decode_exactly():
+    """Arithmetic entropy coding is a lossless recoding of the same
+    quantized coefficients: decode(SOF9 stream) must be BYTE-IDENTICAL
+    to decode(baseline stream) at identical quality/subsampling —
+    gray, color, 4:2:0, odd dims, restart intervals, sparse content."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+
+    decode_jpeg, encode_jpeg = _codec()
+    rng = np.random.RandomState(11)
+    cases = [
+        (8, 8, 1, "444", 0),
+        (17, 9, 1, "444", 0),
+        (16, 16, 3, "444", 0),
+        (24, 18, 3, "420", 0),
+        (33, 31, 3, "420", 2),
+        (21, 13, 1, "444", 3),
+    ]
+    for w, h, ch, sub, ri in cases:
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for q in (50, 90):
+            assert decode_jpeg(
+                encode_jpeg(
+                    w, h, ch, img, quality=q, subsampling=sub,
+                    restart_interval=ri,
+                )
+            ) == decode_jpeg(
+                encode_jpeg_arith(
+                    w, h, ch, img, quality=q, subsampling=sub,
+                    restart_interval=ri,
+                )
+            ), (w, h, ch, sub, ri, q)
+    # sparse: long zero runs drive the AC EOB / zero-run contexts
+    simg = np.zeros((64, 64), dtype=np.uint8)
+    simg[5, 9] = 255
+    simg[40, 33] = 200
+    assert decode_jpeg(
+        encode_jpeg(64, 64, 1, simg.tobytes(), quality=95)
+    ) == decode_jpeg(encode_jpeg_arith(64, 64, 1, simg.tobytes(), quality=95))
+
+
+def test_arith_stream_is_smaller_on_natural_content():
+    """The adaptive coder should beat fixed Huffman tables on smooth
+    content — a sanity check that adaptation is really happening."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+
+    _, encode_jpeg = _codec()
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    img = ((xx * 3 + yy * 5) % 256).astype(np.uint8).tobytes()
+    hb = len(encode_jpeg(64, 48, 1, img, quality=75))
+    ab = len(encode_jpeg_arith(64, 48, 1, img, quality=75))
+    assert ab < hb
+
+
+def test_arith_corrupt_magnitude_raises_value_error():
+    """A stream whose magnitude walk never terminates must surface as
+    ValueError (the multimodal stub-fallback contract), not hang or
+    index out of range."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        ArithEncoder,
+        _fresh_stats,
+    )
+
+    decode_jpeg, _ = _codec()
+    enc = bytearray(encode_jpeg_arith(8, 8, 1, bytes(range(64)), quality=90))
+    sos = enc.find(b"\xff\xda")
+    assert sos != -1
+    # SOS: marker(2) + len(2) + ns(1) + 2*ns(2) + Ss/Se/AhAl(3) = 10
+    body_start = sos + 10
+    # Craft an entropy body whose DC decode path reads: nonzero diff
+    # (bin 0) -> sign 0 (bin 1) -> magnitude walk (bin 2 then 20, 21,
+    # ...) with 1-decisions forever: the category must overflow 0x8000
+    # and raise, never loop or index out of bounds.
+    crafted = ArithEncoder()
+    st = _fresh_stats(64)
+    crafted.encode(st, 0, 1)  # diff != 0
+    crafted.encode(st, 1, 0)  # sign +
+    crafted.encode(st, 2, 1)  # category walk begins
+    for i in range(30):
+        crafted.encode(st, 20 + i, 1)  # runaway walk
+    body = crafted.flush()
+    out = bytes(enc[:body_start]) + body + b"\xff\xd9"
+    with pytest.raises(ValueError, match="corrupt arithmetic"):
+        decode_jpeg(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(min_value=4, max_value=40),
+    h=st.integers(min_value=4, max_value=40),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(min_value=40, max_value=95),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_arith_parity_property(w, h, ch, quality, sub, seed):
+    """Property: for ANY image, the arithmetic and Huffman encodings
+    of the same coefficients decode byte-identically."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+
+    decode_jpeg, encode_jpeg = _codec()
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    assert decode_jpeg(
+        encode_jpeg(w, h, ch, img, quality=quality, subsampling=sub)
+    ) == decode_jpeg(
+        encode_jpeg_arith(w, h, ch, img, quality=quality, subsampling=sub)
+    )
