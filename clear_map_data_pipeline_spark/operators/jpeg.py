@@ -12,9 +12,10 @@ round-trip companion encoder (FDCT + Annex-K tables scaled by quality,
 Scope: baseline and extended-sequential Huffman JPEGs (SOF0/SOF1) AND
 progressive Huffman JPEGs (SOF2: spectral selection + successive
 approximation, the second-most-common web format — r05) with 8-bit
-samples.  Sequential arithmetic coding (SOF9) decodes via
-``operators/jpeg_arith.py``; progressive-arithmetic and hierarchical
-modes still raise, keeping the documented stub fallback for those.  The round-trip
+samples.  Arithmetic entropy coding — sequential (SOF9) AND
+progressive (SOF10) — decodes via ``operators/jpeg_arith.py``;
+hierarchical/lossless modes still raise, keeping the documented stub
+fallback for those.  The round-trip
 companion ``encode_jpeg_progressive`` emits a standard multi-scan
 script (DC first/refine, split AC bands, two successive-approximation
 refinement passes) so the decoder's EOB-run, ZRL-in-refinement, and
@@ -265,7 +266,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated JPEG header")
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         seg = data[pos + 4 : pos + 2 + seglen]
-        if m in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/SOF1/SOF2/SOF9
+        if m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG samples supported")
@@ -274,8 +275,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (w, h, comps)
-            progressive = m == 0xC2
-            arithmetic = m == 0xC9
+            progressive = m in (0xC2, 0xCA)
+            arithmetic = m in (0xC9, 0xCA)
             if progressive:
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -288,7 +289,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
                     for cid, ch, cv, _tq in comps
                 }
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "non-baseline JPEG mode not supported — stub fallback"
             )
@@ -340,13 +341,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tdta >> 4, tdta & 0xF)
-            if arithmetic:
-                from .jpeg_arith import decode_scan_arith
-
-                return decode_scan_arith(
-                    data, pos + 2 + seglen, frame, scan, qt, cond, restart
-                )
             if not progressive:
+                if arithmetic:
+                    from .jpeg_arith import decode_scan_arith
+
+                    return decode_scan_arith(
+                        data, pos + 2 + seglen, frame, scan, qt, cond,
+                        restart,
+                    )
                 return _decode_scan(
                     data, pos + 2 + seglen, frame, scan, qt, huff, restart
                 )
@@ -357,10 +359,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("invalid progressive scan band")
             if ss > 0 and ns != 1:
                 raise ValueError("progressive AC scan must be single-component")
-            pos = _decode_progressive_scan(
-                data, pos + 2 + seglen, frame, scan,
-                ss, se, ah, al, huff, restart, store,
-            )
+            if arithmetic:
+                from .jpeg_arith import decode_progressive_scan_arith
+
+                pos = decode_progressive_scan_arith(
+                    data, pos + 2 + seglen, frame, scan,
+                    ss, se, ah, al, cond, restart, store,
+                )
+            else:
+                pos = _decode_progressive_scan(
+                    data, pos + 2 + seglen, frame, scan,
+                    ss, se, ah, al, huff, restart, store,
+                )
             any_scan = True
             continue
         pos += 2 + seglen

@@ -3,8 +3,10 @@ sequential DC/AC conditioning, stdlib + numpy only.
 
 Closes the arithmetic-JPEG seam left by ``operators/jpeg.py`` (which
 decodes Huffman baseline/extended/progressive): SOF9
-(extended-sequential, arithmetic entropy coding) streams now decode for
-real, and ``encode_jpeg_arith`` is the round-trip companion.  The
+(extended-sequential) AND SOF10 (progressive, Annex G successive
+approximation / spectral selection) arithmetic streams now decode for
+real; ``encode_jpeg_arith`` and ``encode_jpeg_arith_progressive`` are
+the round-trip companions.  The
 entropy layer is the T.81 QM binary arithmetic coder: the 113-state
 probability-estimation table (Table D.3, plus the fixed ~0.5 state the
 AC sign uses), conditional MPS/LPS interval exchange, byte stuffing
@@ -44,6 +46,7 @@ from .jpeg import (
     _planes_to_pixels,
     _prepare_components,
     _quality_tables,
+    _scan_units,
 )
 
 # T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH) per estimation state.  Index
@@ -364,19 +367,22 @@ def _decode_dc(dec, stats, cid, tbl, cond) -> int:
     return stats.last_dc[cid]
 
 
-def _decode_ac(dec, stats, tbl, cond, coeff: np.ndarray) -> None:
-    """All 63 AC coefficients of one block (T.81 F.2.4.2)."""
+def _decode_ac(
+    dec, stats, tbl, cond, coeff: np.ndarray, ss=1, se=63, al=0
+) -> None:
+    """AC coefficients of one block over the band [ss, se] at point
+    transform Al (T.81 F.2.4.2; sequential = full band at Al=0)."""
     area = stats.ac_area(tbl)
     kx = cond.get(("ac", tbl), 5)
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(area, st):
             break  # EOB
         while dec.decode(area, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("corrupt arithmetic JPEG (AC run)")
         sign = dec.decode(stats.fixed, 0)
         st += 2
@@ -399,7 +405,7 @@ def _decode_ac(dec, stats, tbl, cond, coeff: np.ndarray) -> None:
         v += 1
         if sign:
             v = -v
-        coeff[ZIGZAG[k]] = v
+        coeff[ZIGZAG[k]] = v << al
         k += 1
 
 
@@ -494,26 +500,30 @@ def _encode_dc(enc, stats, cid, tbl, cond, dc: int) -> None:
         enc.encode(area, st, 1 if (m & v) else 0)
 
 
-def _encode_ac(enc, stats, tbl, cond, zz: list[int]) -> None:
+def _encode_ac(enc, stats, tbl, cond, zz: list[int], ss=1, se=63, al=0) -> None:
     area = stats.ac_area(tbl)
     kx = cond.get(("ac", tbl), 5)
-    ke = 63
-    while ke >= 1 and zz[ke] == 0:
+
+    def pt(i: int) -> int:
+        # AC point transform: divide toward zero (abs, then shift)
+        v = zz[i]
+        return (-v if v < 0 else v) >> al
+
+    ke = se
+    while ke >= ss and pt(ke) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(area, st, 0)  # not EOB yet
-        while zz[k] == 0:
+        while pt(k) == 0:
             enc.encode(area, st + 1, 0)
             st += 3
             k += 1
         enc.encode(area, st + 1, 1)
-        v = zz[k]
-        sign = 1 if v < 0 else 0
+        sign = 1 if zz[k] < 0 else 0
         enc.encode(stats.fixed, 0, sign)
-        if sign:
-            v = -v
+        v = pt(k)
         st += 2
         v -= 1
         m = 0
@@ -536,7 +546,7 @@ def _encode_ac(enc, stats, tbl, cond, zz: list[int]) -> None:
         while m := m >> 1:
             enc.encode(area, st, 1 if (m & v) else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         st = 3 * (k - 1)
         enc.encode(area, st, 1)  # EOB
 
@@ -623,4 +633,242 @@ def encode_jpeg_arith(
                     _encode_ac(enc, stats, tq, cond, zz)
     out.extend(enc.flush())
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# --- progressive arithmetic (SOF10, T.81 Annex G + Annex F coder) -----
+
+
+def _decode_ac_refine(dec, stats, tbl, coef, ss, se, al) -> None:
+    """Successive-approximation AC refinement scan for one block
+    (T.81 G.2.2 arithmetic variant): previously-nonzero coefficients
+    receive a correction bit in the SP context (st+2); newly
+    significant ones arrive via st+1 with a fixed-probability sign.
+    Unlike Huffman refinement there are no EOB runs — one EOB decision
+    per block ends it."""
+    area = stats.ac_area(tbl)
+    p1, m1 = 1 << al, -1 << al
+    kex = se
+    while kex >= ss and coef[ZIGZAG[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(area, st):
+            break  # EOB
+        while True:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if dec.decode(area, st + 2):
+                    coef[z] += m1 if coef[z] < 0 else p1
+                break
+            if dec.decode(area, st + 1):
+                coef[z] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG (AC refine run)")
+        k += 1
+
+
+def _encode_ac_refine(enc, stats, tbl, zz, ss, se, al) -> None:
+    area = stats.ac_area(tbl)
+
+    def pt(i: int) -> int:
+        v = zz[i]
+        return (-v if v < 0 else v) >> al
+
+    ke = se
+    while ke >= ss and pt(ke) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (pt(kex) >> 1) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(area, st, 0)  # not EOB yet
+        while True:
+            t = pt(k)
+            if t:
+                if t >> 1:  # previously significant: correction bit
+                    enc.encode(area, st + 2, t & 1)
+                else:  # newly significant
+                    enc.encode(area, st + 1, 1)
+                    enc.encode(stats.fixed, 0, 1 if zz[k] < 0 else 0)
+                break
+            enc.encode(area, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(area, 3 * (k - 1), 1)  # EOB
+
+
+def decode_progressive_scan_arith(
+    data, pos, frame, scan, ss, se, ah, al, cond, restart, store
+):
+    """Decode one progressive arithmetic scan (SOF10) into the
+    coefficient store; returns the offset of the next marker.
+    Statistics areas, DC conditioning, and the coder registers are
+    per-scan (and reset at every restart interval)."""
+    scomps, mcus = _scan_units(frame, scan)
+    dec = ArithDecoder(data, pos)
+    comps_meta = [(c[0], c[1], c[2], c[3]) for c in scomps]
+    stats = _ScanStats(comps_meta, cond)
+    for i, unit in enumerate(mcus):
+        if restart and i and i % restart == 0:
+            p = dec.raw_pos
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF and data[p + 1] != 0x00
+            ):
+                p += 1
+            if p + 1 >= len(data) or not 0xD0 <= data[p + 1] <= 0xD7:
+                raise ValueError("missing JPEG restart marker")
+            dec = ArithDecoder(data, p + 2)
+            stats.reset()
+        for cid, by, bx in unit:
+            coef = store[cid][by, bx]
+            td, ta = scan[cid]
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    coef[0] = _decode_dc(dec, stats, cid, td, cond) << al
+                elif dec.decode(stats.fixed, 0):
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                _decode_ac(dec, stats, ta, cond, coef, ss, se, al)
+            else:
+                _decode_ac_refine(dec, stats, ta, coef, ss, se, al)
+    p = dec.raw_pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def encode_jpeg_arith_progressive(
+    w: int,
+    h: int,
+    ch: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """Progressive arithmetic JPEG encoder (SOF10 + DAC) — the same
+    scan script as ``jpeg.encode_jpeg_progressive`` (DC first at Al=1,
+    split AC bands at Al=2, two AC refinement passes, DC refinement),
+    with QM-coded decisions instead of Huffman symbols.  Coefficients
+    are identical to every other encoder in the family, so all four
+    stream kinds decode to IDENTICAL pixels."""
+    padded, ql, qc, mcux, mcuy = _prepare_components(
+        w, h, ch, pixels, quality, subsampling
+    )
+    hmax = max(c[1] for c in padded)
+    vmax = max(c[2] for c in padded)
+
+    coefs: dict[int, np.ndarray] = {}
+    dims: dict[int, tuple[int, int]] = {}
+    for cid, chf, cvf, tq, plane in padded:
+        q = ql if tq == 0 else qc
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        cf = np.round((_DCT @ (blocks - 128.0) @ _DCT.T) / q).astype(np.int64)
+        coefs[cid] = cf.reshape(nby, nbx, 64)  # natural order
+        compw = -(-(w * chf) // hmax)
+        comph = -(-(h * cvf) // vmax)
+        dims[cid] = (-(-comph // 8), -(-compw // 8))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(
+            b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, tab in ([(0, ql)] if ch == 1 else [(0, ql), (1, qc)]):
+        seg(
+            0xDB,
+            bytes([tq]) + bytes(int(tab.flat[ZIGZAG[i]]) for i in range(64)),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(padded))
+    for cid, chf, cvf, tq, _p in padded:
+        sof += bytes([cid, (chf << 4) | cvf, tq])
+    seg(0xCA, sof)  # SOF10: progressive, arithmetic
+    cond: dict = {}
+    dac = b""
+    for tq in sorted({p[3] for p in padded}):
+        dac += bytes([(0 << 4) | tq, (1 << 4) | 0])
+        dac += bytes([(1 << 4) | tq, 5])
+        cond[("dc", tq)] = (0, 1)
+        cond[("ac", tq)] = 5
+    seg(0xCC, dac)
+
+    all_cids = [p[0] for p in padded]
+    scans: list[tuple[list[int], int, int, int, int]] = [
+        (all_cids, 0, 0, 0, 1)
+    ]
+    for cid in all_cids:
+        scans += [([cid], 1, 5, 0, 2), ([cid], 6, 63, 0, 2)]
+    for cid in all_cids:
+        scans += [([cid], 1, 63, 2, 1), ([cid], 1, 63, 1, 0)]
+    scans.append((all_cids, 0, 0, 1, 0))
+
+    byc = {p[0]: p for p in padded}
+    for cids, ss, se, ah, al in scans:
+        sos = bytes([len(cids)])
+        for cid in cids:
+            tq = byc[cid][3]
+            sos += bytes([cid, (tq << 4) | tq])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+
+        enc = ArithEncoder()
+        comps_meta = [
+            (cid, byc[cid][1], byc[cid][2], byc[cid][3]) for cid in cids
+        ]
+        stats = _ScanStats(comps_meta, cond)
+        if ss == 0:
+            if len(cids) > 1:
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for cid in cids:
+                            _c, chf, cvf, _tq, _p = byc[cid]
+                            for by in range(cvf):
+                                for bx in range(chf):
+                                    units.append(
+                                        (cid, my * cvf + by, mx * chf + bx)
+                                    )
+            else:
+                nby, nbx = dims[cids[0]]
+                units = [
+                    (cids[0], by, bx)
+                    for by in range(nby)
+                    for bx in range(nbx)
+                ]
+            for cid, by, bx in units:
+                tq = byc[cid][3]
+                dc = int(coefs[cid][by, bx, 0]) >> al
+                if ah == 0:
+                    _encode_dc(enc, stats, cid, tq, cond, dc)
+                else:
+                    enc.encode(stats.fixed, 0, dc & 1)
+        else:
+            cid = cids[0]
+            tq = byc[cid][3]
+            nby, nbx = dims[cid]
+            for by in range(nby):
+                for bx in range(nbx):
+                    nat = coefs[cid][by, bx]
+                    zz = [int(nat[ZIGZAG[i]]) for i in range(64)]
+                    if ah == 0:
+                        _encode_ac(enc, stats, tq, cond, zz, ss, se, al)
+                    else:
+                        _encode_ac_refine(enc, stats, tq, zz, ss, se, al)
+        out.extend(enc.flush())
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -11,13 +11,13 @@ the round-trip encoder), and r05 — progressive JPEG (SOF2: spectral
 selection + successive approximation), GIF (LZW + palette, interlace)
 and lossless WebP (``operators/webp.py``: full VP8L — prefix codes,
 LZ77, color cache, all four transforms) all decode for REAL; operators
-sniff magic bytes and use them automatically; sequential
-arithmetic-coded JPEG (SOF9, ``operators/jpeg_arith.py``: the T.81 QM
-coder + Annex-F conditioning) joined them later in r05.  Formats that
-still need codec libraries (progressive-arithmetic JPEG, lossy/VP8
-WebP, video codecs) fall back to the deterministic ``decode_stub``
-pseudo-features, with ``decode_real`` as the documented seam where
-PIL/ffmpeg plug in.
+sniff magic bytes and use them automatically; arithmetic-coded
+JPEG — sequential SOF9 and progressive SOF10
+(``operators/jpeg_arith.py``: the T.81 QM coder + Annex-F/G
+conditioning) — joined them later in r05.  Formats that still need
+codec libraries (lossy/VP8 WebP, video codecs, hierarchical JPEG)
+fall back to the deterministic ``decode_stub`` pseudo-features, with
+``decode_real`` as the documented seam where PIL/ffmpeg plug in.
 
 Scale notes:
 - payloads stay in executor memory one Arrow batch at a time; tune
@@ -322,11 +322,12 @@ def encode_wav(
 
 def decode_real(payload: bytes):
     """The real-decoder dispatch: PNG (``decode_png``, pure stdlib),
-    baseline + progressive + sequential-arithmetic JPEG
-    (``jpeg.decode_jpeg``), GIF (``decode_gif``), and lossless WebP
+    every JPEG coding mode except hierarchical — baseline,
+    progressive, sequential- and progressive-arithmetic
+    (``jpeg.decode_jpeg``) — GIF (``decode_gif``), and lossless WebP
     (``webp.decode_webp``) decode natively; formats that require codec
-    libraries (progressive-arithmetic JPEG, lossy/VP8 WebP, video
-    codecs) still raise at this seam — plug PIL/ffmpeg in here."""
+    libraries (lossy/VP8 WebP, video codecs) still raise at this seam
+    — plug PIL/ffmpeg in here."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:3] == JPEG_MAGIC:

@@ -123,20 +123,24 @@ def mm_jpeg_progressive(spark, sf_dir):
 
 
 def mm_jpeg_arith(spark, sf_dir):
-    """REAL sequential-arithmetic JPEG (SOF9) decode inside the
-    registered suite (r05): gradient gray payloads are synthesized per
-    sampled doc by ``encode_jpeg_arith`` (T.81 QM coder + Annex-F
-    conditioning, operators/jpeg_arith.py), then ``image_features``'
-    sniffed real decode runs the arithmetic entropy path end-to-end.
-    The gradient content keeps AC coefficients nonzero so the EOB /
-    zero-run / magnitude contexts all adapt on every payload."""
+    """REAL arithmetic-JPEG decode inside the registered suite (r05):
+    gradient gray payloads are synthesized per sampled doc — SOF9
+    (sequential) and SOF10 (progressive) alternating by doc parity —
+    by the T.81 QM-coder encoders (operators/jpeg_arith.py), then
+    ``image_features``' sniffed real decode runs both arithmetic
+    entropy paths end-to-end.  The gradient content keeps AC
+    coefficients nonzero so the EOB / zero-run / magnitude /
+    refinement contexts all adapt on every payload."""
     import pandas as pd
 
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id").filter(F.col("doc_id") % 29 == 0)
 
     def _enc(it):
-        from ..operators.jpeg_arith import encode_jpeg_arith
+        from ..operators.jpeg_arith import (
+            encode_jpeg_arith,
+            encode_jpeg_arith_progressive,
+        )
 
         for pdf in it:
             payloads = []
@@ -147,7 +151,12 @@ def mm_jpeg_arith(spark, sf_dir):
                     for y in range(8)
                     for x in range(16)
                 )
-                payloads.append(encode_jpeg_arith(16, 8, 1, px, quality=85))
+                enc = (
+                    encode_jpeg_arith
+                    if int(d) % 2 == 0
+                    else encode_jpeg_arith_progressive
+                )
+                payloads.append(enc(16, 8, 1, px, quality=85))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

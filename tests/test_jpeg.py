@@ -62,21 +62,22 @@ def test_jpeg_restart_markers_roundtrip():
         assert pix == img.tobytes(), f"restart_interval={ri}"
 
 
-def test_jpeg_doctored_sof2_rejected_and_arith_progressive_raises():
-    """(a) A baseline stream relabeled SOF2 carries a baseline SOS
-    header (Ss=0, Se=63) that is invalid for a progressive DC scan —
-    ValueError, not a mis-decode (stub fallback upstream).  (b) The
-    remaining arithmetic seam — progressive-arithmetic SOF10 — still
-    raises NotImplementedError (sequential SOF9 decodes for real as of
-    r05)."""
+def test_jpeg_doctored_sof_markers_rejected_cleanly():
+    """(a) A baseline stream relabeled SOF2 or SOF10 carries a baseline
+    SOS header (Ss=0, Se=63) that is invalid for a progressive DC scan
+    — ValueError, not a mis-decode (stub fallback upstream).  (b) A
+    genuinely unsupported mode (hierarchical SOF11) still raises
+    NotImplementedError (sequential + progressive arithmetic decode
+    for real as of r05)."""
     decode_jpeg, encode_jpeg = _codec()
     enc = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=90))
     sof = enc.find(b"\xff\xc0")
     assert sof != -1
-    enc[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive scan band"):
-        decode_jpeg(bytes(enc))
-    enc[sof + 1] = 0xCA  # arithmetic progressive
+    for relabel in (0xC2, 0xCA):
+        enc[sof + 1] = relabel
+        with pytest.raises(ValueError, match="progressive scan band"):
+            decode_jpeg(bytes(enc))
+    enc[sof + 1] = 0xCB  # hierarchical/lossless family
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(enc))
 
@@ -568,4 +569,74 @@ def test_arith_parity_property(w, h, ch, quality, sub, seed):
         encode_jpeg(w, h, ch, img, quality=quality, subsampling=sub)
     ) == decode_jpeg(
         encode_jpeg_arith(w, h, ch, img, quality=quality, subsampling=sub)
+    )
+
+
+def test_arith_progressive_matches_baseline_decode_exactly():
+    """SOF10: progressive ARITHMETIC streams are a lossless recoding
+    of the same quantized coefficients — decode must be BYTE-IDENTICAL
+    to the baseline Huffman decode (gray, color, 4:2:0, odd dims,
+    sparse long-zero-run content)."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    decode_jpeg, encode_jpeg = _codec()
+    rng = np.random.RandomState(3)
+    for w, h, ch, sub in [
+        (8, 8, 1, "444"),
+        (17, 9, 1, "444"),
+        (16, 16, 3, "444"),
+        (24, 18, 3, "420"),
+        (33, 31, 3, "420"),
+    ]:
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for q in (50, 90):
+            assert decode_jpeg(
+                encode_jpeg(w, h, ch, img, quality=q, subsampling=sub)
+            ) == decode_jpeg(
+                encode_jpeg_arith_progressive(
+                    w, h, ch, img, quality=q, subsampling=sub
+                )
+            ), (w, h, ch, sub, q)
+    simg = np.zeros((64, 64), dtype=np.uint8)
+    simg[5, 9] = 255
+    simg[40, 33] = 200
+    assert decode_jpeg(
+        encode_jpeg(64, 64, 1, simg.tobytes(), quality=95)
+    ) == decode_jpeg(
+        encode_jpeg_arith_progressive(64, 64, 1, simg.tobytes(), quality=95)
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(min_value=4, max_value=36),
+    h=st.integers(min_value=4, max_value=36),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(min_value=40, max_value=95),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_arith_progressive_parity_property(w, h, ch, quality, sub, seed):
+    """Property: all four stream kinds (baseline, progressive,
+    sequential-arithmetic, progressive-arithmetic) of the same image
+    decode byte-identically."""
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    decode_jpeg, encode_jpeg = _codec()
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    assert decode_jpeg(
+        encode_jpeg(w, h, ch, img, quality=quality, subsampling=sub)
+    ) == decode_jpeg(
+        encode_jpeg_arith_progressive(
+            w, h, ch, img, quality=quality, subsampling=sub
+        )
     )
