@@ -727,3 +727,98 @@ def pmi_collocations_sql(
     CROSS JOIN mt CROSS JOIN nt
     WHERE p.n_pair >= {min_count}
     """
+
+
+def doc_lexical_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity signals a curation pipeline cuts
+    on: type-token ratio (templated/repetitive text scores low) and
+    character-distribution Shannon entropy (natural log; base64 blobs
+    and key-mash score high, natural prose sits in a narrow band).
+
+    Determinism discipline (the surprisal/PMI recipe, taken further —
+    NO float column leaves this operator):
+
+    - ``ttr_e6``: floor(n_types * 10^6 / n_tokens) via pure integer
+      division — exact on any engine;
+    - ``char_entropy_e9``: each character's -p ln p term is truncated
+      ONCE to 1e-9 integer units from exact integer counts, and the
+      per-doc result is a LONG sum of those terms — order-free exact.
+
+    Scale shape: token stats are per-row array expressions (map-only);
+    the entropy pass explodes characters into a (doc, char) count agg
+    whose shuffle is bounded by alphabet size per doc (map-side
+    combine), then one per-doc agg — two exchanges total, both keyed
+    on doc_id so AQE coalesces them."""
+    toks = tokens(text_col)
+    base = df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    ).where(F.col("n_tokens") > 0)
+    chars = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = chars.groupBy(id_col).agg(F.sum("cnt").cast("long").alias("n_ch"))
+    ent = (
+        chars.join(tot, id_col)
+        .select(
+            id_col,
+            F.floor(
+                -F.log(F.col("cnt").cast("double") / F.col("n_ch"))
+                * (F.col("cnt").cast("double") / F.col("n_ch"))
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("e9"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("e9").cast("long").alias("char_entropy_e9"))
+    )
+    return base.join(ent, id_col).select(
+        id_col,
+        "n_tokens",
+        F.expr("n_types * 1000000 div n_tokens").alias("ttr_e6"),
+        "char_entropy_e9",
+    )
+
+
+def doc_lexical_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin of ``doc_lexical_stats`` — identical tokenization,
+    integer division, and per-character floor-scaled entropy terms."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({toks})) AS BIGINT) AS n_types
+  FROM {table}
+  WHERE len({toks}) > 0
+),
+chars AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM {table})
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ch FROM chars GROUP BY 1
+),
+ent AS (
+  SELECT c.doc_id,
+         CAST(sum(CAST(floor(
+           -ln(CAST(cnt AS DOUBLE) / n_ch)
+           * (CAST(cnt AS DOUBLE) / n_ch) * 1e9) AS BIGINT)) AS BIGINT)
+           AS char_entropy_e9
+  FROM chars c JOIN tot t ON c.doc_id = t.doc_id
+  GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_types * 1000000 // b.n_tokens AS BIGINT) AS ttr_e6,
+       e.char_entropy_e9
+FROM base b JOIN ent e ON b.doc_id = e.doc_id
+"""

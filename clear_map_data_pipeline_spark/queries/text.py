@@ -347,6 +347,17 @@ def _pmi_sql() -> str:
     return tx.pmi_collocations_sql(min_count=5)
 
 
+def tx_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc type-token ratio + character-entropy curation signals —
+    every output column an exact integer (scaled-integer discipline;
+    see operators/text.py: doc_lexical_stats)."""
+    t = Tables(spark, sf_dir)
+    return tx.doc_lexical_stats(t.documents)
+
+
+_LEXICAL_SQL = tx.doc_lexical_stats_sql("documents")
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -384,6 +395,13 @@ register_suite(
             [("doc_id", "s"), ("surprisal", "d6")],
         ),
         SubQuery(
+            "tx_lexical_stats",
+            tx_lexical_stats,
+            _LEXICAL_SQL,
+            [("doc_id", "s"), ("n_tokens", "s"), ("ttr_e6", "s"),
+             ("char_entropy_e9", "s")],
+        ),
+        SubQuery(
             "tx_pmi_collocations",
             tx_pmi_collocations,
             _pmi_sql(),
@@ -394,7 +412,8 @@ register_suite(
     doc="Token-accounting suite: whitespace/BPE-ish token counts + "
     "rolling-hash document fingerprints + top-N corpus vocabulary + "
     "per-doc TF-IDF top terms + unigram-LM mean surprisal (r04) + "
-    "adjacent-bigram PMI collocations (r05), each oracle-checked "
+    "adjacent-bigram PMI collocations + TTR/char-entropy lexical "
+    "diversity (r05), each oracle-checked "
     "row-for-row inside the union.",
 )
 

@@ -149,3 +149,35 @@ def test_pmi_collocations_hand_computed(spark):
     assert (yi["n_pair"], yi["n_w1"], yi["n_w2"]) == (2, 3, 2)
     want = math.floor(math.log((2 / 9) / ((3 / 12) * (2 / 12))) * 1e6)
     assert yi["pmi_e6"] == want
+
+
+def test_doc_lexical_stats_hand_computed(spark):
+    """TTR + char entropy on a hand-computable doc: 'a a b' has 3
+    tokens / 2 types (ttr_e6 = 666666 by integer floor division) and
+    char distribution {a:2, ' ':2, b:1} over 5 chars whose entropy
+    terms are floor-scaled per character exactly as the operator
+    defines them; empty docs are absent."""
+    import math
+
+    from clear_map_data_pipeline_spark.operators.text import (
+        doc_lexical_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "xyz")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in doc_lexical_stats(df).collect()}
+    assert 2 not in rows  # zero tokens -> absent
+    r1 = rows[1]
+    assert r1["n_tokens"] == 3
+    assert r1["ttr_e6"] == 666666
+    want = 2 * math.floor(-math.log(2 / 5) * (2 / 5) * 1e9) + math.floor(
+        -math.log(1 / 5) * (1 / 5) * 1e9
+    )
+    assert r1["char_entropy_e9"] == want
+    # all-distinct doc: ttr exactly 1, uniform 1/3 entropy terms
+    r3 = rows[3]
+    assert r3["ttr_e6"] == 1000000
+    assert r3["char_entropy_e9"] == 3 * math.floor(
+        -math.log(1 / 3) * (1 / 3) * 1e9
+    )
