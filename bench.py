@@ -287,6 +287,73 @@ def _dedup_scale_demo(spark, sf_dir: str) -> dict:
     }
 
 
+def _hh_scale_demo(spark) -> dict:
+    """Misra-Gries heavy-hitter economics at a vocabulary the registered
+    fixture cannot show (31 tokens never prune): a deterministic
+    zipf-ish stream of 2M keys over a ~200k vocabulary.  Reports the
+    rows the MG candidate pass actually shuffles (<= capacity per
+    partition + sentinels) against the rows the naive one-pass groupBy
+    would shuffle after map-side combine (per-partition distinct keys)
+    — the 100 TB claim behind sk_heavy_tokens — plus an exactness
+    check against the literal groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.sketches import (
+        heavy_hitters,
+        mg_candidates,
+    )
+
+    n_rows, n_keys, parts, phi_denom = 2_000_000, 200_000, 32, 500
+    keys = (
+        spark.range(n_rows)
+        .repartition(parts)
+        .select(
+            F.concat(
+                F.lit("k"),
+                F.floor(
+                    F.pow(
+                        F.lit(float(n_keys)),
+                        (F.pmod(F.xxhash64("id"), 10**6) / F.lit(1e6)),
+                    )
+                ).cast("long"),
+            ).alias("token")
+        )
+    )
+    keys = keys.persist()
+    try:
+        mg_rows = mg_candidates(keys, "token", capacity=phi_denom).count()
+        naive_rows = (
+            keys.groupBy(F.spark_partition_id().alias("p"), "token")
+            .count()
+            .count()
+        )
+        got = {
+            (r["token"], r["freq"])
+            for r in heavy_hitters(keys, "token", phi_denom).collect()
+        }
+        n_total = keys.count()
+        want = {
+            (r["token"], r["cnt"])
+            for r in keys.groupBy("token")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .where(F.col("cnt") * phi_denom > F.lit(n_total))
+            .collect()
+        }
+        vocab = keys.distinct().count()
+    finally:
+        keys.unpersist()
+    return {
+        "n_rows": n_rows,
+        "vocabulary": vocab,
+        "phi_denom": phi_denom,
+        "mg_shuffle_rows": mg_rows,
+        "naive_shuffle_rows": naive_rows,
+        "shuffle_reduction_x": round(naive_rows / max(mg_rows, 1), 1),
+        "n_heavy": len(want),
+        "exact_match": got == want,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -360,6 +427,7 @@ def main() -> None:
     ivf_scale_demo = _ivf_scale_demo(spark)
     lsh_scale_demo = _lsh_scale_demo(spark)
     dedup_scale_demo = _dedup_scale_demo(spark, sf_dir)
+    hh_scale_demo = _hh_scale_demo(spark)
 
     # same discipline for the LSH path: recall vs the exact all-pairs
     # baseline at its 0.35 threshold, measured AT THE REGISTERED
@@ -423,6 +491,10 @@ def main() -> None:
                 "lsh_scale_demo": lsh_scale_demo,
                 # flagship dedup chain at 10x corpus: wall + CC rounds
                 "dedup_scale_demo": dedup_scale_demo,
+                # MG heavy hitters on a 200k vocabulary: bounded
+                # candidate shuffle vs the naive per-partition-distinct
+                # shuffle, answer still exact
+                "hh_scale_demo": hh_scale_demo,
                 "ann_lsh_recall": round(lsh_recall_reg, 3),
                 "ann_lsh_candidate_fraction": round(lsh_cand_frac_reg, 3),
                 "ann_lsh_cheap_recall": round(lsh_recall_cheap, 3),
