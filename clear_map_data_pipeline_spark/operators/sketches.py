@@ -624,3 +624,111 @@ SELECT {key_col}, freq, n_total FROM (
 )
 WHERE freq * {phi_denom} > n_total
 """
+
+
+# --- HLL corpus-overlap estimation ------------------------------------
+
+
+def _hll_summary(regs: DataFrame, suffix: str) -> DataFrame:
+    """One-row (est, n_buckets, sum_rho) summary of a register table,
+    column names suffixed so three summaries can cross-join."""
+    return regs.agg(
+        (
+            F.lit(_HLL_NUM)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+                + (HLL_M - F.count("*"))
+            )
+        ).alias(f"est_{suffix}"),
+        F.count("*").cast("long").alias(f"nb_{suffix}"),
+        F.sum("mj").cast("long").alias(f"sr_{suffix}"),
+    )
+
+
+def hll_overlap(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
+    """Cross-corpus overlap estimation from HLL register algebra: the
+    planning signal ("how much does snapshot B duplicate snapshot A?")
+    a pipeline reads BEFORE committing to a full cross-corpus dedup.
+
+    |A ∩ B| is estimated by inclusion-exclusion est(A) + est(B) -
+    est(A ∪ B), where the union's registers are the elementwise MAX of
+    the two sides' registers — the mergeable-sketch property under
+    test: no element-level work happens, each corpus is scanned once
+    and contributes <= 64 register rows regardless of size.  At 100 TB
+    the two scans are embarrassingly parallel and the merge is 128
+    rows.
+
+    One output row with the three estimates, the derived overlap
+    (inclusion-exclusion on doubles computed identically on both
+    engines; can be slightly negative when the sketches' errors
+    disagree — reported raw), and exact-integer register evidence per
+    side so the oracle hash certifies construction.  NULL keys are
+    ignored on both sides."""
+    rl = hll_registers(left.where(F.col(col).isNotNull()), col)
+    rr = hll_registers(right.where(F.col(col).isNotNull()), col)
+    ru = (
+        rl.unionByName(rr)
+        .groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    from ..cachereg import pin
+
+    rl, rr = pin(rl), pin(rr)
+    out = (
+        _hll_summary(rl, "left")
+        .crossJoin(F.broadcast(_hll_summary(rr, "right")))
+        .crossJoin(F.broadcast(_hll_summary(ru, "union")))
+    )
+    return out.select(
+        "est_left",
+        "est_right",
+        "est_union",
+        (
+            F.col("est_left") + F.col("est_right") - F.col("est_union")
+        ).alias("est_overlap"),
+        "nb_left",
+        "sr_left",
+        "nb_right",
+        "sr_right",
+        "nb_union",
+        "sr_union",
+    )
+
+
+def hll_overlap_sql(left_view: str, right_view: str, col: str) -> str:
+    """DuckDB twin of ``hll_overlap`` — same registers, same MAX merge,
+    same inclusion-exclusion expression shape."""
+    h = hash31_sql(col)
+
+    def regs(view: str) -> str:
+        return f"""
+  SELECT h // {_REM_MOD} AS bucket,
+         max(CASE WHEN h % {_REM_MOD} = 0 THEN {_RHO_MAX}
+                  ELSE {_RHO_MAX} - length(bin(h % {_REM_MOD})) END) AS mj
+  FROM (SELECT {h} AS h FROM {view} WHERE {col} IS NOT NULL)
+  GROUP BY 1"""
+
+    def summ(src: str, suffix: str) -> str:
+        return f"""
+  SELECT {_HLL_NUM!r} / (sum(pow(2.0, -mj)) + ({HLL_M} - count(*)))
+           AS est_{suffix},
+         CAST(count(*) AS BIGINT) AS nb_{suffix},
+         CAST(sum(mj) AS BIGINT) AS sr_{suffix}
+  FROM {src}"""
+
+    return f"""
+WITH lr AS ({regs(left_view)}),
+rr AS ({regs(right_view)}),
+ur AS (
+  SELECT bucket, max(mj) AS mj
+  FROM (SELECT * FROM lr UNION ALL SELECT * FROM rr)
+  GROUP BY 1
+),
+ls AS ({summ('lr', 'left')}),
+rs AS ({summ('rr', 'right')}),
+us AS ({summ('ur', 'union')})
+SELECT est_left, est_right, est_union,
+       est_left + est_right - est_union AS est_overlap,
+       nb_left, sr_left, nb_right, sr_right, nb_union, sr_union
+FROM ls, rs, us
+"""

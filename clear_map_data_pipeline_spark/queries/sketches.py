@@ -168,6 +168,30 @@ def sk_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_SQL = sk.heavy_hitters_sql(_HH_TOKS_VIEW, "token", _HH_PHI_DENOM)
 
 
+# --- HLL cross-corpus overlap ------------------------------------------
+
+_OV_LEFT = "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+_OV_RIGHT = "(SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')"
+
+
+def sk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer overlap between the URGENT and LOW order snapshots by
+    HLL register algebra: two one-scan sketches, a 128-row MAX merge,
+    inclusion-exclusion — the pre-dedup planning signal (see
+    operators/sketches.py: hll_overlap)."""
+    t = Tables(spark, sf_dir)
+    left = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    right = t.orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    )
+    return sk.hll_overlap(left, right, "o_custkey")
+
+
+_OV_SQL = sk.hll_overlap_sql(_OV_LEFT, _OV_RIGHT, "o_custkey")
+
+
 register_suite(
     "suite_sketches",
     [
@@ -206,6 +230,18 @@ register_suite(
             sk_heavy_tokens,
             _HH_SQL,
             [("token", "s"), ("freq", "s"), ("n_total", "s")],
+        ),
+        SubQuery(
+            "sk_hll_overlap",
+            sk_hll_overlap,
+            _OV_SQL,
+            [
+                ("est_left", "d2"), ("est_right", "d2"),
+                ("est_union", "d2"), ("est_overlap", "d2"),
+                ("nb_left", "s"), ("sr_left", "s"),
+                ("nb_right", "s"), ("sr_right", "s"),
+                ("nb_union", "s"), ("sr_union", "s"),
+            ],
         ),
         SubQuery(
             "sk_profile_documents",

@@ -336,3 +336,52 @@ def test_mg_candidates_capacity_validation(spark):
     df = spark.range(5).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError):
         sk.mg_candidates(df, "k", capacity=0)
+
+
+def test_hll_overlap_estimates_and_merge_identity(spark, sf_dir):
+    """Inclusion-exclusion overlap: (a) the union estimate computed
+    from MAX-merged registers must EQUAL the estimate of sketching the
+    concatenated corpus directly (merge identity — the property that
+    makes the two scans independent at 100 TB); (b) every estimate
+    lands within the 64-register error envelope of its exact truth."""
+    t = Tables(spark, sf_dir)
+    left = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    right = t.orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    )
+    (row,) = sk.hll_overlap(left, right, "o_custkey").collect()
+    (direct,) = sk.hll_distinct(
+        left.unionByName(right), "o_custkey"
+    ).collect()
+    assert abs(row["est_union"] - direct["hll_est"]) < 1e-9  # merge identity
+    na = left.distinct().count()
+    nb = right.distinct().count()
+    nu = left.unionByName(right).distinct().count()
+    # 1.04/sqrt(64) = 13% standard error; allow 4 sigma per estimate
+    for est, truth in [
+        (row["est_left"], na),
+        (row["est_right"], nb),
+        (row["est_union"], nu),
+    ]:
+        assert abs(est - truth) / truth < 0.52, (est, truth)
+    # overlap inherits the combined error of three estimates
+    true_ov = na + nb - nu
+    assert abs(row["est_overlap"] - true_ov) < 1.6 * max(na, nb)
+
+
+def test_hll_overlap_disjoint_and_identical_corpora(spark):
+    """Two fixed points: identical corpora (overlap estimate == each
+    side's estimate, union registers identical) and disjoint corpora
+    (union evidence strictly dominates each side's)."""
+    a = spark.range(0, 4000).select(F.col("id").alias("k"))
+    b = spark.range(4000, 8000).select(F.col("id").alias("k"))
+    (same,) = sk.hll_overlap(a, a, "k").collect()
+    assert same["est_union"] == same["est_left"] == same["est_right"]
+    assert abs(same["est_overlap"] - same["est_left"]) < 1e-9
+    assert same["nb_union"] == same["nb_left"]
+    assert same["sr_union"] == same["sr_left"]
+    (disj,) = sk.hll_overlap(a, b, "k").collect()
+    assert disj["sr_union"] >= max(disj["sr_left"], disj["sr_right"])
+    assert disj["est_union"] > max(disj["est_left"], disj["est_right"])
