@@ -13,9 +13,10 @@ Scope: baseline and extended-sequential Huffman JPEGs (SOF0/SOF1) AND
 progressive Huffman JPEGs (SOF2: spectral selection + successive
 approximation, the second-most-common web format — r05) with 8-bit
 samples.  Arithmetic entropy coding — sequential (SOF9) AND
-progressive (SOF10) — decodes via ``operators/jpeg_arith.py``;
-hierarchical/lossless modes still raise, keeping the documented stub
-fallback for those.  The round-trip
+progressive (SOF10) — decodes via ``operators/jpeg_arith.py``, and
+lossless JPEG (SOF3, Annex-H predictors) via
+``operators/jpeg_lossless.py``; hierarchical modes still raise,
+keeping the documented stub fallback for those.  The round-trip
 companion ``encode_jpeg_progressive`` emits a standard multi-scan
 script (DC first/refine, split AC bands, two successive-approximation
 refinement passes) so the decoder's EOB-run, ZRL-in-refinement, and
@@ -244,6 +245,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     frame = None
     progressive = False
     arithmetic = False
+    lossless = False
     store: dict[int, np.ndarray] = {}
     any_scan = False
     restart = 0
@@ -266,7 +268,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated JPEG header")
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         seg = data[pos + 4 : pos + 2 + seglen]
-        if m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1/2/3/9/10
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG samples supported")
@@ -277,6 +279,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             frame = (w, h, comps)
             progressive = m in (0xC2, 0xCA)
             arithmetic = m in (0xC9, 0xCA)
+            lossless = m == 0xC3
             if progressive:
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -289,7 +292,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
                     for cid, ch, cv, _tq in comps
                 }
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "non-baseline JPEG mode not supported — stub fallback"
             )
@@ -341,6 +344,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tdta >> 4, tdta & 0xF)
+            if lossless:
+                from .jpeg_lossless import decode_scan_lossless
+
+                pred_sel = seg[1 + 2 * ns]  # Ss carries the predictor
+                return decode_scan_lossless(
+                    data, pos + 2 + seglen, frame, scan, huff, pred_sel,
+                    restart,
+                )
             if not progressive:
                 if arithmetic:
                     from .jpeg_arith import decode_scan_arith

@@ -323,8 +323,8 @@ def encode_wav(
 def decode_real(payload: bytes):
     """The real-decoder dispatch: PNG (``decode_png``, pure stdlib),
     every JPEG coding mode except hierarchical — baseline,
-    progressive, sequential- and progressive-arithmetic
-    (``jpeg.decode_jpeg``) — GIF (``decode_gif``), and lossless WebP
+    progressive, sequential- and progressive-arithmetic, and lossless
+    SOF3 (``jpeg.decode_jpeg``) — GIF (``decode_gif``), and lossless WebP
     (``webp.decode_webp``) decode natively; formats that require codec
     libraries (lossy/VP8 WebP, video codecs) still raise at this seam
     — plug PIL/ffmpeg in here."""

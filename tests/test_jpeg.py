@@ -640,3 +640,91 @@ def test_arith_progressive_parity_property(w, h, ch, quality, sub, seed):
             w, h, ch, img, quality=quality, subsampling=sub
         )
     )
+
+
+def test_lossless_jpeg_exact_roundtrip_all_predictors():
+    """SOF3 is truly lossless: decode(encode(img)) must equal the
+    input BYTE-FOR-BYTE for every Annex-H predictor, gray and RGB,
+    degenerate 1-pixel/1-row/1-column shapes, and noise content —
+    strictly stronger than the coefficient identity the lossy modes
+    pin."""
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    decode_jpeg, _ = _codec()
+    rng = np.random.RandomState(5)
+    for w, h, ch in [(8, 8, 1), (17, 9, 1), (16, 16, 3), (1, 1, 1),
+                     (40, 1, 3), (1, 25, 1)]:
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for pred in range(1, 8):
+            assert decode_jpeg(
+                encode_jpeg_lossless(w, h, ch, img, predictor=pred)
+            ) == (w, h, ch, img), (w, h, ch, pred)
+
+
+def test_lossless_jpeg_restart_intervals_exact():
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    decode_jpeg, _ = _codec()
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, size=(20, 16), dtype=np.uint8).tobytes()
+    for ri in (1, 3, 7):
+        assert decode_jpeg(
+            encode_jpeg_lossless(16, 20, 1, img, predictor=4,
+                                 restart_interval=ri)
+        ) == (16, 20, 1, img), ri
+
+
+def test_lossless_jpeg_prediction_compresses_smooth_content():
+    """On a smooth gradient the predictor residuals are tiny — the
+    stream must be much smaller than the raw pixels (sanity that
+    prediction, not just entropy coding, is doing the work)."""
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    img = ((xx + yy) % 256).astype(np.uint8).tobytes()
+    enc = encode_jpeg_lossless(64, 64, 1, img, predictor=4)
+    assert len(enc) < len(img) * 0.5
+
+
+def test_lossless_jpeg_validation():
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(4, 4, 1, bytes(16), predictor=0)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(4, 4, 1, bytes(16), predictor=8)
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_jpeg_lossless(4, 4, 1, bytes(15))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    ch=st.sampled_from([1, 3]),
+    pred=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_lossless_jpeg_roundtrip_property(w, h, ch, pred, seed):
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    decode_jpeg, _ = _codec()
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    assert decode_jpeg(
+        encode_jpeg_lossless(w, h, ch, img, predictor=pred)
+    ) == (w, h, ch, img)
