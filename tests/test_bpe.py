@@ -1,0 +1,101 @@
+"""Distributed BPE merge training (operators/bpe.py) — exact replay
+against a pure-Python single-process reference on the same counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clear_map_data_pipeline_spark.operators import bpe
+
+
+def _py_replay(word_counts: dict, n_merges: int, min_pair_count: int = 2):
+    """The reference algorithm, verbatim: exact counts, lexicographic
+    (first, second) tie-break, left-to-right non-overlapping merge."""
+    words = {w: list(w) + [bpe.END_MARK] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((a, b, n))
+        for w in words:
+            syms, res, i = words[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return merges, words
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newer newer newer newer newer newer",
+    "newest newest newest widest widest wider",
+    "low lower lowest newer new",
+]
+
+
+def test_train_bpe_matches_python_replay(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    merges, final_words = bpe.train_bpe(df, n_merges=12)
+    wc = {
+        r["word"]: r["cnt"]
+        for r in bpe.word_counts(df).collect()
+    }
+    want_merges, want_words = _py_replay(wc, 12)
+    assert merges == want_merges
+    got_words = {
+        r["word"]: list(r["syms"]) for r in final_words.collect()
+    }
+    assert got_words == want_words
+    # and the standalone segmenter agrees with the trained state
+    for w, syms in got_words.items():
+        assert bpe.bpe_segment(w, merges) == syms
+
+
+def test_train_bpe_repartition_invariant(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    m1, _ = bpe.train_bpe(df.repartition(1), n_merges=8)
+    m7, _ = bpe.train_bpe(df.repartition(7), n_merges=8)
+    assert m1 == m7
+
+
+def test_train_bpe_early_stop_when_no_repeats(spark):
+    # every adjacent pair unique -> nothing reaches min_pair_count=2
+    df = spark.createDataFrame([("abcdef ghijkl",)], ["text"])
+    merges, _ = bpe.train_bpe(df, n_merges=5)
+    assert merges == []
+
+
+def test_train_bpe_validation(spark):
+    df = spark.createDataFrame([("a a",)], ["text"])
+    with pytest.raises(ValueError):
+        bpe.train_bpe(df, n_merges=0)
+
+
+def test_train_bpe_on_fixture_documents(spark, sf_dir):
+    """On the real documents table the learned merges must replay
+    exactly, checkpoint rotation included (n_merges crosses the
+    localCheckpoint boundary)."""
+    from clear_map_data_pipeline_spark.session import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("text")
+    merges, _ = bpe.train_bpe(docs, n_merges=13)
+    wc = {r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()}
+    want, _w = _py_replay(wc, 13)
+    assert merges == want
+    assert len(merges) == 13  # fixture has plenty of repeated pairs
