@@ -147,7 +147,12 @@ def train_bpe(
         nxt = _merge_pair_in_words(words, first, second)
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             nxt = nxt.localCheckpoint(eager=True)
+        prev = words
         words = pin(nxt)
+        # materialize the new round eagerly, then drop the previous
+        # round's cache — storage stays O(1) in rounds, not O(n_merges)
+        words.count()
+        prev.unpersist()
     return merges, words
 
 

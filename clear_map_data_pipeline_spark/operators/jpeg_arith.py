@@ -409,6 +409,25 @@ def _decode_ac(
         k += 1
 
 
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Skip any unread entropy/flush bytes (incl. stuffed FF00 pairs)
+    and return the offset of the next real marker's 0xFF."""
+    while pos + 1 < len(data) and not (
+        data[pos] == 0xFF and data[pos + 1] != 0x00
+    ):
+        pos += 1
+    return pos
+
+
+def _restart_decoder(data, dec) -> "ArithDecoder":
+    """Locate and consume the RSTn at the decoder's current position;
+    return a fresh decoder starting after it."""
+    p = _next_marker_pos(data, dec.raw_pos)
+    if p + 1 >= len(data) or not 0xD0 <= data[p + 1] <= 0xD7:
+        raise ValueError("missing JPEG restart marker")
+    return ArithDecoder(data, p + 2)
+
+
 def decode_scan_arith(data, pos, frame, scan, qt, cond, restart):
     """Sequential arithmetic-coded scan (SOF9) covering all frame
     components — the arithmetic twin of ``jpeg._decode_scan``.
@@ -429,15 +448,7 @@ def decode_scan_arith(data, pos, frame, scan, qt, cond, restart):
     n_mcu = mcux * mcuy
     for idx in range(n_mcu):
         if restart and idx and idx % restart == 0:
-            # skip any unread flush tail, verify RSTn, re-init all
-            p = dec.raw_pos
-            while p + 1 < len(data) and not (
-                data[p] == 0xFF and data[p + 1] != 0x00
-            ):
-                p += 1
-            if p + 1 >= len(data) or not 0xD0 <= data[p + 1] <= 0xD7:
-                raise ValueError("missing JPEG restart marker")
-            dec = ArithDecoder(data, p + 2)
+            dec = _restart_decoder(data, dec)
             stats.reset()
         my, mx = divmod(idx, mcux)
         for cid, ch, cv, tq in comps:
@@ -551,6 +562,33 @@ def _encode_ac(enc, stats, tbl, cond, zz: list[int], ss=1, se=63, al=0) -> None:
         enc.encode(area, st, 1)  # EOB
 
 
+def _emit_arith_headers(seg, padded, ql, qc, ch, sof_marker, w, h) -> dict:
+    """Shared front matter for both arithmetic encoders: JFIF APP0,
+    quality-scaled DQT (zigzag order), the SOF segment, and a DAC
+    spelling the spec-default conditioning explicitly (DC: U=1, L=0;
+    AC: Kx=5) for every table id in use.  Returns the conditioning
+    dict the entropy layer reads."""
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, tab in ([(0, ql)] if ch == 1 else [(0, ql), (1, qc)]):
+        seg(
+            0xDB,
+            bytes([tq]) + bytes(int(tab.flat[ZIGZAG[i]]) for i in range(64)),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(padded))
+    for cid, chf, cvf, tq, _p in padded:
+        sof += bytes([cid, (chf << 4) | cvf, tq])
+    seg(sof_marker, sof)
+    cond: dict = {}
+    dac = b""
+    for tq in sorted({p[3] for p in padded}):
+        dac += bytes([(0 << 4) | tq, (1 << 4) | 0])
+        dac += bytes([(1 << 4) | tq, 5])
+        cond[("dc", tq)] = (0, 1)
+        cond[("ac", tq)] = 5
+    seg(0xCC, dac)
+    return cond
+
+
 def encode_jpeg_arith(
     w: int,
     h: int,
@@ -577,27 +615,8 @@ def encode_jpeg_arith(
             b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
         )
 
-    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tq, tab in ([(0, ql)] if ch == 1 else [(0, ql), (1, qc)]):
-        body = bytes([tq]) + bytes(
-            int(tab.flat[ZIGZAG[i]]) for i in range(64)
-        )
-        seg(0xDB, body)
     # SOF9: extended sequential, arithmetic entropy coding
-    sof = struct.pack(">BHHB", 8, h, w, len(padded))
-    for cid, chf, cvf, tq, _p in padded:
-        sof += bytes([cid, (chf << 4) | cvf, tq])
-    seg(0xC9, sof)
-    # DAC: spec-default conditioning, spelled explicitly (DC: U=1,L=0;
-    # AC: Kx=5) for every table id in use
-    cond: dict = {}
-    dac = b""
-    for tq in sorted({p[3] for p in padded}):
-        dac += bytes([(0 << 4) | tq, (1 << 4) | 0])
-        dac += bytes([(1 << 4) | tq, 5])
-        cond[("dc", tq)] = (0, 1)
-        cond[("ac", tq)] = 5
-    seg(0xCC, dac)
+    cond = _emit_arith_headers(seg, padded, ql, qc, ch, 0xC9, w, h)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(padded)])
@@ -720,14 +739,7 @@ def decode_progressive_scan_arith(
     stats = _ScanStats(comps_meta, cond)
     for i, unit in enumerate(mcus):
         if restart and i and i % restart == 0:
-            p = dec.raw_pos
-            while p + 1 < len(data) and not (
-                data[p] == 0xFF and data[p + 1] != 0x00
-            ):
-                p += 1
-            if p + 1 >= len(data) or not 0xD0 <= data[p + 1] <= 0xD7:
-                raise ValueError("missing JPEG restart marker")
-            dec = ArithDecoder(data, p + 2)
+            dec = _restart_decoder(data, dec)
             stats.reset()
         for cid, by, bx in unit:
             coef = store[cid][by, bx]
@@ -741,12 +753,7 @@ def decode_progressive_scan_arith(
                 _decode_ac(dec, stats, ta, cond, coef, ss, se, al)
             else:
                 _decode_ac_refine(dec, stats, ta, coef, ss, se, al)
-    p = dec.raw_pos
-    while p + 1 < len(data) and not (
-        data[p] == 0xFF and data[p + 1] != 0x00
-    ):
-        p += 1
-    return p
+    return _next_marker_pos(data, dec.raw_pos)
 
 
 def encode_jpeg_arith_progressive(
@@ -788,24 +795,8 @@ def encode_jpeg_arith_progressive(
             b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
         )
 
-    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tq, tab in ([(0, ql)] if ch == 1 else [(0, ql), (1, qc)]):
-        seg(
-            0xDB,
-            bytes([tq]) + bytes(int(tab.flat[ZIGZAG[i]]) for i in range(64)),
-        )
-    sof = struct.pack(">BHHB", 8, h, w, len(padded))
-    for cid, chf, cvf, tq, _p in padded:
-        sof += bytes([cid, (chf << 4) | cvf, tq])
-    seg(0xCA, sof)  # SOF10: progressive, arithmetic
-    cond: dict = {}
-    dac = b""
-    for tq in sorted({p[3] for p in padded}):
-        dac += bytes([(0 << 4) | tq, (1 << 4) | 0])
-        dac += bytes([(1 << 4) | tq, 5])
-        cond[("dc", tq)] = (0, 1)
-        cond[("ac", tq)] = 5
-    seg(0xCC, dac)
+    # SOF10: progressive, arithmetic entropy coding
+    cond = _emit_arith_headers(seg, padded, ql, qc, ch, 0xCA, w, h)
 
     all_cids = [p[0] for p in padded]
     scans: list[tuple[list[int], int, int, int, int]] = [

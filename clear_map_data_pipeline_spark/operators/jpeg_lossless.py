@@ -64,6 +64,30 @@ def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
     raise ValueError(f"invalid lossless predictor {sel}")
 
 
+def _predictor_at(p, idx, base, x, y, w, sel, default):
+    """Prediction per T.81 H.1.1 with restart-interval reset: a restart
+    behaves exactly like the start of a scan in LOCAL geometry —
+    ``local = idx - base`` — so no prediction ever references a sample
+    decoded before the interval began.  First sample of the interval:
+    the default 2^(P-Pt-1); remainder of the interval's first line:
+    the 1-D Ra predictor; later lines: Rb at line starts, the selected
+    predictor elsewhere (their Rb/Rc neighbours are one full line into
+    the interval, hence post-restart).  For a mid-row restart whose
+    first "line" wraps, the x == 0 corner has no in-interval
+    neighbour and falls back to the default (real encoders restart on
+    row boundaries, where this never fires)."""
+    local = idx - base
+    if local == 0:
+        return default
+    if local < w:  # first line of the interval: 1-D predictor
+        return int(p[y, x - 1]) if x > 0 else default
+    if x == 0:
+        return int(p[y - 1, 0])
+    return _predict(
+        int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1]), sel
+    )
+
+
 def decode_scan_lossless(data, pos, frame, scan, huff, pred_sel, restart):
     """Decode one lossless scan covering all frame components
     (equal sampling factors, interleaved sample-per-MCU order).
@@ -80,26 +104,15 @@ def decode_scan_lossless(data, pos, frame, scan, huff, pred_sel, restart):
     default = 128  # 2^(P - Pt - 1) for 8-bit, Pt=0
     n_samples = w * h
     ri = restart
+    base = 0  # first sample index of the current restart interval
     for idx in range(n_samples):
         y, x = divmod(idx, w)
-        restarted = ri and idx and idx % ri == 0
-        if restarted:
+        if ri and idx and idx % ri == 0:
             rd.align_to_restart()
+            base = idx
         for ci in range(ncomp):
             p = planes[ci]
-            if restarted or idx == 0:
-                pr = default
-            elif y == 0:
-                pr = int(p[0, x - 1])  # first line: Ra
-            elif x == 0:
-                pr = int(p[y - 1, 0])  # first column: Rb
-            else:
-                pr = _predict(
-                    int(p[y, x - 1]),
-                    int(p[y - 1, x]),
-                    int(p[y - 1, x - 1]),
-                    pred_sel,
-                )
+            pr = _predictor_at(p, idx, base, x, y, w, pred_sel, default)
             t = rd.decode_huffman(tabs[ci])
             if t == 16:  # special: diff = 32768, no extension bits
                 diff = 32768
@@ -172,29 +185,18 @@ def encode_jpeg_lossless(
 
     ri = restart_interval
     n_samples = w * h
+    base = 0
     for idx in range(n_samples):
         y, x = divmod(idx, w)
-        restarted = ri and idx and idx % ri == 0
-        if restarted:
+        if ri and idx and idx % ri == 0:
             bw.flush()
             out.extend(bw.out)
             bw = _BitWriter()
             out.extend(b"\xff" + bytes([0xD0 + (idx // ri - 1) % 8]))
+            base = idx
         for ci in range(ch):
             p = img[:, :, ci]
-            if restarted or idx == 0:
-                pr = default
-            elif y == 0:
-                pr = int(p[0, x - 1])
-            elif x == 0:
-                pr = int(p[y - 1, 0])
-            else:
-                pr = _predict(
-                    int(p[y, x - 1]),
-                    int(p[y - 1, x]),
-                    int(p[y - 1, x - 1]),
-                    predictor,
-                )
+            pr = _predictor_at(p, idx, base, x, y, w, predictor, default)
             diff = int(p[y, x]) - pr
             t, code = magnitude(diff)
             ln, c = enc_tab[t]

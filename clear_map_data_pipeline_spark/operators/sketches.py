@@ -148,23 +148,31 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     return hll_distinct_many(df, [col])
 
 
+def _regs_sql(source: str, col: str, not_null: bool = False) -> str:
+    """The (bucket, mj) register-table SQL fragment every HLL oracle
+    shares — ONE generator so a register-encoding change cannot drift
+    between the distinct, per-group, and overlap twins."""
+    h = hash31_sql(col)
+    where = f" WHERE {col} IS NOT NULL" if not_null else ""
+    return f"""
+  SELECT h // {_REM_MOD} AS bucket,
+         max(CASE WHEN h % {_REM_MOD} = 0 THEN {_RHO_MAX}
+                  ELSE {_RHO_MAX} - length(bin(h % {_REM_MOD})) END) AS mj
+  FROM (SELECT {h} AS h FROM {source}{where})
+  GROUP BY 1"""
+
+
 def hll_distinct_sql(table: str, col: str) -> str:
     """DuckDB twin of ``hll_distinct`` — generated from the same
     constants (hash via ``hash31_sql``, numerator via ``repr`` of the
     same Python double) so engine and oracle cannot drift."""
-    h = hash31_sql(col)
     return f"""
 SELECT '{col}' AS key_col,
        (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {table}) AS n_exact,
        {_HLL_NUM!r} / (sum(pow(2.0, -mj)) + ({HLL_M} - count(*))) AS hll_est,
        CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(mj) AS BIGINT) AS sum_rho
-FROM (
-  SELECT h // {_REM_MOD} AS bucket,
-         max(CASE WHEN h % {_REM_MOD} = 0 THEN {_RHO_MAX}
-                  ELSE {_RHO_MAX} - length(bin(h % {_REM_MOD})) END) AS mj
-  FROM (SELECT {h} AS h FROM {table})
-  GROUP BY 1
+FROM ({_regs_sql(table, col)}
 )
 """
 
@@ -527,16 +535,19 @@ def mg_candidates(
     ``wt = 0`` plus ONE sentinel row (key NULL, ``wt`` = partition's
     non-null key count), so a single pass yields both the candidate
     union and the exact global mass N — no second scan for the total.
+    The key column keeps its input type (string, long, ...).
 
     NULL keys are ignored (not counted, never candidates).
 
     Why this beats the one-pass groupBy at 100 TB: a full token count
     shuffles one row per DISTINCT key per partition (web-scale
     vocabularies: billions of rows even after map-side combine), while
-    the MG pass shuffles <= capacity rows per partition REGARDLESS of
-    vocabulary size.  The price is a second source scan for the exact
-    verify pass (heavy_hitters below) — scans are cheap, shuffles are
-    not."""
+    the MG pass shuffles at most prune_factor * capacity + 1 rows per
+    partition REGARDLESS of vocabulary size (the dict is pruned back
+    to <= capacity whenever it exceeds the limit, so the final state
+    is bounded by the limit, not by capacity).  The price is a second
+    source scan for the exact verify pass (heavy_hitters below) —
+    scans are cheap, shuffles are not."""
     import pandas as pd  # noqa: PLC0415 - executor-side import
 
     if capacity < 1:
@@ -559,13 +570,18 @@ def mg_candidates(
                 }
         yield pd.DataFrame(
             {
-                key_col: list(counters.keys()) + [None],
+                # object dtype so the NULL sentinel coexists with any
+                # key type (Arrow casts to the declared schema)
+                key_col: pd.Series(
+                    list(counters.keys()) + [None], dtype=object
+                ),
                 "wt": [0] * len(counters) + [n_rows],
             }
         )
 
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.select(key_col).mapInPandas(
-        run, schema=f"{key_col} string, wt long"
+        run, schema=f"{key_col} {key_type}, wt long"
     )
 
 
@@ -698,15 +714,8 @@ def hll_overlap(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
 def hll_overlap_sql(left_view: str, right_view: str, col: str) -> str:
     """DuckDB twin of ``hll_overlap`` — same registers, same MAX merge,
     same inclusion-exclusion expression shape."""
-    h = hash31_sql(col)
-
     def regs(view: str) -> str:
-        return f"""
-  SELECT h // {_REM_MOD} AS bucket,
-         max(CASE WHEN h % {_REM_MOD} = 0 THEN {_RHO_MAX}
-                  ELSE {_RHO_MAX} - length(bin(h % {_REM_MOD})) END) AS mj
-  FROM (SELECT {h} AS h FROM {view} WHERE {col} IS NOT NULL)
-  GROUP BY 1"""
+        return _regs_sql(view, col, not_null=True)
 
     def summ(src: str, suffix: str) -> str:
         return f"""

@@ -728,3 +728,30 @@ def test_lossless_jpeg_roundtrip_property(w, h, ch, pred, seed):
     assert decode_jpeg(
         encode_jpeg_lossless(w, h, ch, img, predictor=pred)
     ) == (w, h, ch, img)
+
+
+def test_lossless_jpeg_restart_intervals_are_independent():
+    """T.81 restart semantics: prediction and entropy state reset at
+    every RSTn, so an interval's encoded bytes depend ONLY on its own
+    samples.  Two images differing only in row 0, encoded with one
+    row per interval, must produce byte-identical streams after the
+    first restart marker — and both must round-trip exactly."""
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    decode_jpeg, _ = _codec()
+    w, h = 12, 6
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    b = a.copy()
+    b[0] = (b[0] + 97) % 256  # perturb only the first row
+    ea = encode_jpeg_lossless(w, h, 1, a.tobytes(), predictor=4,
+                              restart_interval=w)
+    eb = encode_jpeg_lossless(w, h, 1, b.tobytes(), predictor=4,
+                              restart_interval=w)
+    assert decode_jpeg(ea) == (w, h, 1, a.tobytes())
+    assert decode_jpeg(eb) == (w, h, 1, b.tobytes())
+    ra, rb = ea.find(b"\xff\xd0"), eb.find(b"\xff\xd0")
+    assert ra != -1 and rb != -1
+    assert ea[ra:] == eb[rb:], "post-restart bytes must not depend on row 0"

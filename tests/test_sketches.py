@@ -385,3 +385,14 @@ def test_hll_overlap_disjoint_and_identical_corpora(spark):
     (disj,) = sk.hll_overlap(a, b, "k").collect()
     assert disj["sr_union"] >= max(disj["sr_left"], disj["sr_right"])
     assert disj["est_union"] > max(disj["est_left"], disj["est_right"])
+
+
+def test_heavy_hitters_on_numeric_keys(spark):
+    """The API is key-type generic: a LONG key column flows through
+    the Arrow pass and the verify join without casting."""
+    df = spark.createDataFrame(
+        [(7,)] * 9 + [(8,)] * 1, "k long"
+    ).repartition(3)
+    rows = sk.heavy_hitters(df, "k", phi_denom=2).collect()
+    assert [(r["k"], r["freq"], r["n_total"]) for r in rows] == [(7, 9, 10)]
+    assert dict(rows[0].asDict())["k"] == 7
