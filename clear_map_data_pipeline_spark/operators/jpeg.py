@@ -15,7 +15,9 @@ approximation, the second-most-common web format — r05) with 8-bit
 samples.  Arithmetic entropy coding — sequential (SOF9) AND
 progressive (SOF10) — decodes via ``operators/jpeg_arith.py``, and
 lossless JPEG (SOF3, Annex-H predictors) via
-``operators/jpeg_lossless.py``; hierarchical modes still raise,
+``operators/jpeg_lossless.py`` and hierarchical pyramids (DHP/EXP +
+differential lossless frames) via ``operators/jpeg_hier.py``; only
+arithmetic-lossless and DCT-stage hierarchical variants still raise,
 keeping the documented stub fallback for those.  The round-trip
 companion ``encode_jpeg_progressive`` emits a standard multi-scan
 script (DC first/refine, split AC bands, two successive-approximation
@@ -296,6 +298,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(
                 "non-baseline JPEG mode not supported — stub fallback"
             )
+        elif m == 0xDE:  # DHP: hierarchical pyramid — dedicated parser
+            from .jpeg_hier import decode_hierarchical
+
+            return decode_hierarchical(data, pos)
         elif m == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p + 1 < len(seg):

@@ -14,8 +14,9 @@ identity the lossy modes pin).
 
 Scope: 8-bit precision, point transform Pt=0, all seven predictors,
 single-component or equal-sampling interleaved multi-component scans,
-restart intervals.  Arithmetic-coded lossless (SOF11) and hierarchical
-modes stay at the documented stub seam.
+restart intervals.  Hierarchical pyramids build on this module's
+differential mode (``operators/jpeg_hier.py``); arithmetic-coded
+lossless (SOF11) stays at the documented stub seam.
 
 Reference parity note: the reference pipeline (il_analysis_git.py) has
 no media operators — beyond-reference extension surface.
@@ -88,14 +89,22 @@ def _predictor_at(p, idx, base, x, y, w, sel, default):
     )
 
 
-def decode_scan_lossless(data, pos, frame, scan, huff, pred_sel, restart):
-    """Decode one lossless scan covering all frame components
-    (equal sampling factors, interleaved sample-per-MCU order).
-    Returns (w, h, ch, pixels) in the decode_jpeg contract."""
+def lossless_planes(
+    data, pos, frame, scan, huff, pred_sel, restart, differential=False
+):
+    """Core lossless scan decode to per-component int planes.
+
+    ``differential=True`` is the hierarchical-mode variant (T.81
+    H.1.1 for differential frames): the prediction is ZERO everywhere
+    and the decoded values are the signed difference samples
+    themselves (no 16-bit wrap — the hierarchical combiner applies
+    it after adding the reference).  Returns (planes, end_pos) where
+    end_pos is the byte offset where the entropy segment stopped (at
+    or before the next marker)."""
     w, h, comps = frame
     if any(c[1] != 1 or c[2] != 1 for c in comps):
         raise ValueError("lossless JPEG requires equal sampling factors")
-    if not 1 <= pred_sel <= 7:
+    if not differential and not 1 <= pred_sel <= 7:
         raise ValueError(f"invalid lossless predictor {pred_sel}")
     ncomp = len(comps)
     planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
@@ -112,13 +121,28 @@ def decode_scan_lossless(data, pos, frame, scan, huff, pred_sel, restart):
             base = idx
         for ci in range(ncomp):
             p = planes[ci]
-            pr = _predictor_at(p, idx, base, x, y, w, pred_sel, default)
+            if differential:
+                pr = 0
+            else:
+                pr = _predictor_at(p, idx, base, x, y, w, pred_sel, default)
             t = rd.decode_huffman(tabs[ci])
             if t == 16:  # special: diff = 32768, no extension bits
                 diff = 32768
             else:
                 diff = _extend(rd.read_bits(t), t) if t else 0
-            p[y, x] = (pr + diff) & 0xFFFF
+            p[y, x] = pr + diff if differential else (pr + diff) & 0xFFFF
+    return planes, rd.pos
+
+
+def decode_scan_lossless(data, pos, frame, scan, huff, pred_sel, restart):
+    """Decode one lossless scan covering all frame components
+    (equal sampling factors, interleaved sample-per-MCU order).
+    Returns (w, h, ch, pixels) in the decode_jpeg contract."""
+    w, h, comps = frame
+    planes, _end = lossless_planes(
+        data, pos, frame, scan, huff, pred_sel, restart
+    )
+    ncomp = len(comps)
     out = np.stack(
         [np.clip(p, 0, 255).astype(np.uint8) for p in planes], axis=-1
     )

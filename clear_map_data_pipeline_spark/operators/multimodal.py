@@ -322,12 +322,13 @@ def encode_wav(
 
 def decode_real(payload: bytes):
     """The real-decoder dispatch: PNG (``decode_png``, pure stdlib),
-    every JPEG coding mode except hierarchical — baseline,
-    progressive, sequential- and progressive-arithmetic, and lossless
-    SOF3 (``jpeg.decode_jpeg``) — GIF (``decode_gif``), and lossless WebP
-    (``webp.decode_webp``) decode natively; formats that require codec
-    libraries (lossy/VP8 WebP, video codecs) still raise at this seam
-    — plug PIL/ffmpeg in here."""
+    every T.81 Huffman coding process — baseline, progressive,
+    lossless SOF3, hierarchical pyramids — plus both arithmetic DCT
+    processes (``jpeg.decode_jpeg``), GIF (``decode_gif``), and
+    lossless WebP (``webp.decode_webp``) decode natively; formats that
+    require codec libraries (lossy/VP8 WebP, video codecs,
+    arithmetic-lossless JPEG) still raise at this seam — plug
+    PIL/ffmpeg in here."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:3] == JPEG_MAGIC:

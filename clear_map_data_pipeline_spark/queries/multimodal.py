@@ -202,6 +202,42 @@ def mm_jpeg_lossless(spark, sf_dir):
     return mm.image_features(with_payload, use_real_decoder=True)
 
 
+def mm_jpeg_hier(spark, sf_dir):
+    """REAL hierarchical JPEG (Annex J pyramid) decode inside the
+    registered suite (r05): half-res lossless base frame + EXP +
+    full-res differential correction, synthesized per sampled doc by
+    ``encode_jpeg_hierarchical``.  The pyramid is lossless end-to-end,
+    so the checksum is the adler32 of the EXACT original pixels."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") % 37 == 0)
+
+    def _enc(it):
+        from ..operators.jpeg_hier import encode_jpeg_hierarchical
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                base = int(d) % 199
+                px = bytes(
+                    (base + 5 * x + 13 * y) % 256
+                    for y in range(8)
+                    for x in range(16)
+                )
+                payloads.append(
+                    encode_jpeg_hierarchical(
+                        16, 8, 1, px, predictor=1 + int(d) % 7
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, "doc_id long, payload binary")
+    return mm.image_features(with_payload, use_real_decoder=True)
+
+
 def mm_gif_decode(spark, sf_dir):
     """REAL GIF decode inside the registered suite (r05): palette GIFs
     (LZW-compressed, 4-color gradient indices) synthesized per sampled
@@ -422,6 +458,7 @@ def mm_multimodal_suite(spark, sf_dir):
         ("mm_jpeg_progressive", mm_jpeg_progressive, "checksum"),
         ("mm_jpeg_arith", mm_jpeg_arith, "checksum"),
         ("mm_jpeg_lossless", mm_jpeg_lossless, "checksum"),
+        ("mm_jpeg_hier", mm_jpeg_hier, "checksum"),
         ("mm_gif_decode", mm_gif_decode, "checksum"),
         ("mm_webp_decode", mm_webp_decode, "checksum"),
         ("mm_flac_audio", mm_flac_audio, "peak_amp"),

@@ -755,3 +755,86 @@ def test_lossless_jpeg_restart_intervals_are_independent():
     ra, rb = ea.find(b"\xff\xd0"), eb.find(b"\xff\xd0")
     assert ra != -1 and rb != -1
     assert ea[ra:] == eb[rb:], "post-restart bytes must not depend on row 0"
+
+
+def test_hierarchical_jpeg_exact_roundtrip():
+    """Annex-J lossless pyramid: half-res SOF3 base + EXP + full-res
+    SOF7 differential correction must reproduce the input
+    BYTE-FOR-BYTE — gray/RGB, odd dims, degenerate shapes."""
+    from clear_map_data_pipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+
+    decode_jpeg, _ = _codec()
+    rng = np.random.RandomState(8)
+    for w, h, ch in [(8, 8, 1), (17, 9, 1), (16, 16, 3), (33, 31, 3),
+                     (1, 1, 1), (40, 1, 3), (1, 25, 1)]:
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for pred in (1, 4, 7):
+            assert decode_jpeg(
+                encode_jpeg_hierarchical(w, h, ch, img, predictor=pred)
+            ) == (w, h, ch, img), (w, h, ch, pred)
+
+
+def test_hierarchical_expansion_filter_fixed_values():
+    """The J.1.1.2 interpolation filter on a hand-computable grid:
+    out[2i] = in[i], out[2i+1] = (in[i] + in[i+1] + 1) >> 1, edges
+    replicated, per axis."""
+    from clear_map_data_pipeline_spark.operators.jpeg_hier import expand_ref
+
+    p = np.array([[0, 10], [20, 30]])
+    assert expand_ref(p, 1, 1).tolist() == [
+        [0, 5, 10, 10],
+        [10, 15, 20, 20],
+        [20, 25, 30, 30],
+        [20, 25, 30, 30],
+    ]
+    assert expand_ref(p, 1, 0).tolist() == [[0, 5, 10, 10], [20, 25, 30, 30]]
+    assert expand_ref(p, 0, 1).tolist() == [[0, 10], [10, 20], [20, 30], [20, 30]]
+
+
+def test_hierarchical_jpeg_malformed_streams_raise():
+    """A differential frame before any reference is a clean ValueError;
+    a DCT frame inside a hierarchical stream hits the documented
+    NotImplementedError seam (stub fallback upstream)."""
+    from clear_map_data_pipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+
+    decode_jpeg, _ = _codec()
+    enc = bytearray(encode_jpeg_hierarchical(8, 8, 1, bytes(range(64))))
+    sof3 = enc.find(b"\xff\xc3")
+    assert sof3 != -1
+    doctored = bytearray(enc)
+    doctored[sof3 + 1] = 0xC7  # first frame now claims differential
+    with pytest.raises(ValueError, match="without reference"):
+        decode_jpeg(bytes(doctored))
+    doctored = bytearray(enc)
+    doctored[sof3 + 1] = 0xC0  # DCT frame in hierarchical stream
+    with pytest.raises(NotImplementedError, match="hierarchical"):
+        decode_jpeg(bytes(doctored))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(min_value=1, max_value=36),
+    h=st.integers(min_value=1, max_value=36),
+    ch=st.sampled_from([1, 3]),
+    pred=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hierarchical_jpeg_roundtrip_property(w, h, ch, pred, seed):
+    from clear_map_data_pipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+
+    decode_jpeg, _ = _codec()
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    assert decode_jpeg(
+        encode_jpeg_hierarchical(w, h, ch, img, predictor=pred)
+    ) == (w, h, ch, img)
