@@ -277,7 +277,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hf, vf = hv >> 4, hv & 0xF
+                if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                    # T.81 B.2.2 legal range; 0 would divide-by-zero in
+                    # the MCU geometry
+                    raise ValueError("invalid JPEG sampling factor")
+                comps.append((cid, hf, vf, tq))
+            if w == 0 or h == 0:
+                raise ValueError("invalid JPEG frame dimensions")
             frame = (w, h, comps)
             progressive = m in (0xC2, 0xCA)
             arithmetic = m in (0xC9, 0xCA)

@@ -70,6 +70,8 @@ def decode_hierarchical(data: bytes, pos: int):
     prec, full_h, full_w, nc = struct.unpack(">BHHB", seg[:6])
     if prec != 8:
         raise ValueError("only 8-bit JPEG samples supported")
+    if full_w == 0 or full_h == 0 or nc == 0:
+        raise ValueError("invalid DHP dimensions")
     pos += 2 + seglen
 
     huff: dict = {}
@@ -162,6 +164,8 @@ def decode_hierarchical(data: bytes, pos: int):
         pos += 2 + seglen
     if refs is None:
         raise ValueError("hierarchical stream had no frames")
+    if any(r.shape[0] < full_h or r.shape[1] < full_w for r in refs):
+        raise ValueError("hierarchical frames do not cover the DHP dims")
     out = np.stack(
         [np.clip(r[:full_h, :full_w], 0, 255).astype(np.uint8) for r in refs],
         axis=-1,

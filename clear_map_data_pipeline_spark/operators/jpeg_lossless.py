@@ -128,6 +128,8 @@ def lossless_planes(
             t = rd.decode_huffman(tabs[ci])
             if t == 16:  # special: diff = 32768, no extension bits
                 diff = 32768
+            elif t > 16:  # only a corrupt DHT can produce this
+                raise ValueError("corrupt lossless JPEG residual category")
             else:
                 diff = _extend(rd.read_bits(t), t) if t else 0
             p[y, x] = pr + diff if differential else (pr + diff) & 0xFFFF

@@ -838,3 +838,62 @@ def test_hierarchical_jpeg_roundtrip_property(w, h, ch, pred, seed):
     assert decode_jpeg(
         encode_jpeg_hierarchical(w, h, ch, img, predictor=pred)
     ) == (w, h, ch, img)
+
+
+def test_jpeg_family_corruption_fuzz_never_escapes_fallback():
+    """The batch-never-aborts contract, fuzzed across every JPEG
+    family member: random single-byte corruptions of valid streams
+    must either decode to a bounded buffer or raise ONLY exception
+    types the multimodal stub-fallback tuple catches — never hang,
+    never surface an unexpected error class.  150 corruptions per
+    stream kind, deterministic seed."""
+    import random
+    import struct as _struct
+    import zlib as _zlib
+
+    from clear_map_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from clear_map_data_pipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+    from clear_map_data_pipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    decode_jpeg, _ = _codec()
+    allowed = (
+        NotImplementedError,
+        ValueError,
+        _struct.error,
+        _zlib.error,
+        IndexError,
+        KeyError,
+    )
+    rng = random.Random(1234)
+    img = bytes((3 * x + 5 * y) % 256 for y in range(16) for x in range(16))
+    streams = {
+        "baseline": encode_jpeg(16, 16, 1, img, quality=80),
+        "progressive": encode_jpeg_progressive(16, 16, 1, img, quality=80),
+        "arith": encode_jpeg_arith(16, 16, 1, img, quality=80),
+        "arith_prog": encode_jpeg_arith_progressive(16, 16, 1, img, quality=80),
+        "lossless": encode_jpeg_lossless(16, 16, 1, img),
+        "hierarchical": encode_jpeg_hierarchical(16, 16, 1, img),
+    }
+    for kind, enc in streams.items():
+        for trial in range(150):
+            buf = bytearray(enc)
+            pos = rng.randrange(2, len(buf))  # keep SOI so it stays "a JPEG"
+            buf[pos] ^= 1 << rng.randrange(8)
+            try:
+                w, h, ch, pix = decode_jpeg(bytes(buf))
+                assert 0 < w <= 65535 and 0 < h <= 65535
+                assert len(pix) == w * h * ch
+            except allowed:
+                pass  # exactly what the Spark-side fallback absorbs
+            # anything else propagates and fails the test
