@@ -595,3 +595,73 @@ def test_video_frame_features_corrupt_frame_survives(spark):
     assert (rows[0]["width"], rows[0]["height"]) == (8, 8)
     # frame 1 fell back to the stub, not an exception
     assert rows[1]["n_bytes"] == len(bad)
+
+
+def test_codec_corruption_fuzz_never_escapes_fallback():
+    """Batch-never-aborts, fuzzed across the NON-JPEG codecs: random
+    byte corruptions of valid PNG/GIF/WebP/WAV-variant/FLAC/MP4
+    payloads must raise only the exception types their Spark-side
+    fallback site catches — decode_real sits behind the wide tuple,
+    the audio decoders behind (ValueError, struct.error), and
+    mp4_sample_ranges behind a bare ValueError handler (the strictest
+    contract).  The JPEG family has its own sweep in test_jpeg.py."""
+    import random
+    import struct as _struct
+    import zlib as _zlib
+
+    from clear_map_data_pipeline_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_real,
+        decode_wav,
+        encode_gif,
+        encode_mp4,
+        encode_png,
+        encode_wav,
+        mp4_sample_ranges,
+    )
+    from clear_map_data_pipeline_spark.operators.webp import encode_webp
+
+    wide = (
+        NotImplementedError,
+        ValueError,
+        _struct.error,
+        _zlib.error,
+        IndexError,
+        KeyError,
+    )
+    narrow = (ValueError, _struct.error)
+    rng = random.Random(7)
+    px = bytes(
+        (3 * x + 5 * y) % 256
+        for y in range(12)
+        for x in range(10)
+        for _ in range(3)
+    )
+    palette = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    idx = bytes((x + y) % 4 for y in range(6) for x in range(10))
+    samples = [1000 * (i % 7) - 3000 for i in range(256)]
+    targets = [
+        ("png", encode_png(10, 12, 3, px), decode_real, wide),
+        ("gif", encode_gif(10, 6, idx, palette), decode_real, wide),
+        ("webp", encode_webp(10, 12, 3, px), decode_real, wide),
+        ("flac", encode_flac(1, 16000, 16, samples), decode_flac, narrow),
+        ("mp4", encode_mp4([b"fr%d" % i for i in range(5)]),
+         mp4_sample_ranges, (ValueError,)),
+    ]
+    for fmt in ("pcm", "float32", "mulaw", "alaw", "ima_adpcm"):
+        targets.append(
+            (f"wav_{fmt}", encode_wav(samples, fmt=fmt), decode_wav, narrow)
+        )
+    for kind, enc, fn, allowed in targets:
+        for _trial in range(150):
+            buf = bytearray(enc)
+            for _ in range(rng.choice([1, 1, 2])):
+                pos = rng.randrange(0, len(buf))
+                buf[pos] ^= 1 << rng.randrange(8)
+            try:
+                fn(bytes(buf))
+            except allowed:
+                pass  # exactly what the Spark-side fallback absorbs
