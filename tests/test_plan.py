@@ -261,3 +261,43 @@ def test_registry_wide_plan_lint(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_heavy_hitters_verify_join_is_broadcast_semi(spark, sf_dir):
+    """The exact verify pass must be a BROADCAST left-semi join of the
+    bounded candidate set onto the key stream — a shuffled semi-join
+    here would move the whole token stream and defeat the
+    Misra-Gries pass entirely."""
+    from clear_map_data_pipeline_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+    from pyspark.sql import functions as F
+    from clear_map_data_pipeline_spark.operators.text import tokens
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(F.explode(tokens("text")).alias("token"))
+    plan = _formatted_plan(heavy_hitters(toks, "token", phi_denom=30))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_overlap_summaries_join_broadcast(spark, sf_dir):
+    """The three 1-row sketch summaries combine via broadcast joins —
+    never a shuffled join of register tables."""
+    from clear_map_data_pipeline_spark.operators.sketches import hll_overlap
+    from clear_map_data_pipeline_spark.session import Tables
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    left = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    right = t.orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    )
+    plan = _formatted_plan(hll_overlap(left, right, "o_custkey"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )
