@@ -88,7 +88,7 @@ QE_TABLE = [
     (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
     (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
     (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
-    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 108, 109, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
     (0x5597, 109, 110, 0), (0x504F, 110, 111, 0), (0x5A10, 111, 110, 1),
     (0x5522, 112, 112, 0), (0x59EB, 112, 112, 1),
     # fixed ~0.5 bin (AC sign): self-loop, never adapts

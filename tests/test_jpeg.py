@@ -380,6 +380,18 @@ def test_arith_qe_table_structural_invariants():
         assert sw in (0, 1), i
     assert QE_TABLE[112][1] == QE_TABLE[112][2] == 112
     assert QE_TABLE[113][1] == QE_TABLE[113][2] == 113 and QE_TABLE[113][3] == 0
+    # Adaptation-direction laws (catch transcription typos): outside
+    # the near-0.5 oscillation region, an MPS moves the estimate toward
+    # more skew (smaller Qe); outside the switch states (where the LPS
+    # flips the MPS sense), an LPS moves it toward 0.5 (larger Qe);
+    # MPS-sense switching only happens near equiprobability.
+    for i, (qe, nmps, nlps, sw) in enumerate(QE_TABLE[:113]):
+        if qe < 0x4000:
+            assert QE_TABLE[nmps][0] <= qe, ("nmps", i)
+        if not sw:
+            assert QE_TABLE[nlps][0] >= qe, ("nlps", i)
+        if sw:
+            assert qe >= 0x5000, ("switch", i)
 
 
 def test_arith_raw_coder_roundtrip_adversarial():
