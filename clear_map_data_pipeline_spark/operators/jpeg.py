@@ -308,7 +308,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif m == 0xDE:  # DHP: hierarchical pyramid — dedicated parser
             from .jpeg_hier import decode_hierarchical
 
-            return decode_hierarchical(data, pos)
+            # hand over tables-misc state parsed before the DHP
+            # (T.81 B.3 allows DHT/DRI between SOI and DHP)
+            return decode_hierarchical(data, pos, huff=huff, restart=restart)
         elif m == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p + 1 < len(seg):

@@ -36,6 +36,7 @@ from .jpeg_lossless import (
     LOSSLESS_VALS,
     _BitWriter,
     lossless_planes,
+    residual_magnitude,
 )
 
 
@@ -60,8 +61,10 @@ def expand_ref(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
     return p
 
 
-def decode_hierarchical(data: bytes, pos: int):
+def decode_hierarchical(data: bytes, pos: int, huff=None, restart=0):
     """Decode a hierarchical stream from its DHP marker to EOI.
+    ``huff``/``restart`` carry any tables-misc segments the caller
+    parsed BEFORE the DHP marker (T.81 B.3 allows DHT/DRI there).
     Returns (w, h, ch, pixels) in the decode_jpeg contract."""
     if data[pos : pos + 2] != b"\xff\xde":
         raise ValueError("hierarchical decode must start at DHP")
@@ -74,8 +77,7 @@ def decode_hierarchical(data: bytes, pos: int):
         raise ValueError("invalid DHP dimensions")
     pos += 2 + seglen
 
-    huff: dict = {}
-    restart = 0
+    huff = dict(huff) if huff else {}
     pending_exp = (0, 0)
     refs: list[np.ndarray] | None = None
     frame = None
@@ -178,11 +180,6 @@ def decode_hierarchical(data: bytes, pos: int):
 # --- encoder ----------------------------------------------------------
 
 
-def _magnitude(v: int) -> tuple[int, int]:
-    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
-    return t, (v if v >= 0 else v + (1 << t) - 1)
-
-
 def _emit_lossless_frame(
     out: bytearray,
     sof_marker: int,
@@ -208,10 +205,13 @@ def _emit_lossless_frame(
         sof += bytes([ci + 1, 0x11, 0])
     seg(sof_marker, sof)
     seg(0xC4, bytes([0x00]) + bytes(LOSSLESS_BITS) + bytes(LOSSLESS_VALS))
+    differential = sof_marker == 0xC7
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])
-    sos += bytes([pred_sel, 0, 0])
+    # T.81 Table B.3: Ss carries the predictor in plain lossless scans
+    # and SHALL be 0 in differential ones (prediction is zero there)
+    sos += bytes([0 if differential else pred_sel, 0, 0])
     seg(0xDA, sos)
 
     enc_tab = {
@@ -219,7 +219,6 @@ def _emit_lossless_frame(
         for (ln, c), v in _build_huffman(LOSSLESS_BITS, LOSSLESS_VALS).items()
     }
     bw = _BitWriter()
-    differential = sof_marker == 0xC7
     for idx in range(w * h):
         y, x = divmod(idx, w)
         for p in planes:
@@ -228,7 +227,7 @@ def _emit_lossless_frame(
             else:
                 pr = _predictor_at(p, idx, 0, x, y, w, pred_sel, 128)
             diff = int(p[y, x]) - pr
-            t, code = _magnitude(diff)
+            t, code = residual_magnitude(diff)
             ln, c = enc_tab[t]
             bw.write(c, ln)
             if t:

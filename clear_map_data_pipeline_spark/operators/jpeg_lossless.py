@@ -84,6 +84,13 @@ def _predictor_at(p, idx, base, x, y, w, sel, default):
         return int(p[y, x - 1]) if x > 0 else default
     if x == 0:
         return int(p[y - 1, 0])
+    if local == w:
+        # the 2-D predictors' Rc neighbour (idx - w - 1) is the sample
+        # just BEFORE the interval began — fall back to Ra so no
+        # prediction ever crosses the restart boundary (only reachable
+        # for non-row-aligned DRI; row-aligned restarts have x == 0
+        # here and take the Rb branch above)
+        return int(p[y, x - 1])
     return _predict(
         int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1]), sel
     )
@@ -153,6 +160,13 @@ def decode_scan_lossless(data, pos, frame, scan, huff, pred_sel, restart):
     return w, h, ncomp, out.tobytes()
 
 
+def residual_magnitude(v: int) -> tuple[int, int]:
+    """SSSS category + extension-bit code for one signed residual —
+    shared by the SOF3 encoder and the hierarchical frame emitter."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
 def encode_jpeg_lossless(
     w: int,
     h: int,
@@ -203,12 +217,6 @@ def encode_jpeg_lossless(
     }
     bw = _BitWriter()
     default = 128
-
-    def magnitude(v: int) -> tuple[int, int]:
-        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        code = v if v >= 0 else v + (1 << t) - 1
-        return t, code
-
     ri = restart_interval
     n_samples = w * h
     base = 0
@@ -224,7 +232,7 @@ def encode_jpeg_lossless(
             p = img[:, :, ci]
             pr = _predictor_at(p, idx, base, x, y, w, predictor, default)
             diff = int(p[y, x]) - pr
-            t, code = magnitude(diff)
+            t, code = residual_magnitude(diff)
             ln, c = enc_tab[t]
             bw.write(c, ln)
             if t:

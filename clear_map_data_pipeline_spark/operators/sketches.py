@@ -508,6 +508,27 @@ GROUP BY 1
 # --- Misra-Gries heavy hitters ----------------------------------------
 
 
+def mg_fold(counters: dict, series, capacity: int, prune_factor: int = 4) -> int:
+    """Fold one pandas Series of keys into a Misra-Gries counter dict
+    in place — the ONE copy of the guarantee-bearing accumulate/prune
+    rule (prune subtracts the (capacity+1)-th largest value when the
+    dict exceeds prune_factor * capacity entries), shared by the batch
+    pass (``mg_candidates``) and the streaming state operator
+    (``streaming/heavy.py``).  Returns the number of non-null keys
+    folded."""
+    limit = capacity * prune_factor
+    s = series.dropna()
+    for k, c in s.value_counts().items():
+        counters[k] = counters.get(k, 0) + int(c)
+    if len(counters) > limit:
+        vals = sorted(counters.values(), reverse=True)
+        delta = vals[capacity]
+        pruned = {k: v - delta for k, v in counters.items() if v > delta}
+        counters.clear()
+        counters.update(pruned)
+    return int(len(s))
+
+
 def mg_candidates(
     df: DataFrame,
     key_col: str,
@@ -552,22 +573,14 @@ def mg_candidates(
 
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
-    limit = capacity * prune_factor
 
     def run(batches):
         counters: dict = {}
         n_rows = 0
         for pdf in batches:
-            s = pdf[key_col].dropna()
-            n_rows += int(len(s))
-            for k, c in s.value_counts().items():
-                counters[k] = counters.get(k, 0) + int(c)
-            if len(counters) > limit:
-                vals = sorted(counters.values(), reverse=True)
-                delta = vals[capacity]
-                counters = {
-                    k: v - delta for k, v in counters.items() if v > delta
-                }
+            n_rows += mg_fold(
+                counters, pdf[key_col], capacity, prune_factor
+            )
         yield pd.DataFrame(
             {
                 # object dtype so the NULL sentinel coexists with any

@@ -32,25 +32,16 @@ STATE_SCHEMA = "keys array<string>, cnts array<long>, mass long"
 
 
 def _mg_factory(capacity: int, prune_factor: int = 4):
-    limit = capacity * prune_factor
-
     def update(key, pdfs, state: GroupState):
+        from ..operators.sketches import mg_fold
+
         if state.exists:
             keys, cnts, mass = state.get
             counters = dict(zip(keys, cnts))
         else:
             counters, mass = {}, 0
         for pdf in pdfs:
-            s = pdf["key"].dropna()
-            mass += int(len(s))
-            for k, c in s.value_counts().items():
-                counters[k] = counters.get(k, 0) + int(c)
-            if len(counters) > limit:
-                vals = sorted(counters.values(), reverse=True)
-                delta = vals[capacity]
-                counters = {
-                    k: v - delta for k, v in counters.items() if v > delta
-                }
+            mass += mg_fold(counters, pdf["key"], capacity, prune_factor)
         state.update((list(counters.keys()), list(counters.values()), mass))
         yield pd.DataFrame(
             {
@@ -82,7 +73,7 @@ def heavy_hitters_stream(
     stream = stage_stream_source(
         spark, events_dir, max_files_per_trigger
     ).select(
-        F.col(group_col).alias("group"),
+        F.col(group_col).cast("string").alias("group"),
         F.col(key_col).cast("string").alias("key"),
     )
     snaps = stream.groupBy("group").applyInPandasWithState(

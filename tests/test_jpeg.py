@@ -909,3 +909,92 @@ def test_jpeg_family_corruption_fuzz_never_escapes_fallback():
             except allowed:
                 pass  # exactly what the Spark-side fallback absorbs
             # anything else propagates and fails the test
+
+
+def test_lossless_jpeg_midrow_restart_intervals_independent():
+    """Non-row-aligned DRI (the reviewer-confirmed Rc escape): with
+    restart_interval=6 on a 4-wide image, the sample at local==w in
+    the second interval must NOT reach back to the pre-restart Rc —
+    two images differing only before the first RSTn must share every
+    byte after it, and both round-trip exactly."""
+    from clear_map_data_pipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    decode_jpeg, _ = _codec()
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 256, size=(4, 4), dtype=np.uint8)
+    b = a.copy()
+    b.flat[5] = (int(b.flat[5]) + 111) % 256  # pre-restart sample only
+    ea = encode_jpeg_lossless(4, 4, 1, a.tobytes(), predictor=4,
+                              restart_interval=6)
+    eb = encode_jpeg_lossless(4, 4, 1, b.tobytes(), predictor=4,
+                              restart_interval=6)
+    assert decode_jpeg(ea) == (4, 4, 1, a.tobytes())
+    assert decode_jpeg(eb) == (4, 4, 1, b.tobytes())
+    ra, rb = ea.find(b"\xff\xd0"), eb.find(b"\xff\xd0")
+    assert ra != -1 and rb != -1
+    assert ea[ra:] == eb[rb:]
+
+
+def test_hierarchical_jpeg_tables_before_dhp():
+    """T.81 B.3 allows tables-misc segments between SOI and DHP: a
+    stream whose DHT precedes the DHP marker must decode identically
+    to the frame-local-DHT layout."""
+    from clear_map_data_pipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+
+    decode_jpeg, _ = _codec()
+    img = bytes((5 * x + 9 * y) % 256 for y in range(8) for x in range(8))
+    enc = bytearray(encode_jpeg_hierarchical(8, 8, 1, img))
+    dht = enc.find(b"\xff\xc4")
+    assert dht != -1
+    import struct as _s
+
+    seglen = _s.unpack(">H", enc[dht + 2 : dht + 4])[0]
+    dht_seg = bytes(enc[dht : dht + 2 + seglen])
+    # move the first DHT in front of the DHP marker
+    without = enc[:dht] + enc[dht + 2 + seglen :]
+    dhp = without.find(b"\xff\xde")
+    assert dhp != -1
+    moved = bytes(without[:dhp]) + dht_seg + bytes(without[dhp:])
+    assert decode_jpeg(moved) == (8, 8, 1, img)
+
+
+def test_hierarchical_differential_scan_has_ss_zero():
+    """T.81 Table B.3: Ss shall be 0 in differential lossless scans —
+    the encoder's SOF7 scan header must carry 0, while the SOF3 base
+    scan carries the predictor."""
+    from clear_map_data_pipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+
+    enc = encode_jpeg_hierarchical(8, 8, 1, bytes(64), predictor=5)
+    import struct as _s
+
+    pos, headers = 2, []
+    data = enc
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m in (0xD8, 0xD9, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        seglen = _s.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if m == 0xDA:
+            seg = data[pos + 4 : pos + 2 + seglen]
+            ns = seg[0]
+            headers.append(seg[1 + 2 * ns])  # Ss byte
+            # skip entropy bytes until next marker
+            p = pos + 2 + seglen
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF and data[p + 1] not in (0x00,)
+            ):
+                p += 1
+            pos = p
+            continue
+        pos += 2 + seglen
+    assert headers == [5, 0]  # base scan: predictor; differential: 0
