@@ -822,3 +822,134 @@ SELECT b.doc_id, b.n_tokens,
        e.char_entropy_e9
 FROM base b JOIN ent e ON b.doc_id = e.doc_id
 """
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document mean ADJACENT-BIGRAM surprisal against an
+    interpolated corpus LM — the order-2 upgrade of
+    ``unigram_surprisal`` (the CCNet/KenLM quality-scoring shape one
+    order up): p(w2 | w1) = lam * n(w1 w2) / n(w1 ·) + (1 - lam) *
+    n(w2) / N, with n(w1 ·) the corpus bigram-prefix mass of w1 (so
+    the conditional is a true distribution over observed successors)
+    and the unigram term the backoff for rare continuations.  Docs
+    with fewer than 2 tokens have no bigram to score and are absent.
+
+    Determinism contract (the surprisal/PMI recipe): each distinct
+    PAIR's -ln p is computed once from exact integer counts in a fixed
+    expression shape and truncated to 1e-9 integer units; per-doc sums
+    are LONG sums of those units — order-free exact, so Spark and the
+    DuckDB twin agree bit-for-bit at any scale/partitioning.
+
+    Scale shape: two explode->count passes (map-side combined), corpus
+    mass broadcast as a 1-row frame, pair-table joins on token keys
+    (AQE broadcasts when they fit), then one equi-join of the doc
+    bigram stream against the scored pair table and a per-doc agg."""
+    toks = tokens(text_col)
+    t = df.select(id_col, toks.alias("t"))
+    bigrams = t.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), "
+                "slice(t, 2, greatest(size(t) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    pair = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pair")
+    )
+    prefix = pair.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("n_prefix")
+    )
+    uni = t.select(F.explode(F.col("t")).alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("n_w")
+    )
+    n_tot = uni.agg(F.sum("n_w").cast("double").alias("nn"))
+    scored = (
+        pair.join(prefix, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "n_w"), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log(
+                    F.lit(lam)
+                    * (F.col("n_pair").cast("double") / F.col("n_prefix"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("n_w").cast("double") / F.col("nn"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("s9"),
+        )
+    )
+    scale = float(10**ndigits)
+    return (
+        bigrams.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(
+                    (F.sum("s9").cast("double") / F.lit(1e9))
+                    / F.count("*").cast("double")
+                    * F.lit(scale)
+                )
+                / F.lit(scale)
+            ).alias("bigram_surprisal")
+        )
+    )
+
+
+def bigram_surprisal_sql(
+    table: str = "documents", lam: float = 0.9, ndigits: int = 6
+) -> str:
+    """DuckDB twin of ``bigram_surprisal`` — identical tokenization,
+    counting, interpolation literals, and floor-scale shapes."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    )
+    scale = float(10**ndigits)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM {table}),
+bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(t[1:-2], t[2:])) AS p FROM t)
+),
+pair AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY 1, 2
+),
+prefix AS (
+  SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_prefix FROM pair GROUP BY 1
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1
+),
+nt AS (SELECT CAST(sum(n_w) AS DOUBLE) AS nn FROM uni),
+scored AS (
+  SELECT p.w1, p.w2,
+         CAST(floor(-ln(
+             {lam!r} * (CAST(p.n_pair AS DOUBLE) / f.n_prefix)
+             + {1.0 - lam!r} * (CAST(u.n_w AS DOUBLE) / nt.nn)
+         ) * 1e9) AS BIGINT) AS s9
+  FROM pair p
+  JOIN prefix f ON p.w1 = f.w1
+  JOIN uni u ON p.w2 = u.w
+  CROSS JOIN nt
+)
+SELECT b.doc_id,
+       floor((CAST(sum(s.s9) AS DOUBLE) / 1e9)
+             / CAST(count(*) AS DOUBLE) * {scale!r}) / {scale!r}
+         AS bigram_surprisal
+FROM bg b JOIN scored s ON b.w1 = s.w1 AND b.w2 = s.w2
+GROUP BY 1
+"""

@@ -358,6 +358,17 @@ def tx_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEXICAL_SQL = tx.doc_lexical_stats_sql("documents")
 
 
+def tx_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM quality score: per-doc mean adjacent-bigram surprisal
+    against the interpolated corpus bigram model (see operators/text.py:
+    bigram_surprisal)."""
+    t = Tables(spark, sf_dir)
+    return tx.bigram_surprisal(t.documents)
+
+
+_BIGRAM_SURPRISAL_SQL = tx.bigram_surprisal_sql("documents")
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -395,6 +406,12 @@ register_suite(
             [("doc_id", "s"), ("surprisal", "d6")],
         ),
         SubQuery(
+            "tx_bigram_surprisal",
+            tx_bigram_surprisal,
+            _BIGRAM_SURPRISAL_SQL,
+            [("doc_id", "s"), ("bigram_surprisal", "d6")],
+        ),
+        SubQuery(
             "tx_lexical_stats",
             tx_lexical_stats,
             _LEXICAL_SQL,
@@ -412,7 +429,8 @@ register_suite(
     doc="Token-accounting suite: whitespace/BPE-ish token counts + "
     "rolling-hash document fingerprints + top-N corpus vocabulary + "
     "per-doc TF-IDF top terms + unigram-LM mean surprisal (r04) + "
-    "adjacent-bigram PMI collocations + TTR/char-entropy lexical "
+    "adjacent-bigram PMI collocations + interpolated-bigram LM "
+    "surprisal + TTR/char-entropy lexical "
     "diversity (r05), each oracle-checked "
     "row-for-row inside the union.",
 )

@@ -181,3 +181,60 @@ def test_doc_lexical_stats_hand_computed(spark):
     assert r3["char_entropy_e9"] == 3 * math.floor(
         -math.log(1 / 3) * (1 / 3) * 1e9
     )
+
+
+def test_bigram_surprisal_matches_python_replay(spark):
+    """The interpolated-bigram score on a hand-checkable corpus must
+    equal a pure-Python replay of the exact formula (same counts, same
+    interpolation literals, same floor-scale truncations), and
+    templated repetition must score LESS SURPRISING than a rare
+    continuation."""
+    import math
+
+    from clear_map_data_pipeline_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    corpus = [
+        (1, "a b a b a b"),
+        (2, "a b a c"),
+        (3, "x"),          # < 2 tokens: absent from output
+        (4, "c a b b"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["bigram_surprisal"]
+        for r in bigram_surprisal(df).collect()
+    }
+    assert 3 not in got
+
+    # python replay
+    docs = {i: t.split() for i, t in corpus}
+    pair, prefix, uni, n_tot = {}, {}, {}, 0
+    for t in docs.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            n_tot += 1
+        for a, b in zip(t, t[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+            prefix[a] = prefix.get(a, 0) + 1
+    lam = 0.9
+    s9 = {
+        k: math.floor(
+            -math.log(
+                lam * (c / prefix[k[0]]) + (1 - lam) * (uni[k[1]] / n_tot)
+            )
+            * 1e9
+        )
+        for k, c in pair.items()
+    }
+    for i, t in docs.items():
+        bgs = list(zip(t, t[1:]))
+        if not bgs:
+            continue
+        want = math.floor(
+            (sum(s9[b] for b in bgs) / 1e9) / len(bgs) * 1e6
+        ) / 1e6
+        assert got[i] == want, (i, got[i], want)
+    # doc 1 is pure template (a b)^3; doc 2 ends in the rare 'a c'
+    assert got[1] < got[2]
