@@ -36,7 +36,7 @@ from .jpeg_lossless import (
     LOSSLESS_VALS,
     _BitWriter,
     lossless_planes,
-    residual_magnitude,
+    write_residual,
 )
 
 
@@ -226,12 +226,7 @@ def _emit_lossless_frame(
                 pr = 0
             else:
                 pr = _predictor_at(p, idx, 0, x, y, w, pred_sel, 128)
-            diff = int(p[y, x]) - pr
-            t, code = residual_magnitude(diff)
-            ln, c = enc_tab[t]
-            bw.write(c, ln)
-            if t:
-                bw.write(code, t)
+            write_residual(bw, enc_tab, int(p[y, x]) - pr)
     bw.flush()
     out.extend(bw.out)
 

@@ -167,6 +167,17 @@ def residual_magnitude(v: int) -> tuple[int, int]:
     return t, (v if v >= 0 else v + (1 << t) - 1)
 
 
+def write_residual(bw, enc_tab: dict, diff: int) -> None:
+    """Emit one Huffman-coded residual (category symbol + extension
+    bits) — the ONE copy of the entropy write shared by
+    ``encode_jpeg_lossless`` and the hierarchical frame emitter."""
+    t, code = residual_magnitude(diff)
+    ln, c = enc_tab[t]
+    bw.write(c, ln)
+    if t:
+        bw.write(code, t)
+
+
 def encode_jpeg_lossless(
     w: int,
     h: int,
@@ -231,12 +242,7 @@ def encode_jpeg_lossless(
         for ci in range(ch):
             p = img[:, :, ci]
             pr = _predictor_at(p, idx, base, x, y, w, predictor, default)
-            diff = int(p[y, x]) - pr
-            t, code = residual_magnitude(diff)
-            ln, c = enc_tab[t]
-            bw.write(c, ln)
-            if t:
-                bw.write(code, t)
+            write_residual(bw, enc_tab, int(p[y, x]) - pr)
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")
