@@ -1,9 +1,16 @@
-"""Multimodal queries, folded into ONE registered rows-only query (the
-pseudo-decode checksum has no portable SQL twin; plumbing asserts live
-in tests/test_multimodal.py).  Folding keeps the whole registry inside
-the driver's 50-entry CORRECTNESS window (COVERAGE.md "driver cap");
-every sub-operator still runs end-to-end — the summary aggregates force
-full evaluation of each mapInPandas stage.
+"""Multimodal queries, folded into ONE registered query whose DuckDB
+twin hash-checks every decoder's output (r06; rows-only before that).
+
+Every payload in the suite is synthesized deterministically from
+``doc_id``, so each member's per-document checksum is a pure function
+of either the document TEXT bytes (the stub members — expressed as
+real SQL: adler32 via an unnest over character positions) or a small
+``doc_id % m`` residue (the codec members — expressed as a frozen
+lookup table computed once by the real encode+decode pair, see
+``gen_mm_lut.py``).  Folding keeps the whole registry inside the
+driver's 50-entry CORRECTNESS window (COVERAGE.md "driver cap");
+the summary aggregates force full evaluation of each mapInPandas
+stage, and the oracle twin now pins counts AND checksums.
 """
 
 from __future__ import annotations
@@ -444,11 +451,112 @@ def mm_mjpeg_video(spark, sf_dir):
     return mm.video_frame_features(with_payload, n_frames=3)
 
 
-@register("mm_multimodal_suite")
+def _lut_subquery(values: list[int]) -> str:
+    """DuckDB relation (r, v): residue -> frozen expected value."""
+    return (
+        f"(SELECT r, {values!r}[CAST(r + 1 AS INT)] AS v "
+        f"FROM range(0, {len(values)}) t(r))"
+    )
+
+
+def _mm_suite_oracle_sql() -> str:
+    """DuckDB twin of the folded suite.
+
+    Stub members recompute their checksums from the document text in
+    pure SQL (payload = utf-8 bytes of ASCII text, so byte == ascii of
+    the character; the adler32 is the textbook two-accumulator mod-65521
+    form).  Codec members join the frozen per-residue LUTs
+    (``_mm_lut.py``) on ``doc_id % m``; FLAC and MP4 have closed forms
+    (lossless triangle-wave peak = its amplitude; container sample
+    sizes are arithmetic in doc_id), so they need no LUT at all."""
+    from . import _mm_lut as L
+
+    docstat = """
+WITH pos AS (
+  SELECT doc_id, length(text) AS n,
+         unnest(range(1, length(text) + 1)) AS i, text
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, i, ascii(substr(text, CAST(i AS INT), 1)) AS byte
+  FROM pos
+),
+docstat AS (
+  SELECT doc_id, any_value(n) AS n,
+         CAST(((any_value(n) + sum((n - i + 1) * byte)) % 65521) * 65536
+              + (1 + sum(byte)) % 65521 AS BIGINT) AS adler,
+         CAST(max(byte) AS BIGINT) AS peak
+  FROM bytes GROUP BY doc_id
+)"""
+
+    def agg(name: str, n_rows: str, checksum: str, src: str) -> str:
+        return (
+            f"SELECT '{name}' AS q, {n_rows} AS n_rows,\n"
+            f"       CAST({checksum} AS BIGINT) AS checksum\n"
+            f"FROM {src}"
+        )
+
+    def lut_member(name: str, filt_mod: int, key_mod: int, lut, n_per_doc=1):
+        n_rows = "count(*)" if n_per_doc == 1 else f"{n_per_doc} * count(*)"
+        return agg(
+            name,
+            n_rows,
+            "sum(lut.v)",
+            f"documents d JOIN {_lut_subquery(lut)} lut\n"
+            f"  ON lut.r = d.doc_id % {key_mod}\n"
+            f"WHERE d.doc_id % {filt_mod} = 0",
+        )
+
+    # length of python slice p[k*s : k*s + s] for the frame-sample stub
+    slice_len = "greatest(0, least(s, n - {k} * s))"
+    frame_sum = " + ".join(slice_len.format(k=k) for k in range(4))
+    mp4_sum = "12 + " + " + ".join(
+        f"(d.doc_id % 7 + {i}) % 5" for i in (0, 1, 3, 5)
+    )
+
+    parts = [
+        agg("mm_image_features", "count(*)", "sum(adler)", "docstat"),
+        agg("mm_image_resize", "count(*)", "sum(least(64, n))", "docstat"),
+        agg("mm_audio_features", "count(*)", "sum(peak)", "docstat"),
+        agg(
+            "mm_frame_sample",
+            "4 * count(*)",
+            f"sum({frame_sum})",
+            "(SELECT n, greatest(n // 4, 1) AS s FROM docstat) f",
+        ),
+        lut_member("mm_jpeg_decode", 17, 256, L.JPEG_FLAT),
+        lut_member("mm_jpeg_progressive", 23, 193, L.JPEG_PROG),
+        lut_member("mm_jpeg_arith", 29, 362, L.JPEG_ARITH),
+        lut_member("mm_jpeg_lossless", 31, 211, L.JPEG_LOSSLESS),
+        lut_member("mm_jpeg_hier", 37, 199, L.JPEG_HIER),
+        lut_member("mm_gif_decode", 29, 4, L.GIF),
+        lut_member("mm_webp_decode", 31, 4, L.WEBP),
+        agg(
+            "mm_flac_audio",
+            "count(*)",
+            "sum(100 + doc_id % 900)",
+            "documents WHERE doc_id % 37 = 0",
+        ),
+        agg(
+            "mm_mp4_frames",
+            "4 * count(*)",
+            f"sum({mp4_sum})",
+            "documents d WHERE d.doc_id % 41 = 0",
+        ),
+        lut_member("mm_mjpeg_video", 43, 251, L.MJPEG, n_per_doc=3),
+        lut_member("mm_g711_adpcm_audio", 47, 1800, L.G711_ADPCM),
+    ]
+    return docstat + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("mm_multimodal_suite", sql=_mm_suite_oracle_sql())
 def mm_multimodal_suite(spark, sf_dir):
     """Folded multimodal suite: each sub-operator reduced to one
     (q, n_rows, checksum) row; the aggregates force every Arrow batch
-    of every mapInPandas stage to execute."""
+    of every mapInPandas stage to execute.  r06: the DuckDB twin
+    (``_mm_suite_oracle_sql``) hash-checks every row — text-derived
+    members as pure SQL over the document bytes, codec members via the
+    frozen per-residue LUTs of ``gen_mm_lut.py``."""
     subs = [
         ("mm_image_features", mm_image_features, "checksum"),
         ("mm_image_resize", mm_image_resize, "n_pixels"),
