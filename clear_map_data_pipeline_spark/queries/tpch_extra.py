@@ -33,10 +33,13 @@ casts are engine-identical, decimal addition is exact — so no
 round(...,2) boundary can flip with summation order (bitten once at
 sf0.01, see tpch_q10).
 
-The remaining TPC-H queries (q2, q4, q9, q11, q12, q16, q19, q20,
-q21) need columns/tables the fixtures lack (partsupp, l_shipmode,
-l_commitdate/l_receiptdate, p_container, o_comment/c_phone in their
-filter roles) — out of scope by data, not by engine.
+r06 closes the gap: the remaining queries (q2, q4, q9, q11, q12,
+q16, q19, q20, q21) run over deterministic synthesized columns —
+partsupp from lineitem's distinct (partkey, suppkey) pairs,
+commit/receipt dates + shipmode + shipinstruct + container from key
+arithmetic shared between the Spark builders and the oracle CTEs
+(tpch_synth.py) — and live in tpch_missing.py, folded into this
+suite.  All 22 TPC-H shapes now hash-check in one driver slot.
 """
 
 from __future__ import annotations
@@ -554,6 +557,7 @@ def _register_suite() -> None:
     from .core import TPCH_Q1_SQL, tpch_q1_pricing_summary
     from .joins import TPCH_Q3_SQL, tpch_q3_shipping_priority
     from .suites import SubQuery, register_suite
+    from .tpch_missing import missing_subqueries
 
     register_suite(
         "suite_tpch",
@@ -654,12 +658,15 @@ def _register_suite() -> None:
                 TPCH_Q22_SQL,
                 [("nation_code", "s"), ("numcust", "s"), ("totacctbal", "d2")],
             ),
-        ],
-        doc="Folded TPC-H suite: q1 scan+agg, q3 top-k join, q5 cyclic "
-        "six-table join, q6 pushdown scan, q8 eight-way market-share "
-        "ratio, q10 returned-items top-k, q14 promo-revenue ratio — "
-        "each sub-result hash-checked row-for-row inside the union "
-        "(one driver slot for seven shapes).",
+        ]
+        + missing_subqueries(),
+        doc="Folded TPC-H suite, all 22 query shapes: q1 scan+agg, q3 "
+        "top-k join, q5 cyclic six-table join, q6 pushdown scan, q8 "
+        "eight-way market-share ratio, q10 returned-items top-k, q14 "
+        "promo-revenue ratio, plus the nine synthesized-column queries "
+        "of tpch_missing.py (q2/q4/q9/q11/q12/q16/q19/q20/q21) — each "
+        "sub-result hash-checked row-for-row inside the union (one "
+        "driver slot for twenty-two shapes).",
     )
 
 

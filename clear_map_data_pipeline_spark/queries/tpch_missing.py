@@ -1,0 +1,628 @@
+"""The nine TPC-H queries the fixtures couldn't express until r06 —
+q2, q4, q9, q11, q12, q16, q19, q20, q21 — over the deterministic
+column synthesis of ``tpch_synth.py`` (partsupp from lineitem's
+distinct pairs; commit/receipt dates, shipmode, shipinstruct and
+container from key arithmetic).  Folded into ``suite_tpch`` by
+tpch_extra.py, completing all 22 TPC-H shapes in one driver slot.
+
+Reference semantics: TPC-H specification rev 3.0 (public), adapted to
+the fixture surface — filters that need absent text columns
+(o_comment, c_phone, s_comment, p_mfgr) are dropped or re-anchored on
+existing columns, and q11's fraction-of-total threshold becomes a
+scale-free 2x-average threshold (the literal 0.0001/SF fraction
+empties the result as SF grows; the aggregate->1-row-broadcast->filter
+shape is unchanged).
+
+Determinism policy is tpch_extra.py's: monetary aggregates sum through
+DECIMAL(18,x); threshold comparisons are written as multiplication
+inequalities over exact decimals (never a float division), so no
+summation order or rounding mode can flip a row.
+
+Scale notes: every dimension side broadcasts; partsupp⋈lineitem (q9)
+and the per-order aggregates (q21) shuffle on their natural keys; q21
+needs no self-join of raw lineitem — the EXISTS / NOT-EXISTS pair
+collapses into two per-order countDistinct aggregates joined back to
+the late rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..session import Tables
+from . import tpch_synth as synth
+
+_DEC_VOL_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+
+def _dec_vol() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier
+# --------------------------------------------------------------------------
+
+
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2: for LARGE parts up to size 15, the EUROPE supplier(s)
+    quoting the per-part minimum cost; top-100 by account balance.
+    The correlated min is a per-part aggregate joined back on
+    (partkey, cost) — cost equality is exact because ps_supplycost is
+    the same two-decimal BIGINT-derived expression on both sides."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+    eur = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        ).join(
+            F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        synth.partsupp(t.lineitem)
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    # per-part min as a window over the (already tiny) candidate set:
+    # one shuffle on partkey instead of an aggregate + join-back that
+    # evaluates cand twice
+    mn = F.min("ps_supplycost").over(Window.partitionBy("ps_partkey"))
+    return (
+        cand.withColumn("_mn", mn)
+        .filter(F.col("ps_supplycost") == F.col("_mn"))
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+    )
+
+
+TPCH_Q2_SQL = f"""
+    WITH partsupp AS ({synth.PARTSUPP_SQL}),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT ps_partkey AS p_partkey, ps_supplycost,
+             s_suppkey, s_name, s_acctbal, n_name
+      FROM partsupp
+      JOIN part ON ps_partkey = p_partkey
+      JOIN eur ON ps_suppkey = s_suppkey
+      WHERE p_size <= 15 AND p_type = 'LARGE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM cand
+    WHERE ps_supplycost = (
+      SELECT min(c2.ps_supplycost) FROM cand c2
+      WHERE c2.p_partkey = cand.p_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority checking
+# --------------------------------------------------------------------------
+
+
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4: orders of one quarter with at least one late lineitem
+    (commit < receipt), counted per priority — EXISTS as a semi join."""
+    t = Tables(spark, sf_dir)
+    late = (
+        synth.lineitem_ext(t.lineitem)
+        .filter(F.col("l_commitdate") < F.col("l_receiptdate"))
+        .select("l_orderkey")
+    )
+    return (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+TPCH_Q4_SQL = f"""
+    WITH lineitem_ext AS ({synth.LINEITEM_EXT_SQL})
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem_ext
+                  WHERE l_orderkey = o_orderkey
+                    AND l_commitdate < l_receiptdate)
+    GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# Q9 — product type profit
+# --------------------------------------------------------------------------
+
+
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9: profit (revenue minus supply cost) for 'red%' parts by
+    supplier nation and order year.  lineitem⋈partsupp shuffles on the
+    composite (partkey, suppkey); every dimension broadcasts."""
+    t = Tables(spark, sf_dir)
+    red = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    # shrink the partsupp side BEFORE the composite-key shuffle: the
+    # red-part filter applies to both join inputs, but Spark won't
+    # infer it across the equi-join on its own — the explicit semi
+    # join cuts the shuffled partsupp volume ~8x
+    ps_red = synth.partsupp(t.lineitem).join(
+        F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(red), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            ps_red,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+    WITH partsupp AS ({synth.PARTSUPP_SQL})
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               - ps_supplycost * l_quantity
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1, 2
+    """
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification
+# --------------------------------------------------------------------------
+
+
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part stock value for one nation's
+    suppliers, keeping parts above 2x the average per-part value.
+    (The spec's 0.0001/SF fraction-of-total empties with scale; the
+    2x-average keeps the aggregate -> 1-row broadcast -> exact
+    multiplication-inequality shape scale-free.)"""
+    t = Tables(spark, sf_dir)
+    nat_supp = (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,6)")
+    per_part = (
+        synth.partsupp(t.lineitem)
+        .join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(val).alias("_v"))
+    )
+    tot = per_part.agg(F.sum("_v").alias("_t"), F.count("*").alias("_n"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("_v") * F.col("_n") > F.col("_t") * 2)
+        .select(
+            "ps_partkey", F.round("_v", 2).cast("double").alias("value")
+        )
+    )
+
+
+TPCH_Q11_SQL = f"""
+    WITH partsupp AS ({synth.PARTSUPP_SQL}),
+    per_part AS (
+      SELECT ps_partkey,
+             sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,6))) AS _v
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(_v) AS _t, count(*) AS _n FROM per_part)
+    SELECT ps_partkey, CAST(round(_v, 2) AS DOUBLE) AS value
+    FROM per_part, tot
+    WHERE _v * _n > _t * 2
+    """
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping modes and order priority
+# --------------------------------------------------------------------------
+
+
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12: late MAIL/SHIP lineitems of one receipt-year, counted
+    by priority class — the three-date sandwich (ship < commit <
+    receipt) over the synthesized dates."""
+    t = Tables(spark, sf_dir)
+    li = synth.lineitem_ext(t.lineitem).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_SQL = f"""
+    WITH lineitem_ext AS ({synth.LINEITEM_EXT_SQL})
+    SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem_ext
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND CAST(l_shipdate AS DATE) < l_commitdate
+      AND l_receiptdate >= DATE '1996-01-01'
+      AND l_receiptdate < DATE '1997-01-01'
+    GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship
+# --------------------------------------------------------------------------
+
+
+def tpch_q16_parts_supplier(spark, sf_dir):
+    """TPC-H Q16: distinct supplier count per (brand, type, size) for
+    parts outside one brand/type, sizes in a fixed list.  (The spec's
+    complaint-supplier exclusion needs s_comment — dropped.)"""
+    t = Tables(spark, sf_dir)
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        synth.partsupp(t.lineitem)
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_SQL = f"""
+    WITH partsupp AS ({synth.PARTSUPP_SQL})
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'SMALL'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY 1, 2, 3
+    """
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue
+# --------------------------------------------------------------------------
+
+
+def tpch_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: the triple-OR of brand/container/quantity/size
+    conjunctions, under AIR shipmode + DELIVER IN PERSON — the
+    disjunctive-pushdown stress query."""
+    t = Tables(spark, sf_dir)
+    li = synth.lineitem_ext(t.lineitem).filter(
+        F.col("l_shipmode").isin("AIR", "AIR REG")
+        & (F.col("l_shipinstruct") == "DELIVER IN PERSON")
+    )
+    pe = synth.part_ext(t.part)
+    q = F.col("l_quantity")
+    branch1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_container").isin("SM BOX", "SM CASE")
+        & (q >= 1) & (q <= 11) & (F.col("p_size") <= 5)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_container").isin("MED BAG", "MED BOX")
+        & (q >= 10) & (q <= 20) & (F.col("p_size") <= 10)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_container").isin("LG BOX", "LG CASE")
+        & (q >= 20) & (q <= 30) & (F.col("p_size") <= 15)
+    )
+    return (
+        li.join(F.broadcast(pe), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch1 | branch2 | branch3)
+        .agg(
+            F.round(F.sum(_dec_vol()), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+TPCH_Q19_SQL = f"""
+    WITH lineitem_ext AS ({synth.LINEITEM_EXT_SQL}),
+    part_ext AS ({synth.PART_EXT_SQL})
+    SELECT CAST(round(sum({_DEC_VOL_SQL}), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem_ext
+    JOIN part_ext ON l_partkey = p_partkey
+    WHERE l_shipmode IN ('AIR', 'AIR REG')
+      AND l_shipinstruct = 'DELIVER IN PERSON'
+      AND ((p_brand = 'Brand#12'
+            AND p_container IN ('SM BOX', 'SM CASE')
+            AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+        OR (p_brand = 'Brand#23'
+            AND p_container IN ('MED BAG', 'MED BOX')
+            AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+        OR (p_brand = 'Brand#15'
+            AND p_container IN ('LG BOX', 'LG CASE')
+            AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15))
+    """
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion
+# --------------------------------------------------------------------------
+
+
+def tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20: NATION_1 suppliers of 'red%' parts whose stock
+    exceeds half of what they shipped of that part in 1996.  The
+    correlated quantity subquery is a per-(part,supplier) aggregate
+    inner-joined back (pairs with no 1996 shipments drop, matching the
+    spec's NULL-comparison exclusion); the half threshold is the exact
+    inequality 2*availqty > sum(qty) over decimals."""
+    t = Tables(spark, sf_dir)
+    shipped = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+    )
+    red = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    cand = (
+        synth.partsupp(t.lineitem)
+        .join(
+            F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("decimal(18,2)") * 2 > F.col("_q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+TPCH_Q20_SQL = f"""
+    WITH partsupp AS ({synth.PARTSUPP_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS _q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE 'red%')
+        AND CAST(ps_availqty AS DECIMAL(18,2)) * 2 > _q
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (SELECT ps_suppkey FROM cand)
+    """
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting
+# --------------------------------------------------------------------------
+
+
+def tpch_q21_suppliers_who_kept_waiting(spark, sf_dir):
+    """TPC-H Q21: NATION_4 suppliers who were the SOLE late supplier on
+    a multi-supplier finalized order.  The EXISTS / NOT-EXISTS pair
+    over lineitem self-joins collapses into two per-order aggregates:
+    'another supplier exists' == order's distinct suppliers >= 2;
+    'no other late supplier' == the order's distinct LATE suppliers
+    == 1 (the row's own supplier is late by filter, so the late set is
+    exactly {it}).  ONE per-order aggregate carries both tests (the
+    late count as a conditional countDistinct), so a single shuffle on
+    l_orderkey replaces two self-joins of the raw fact — the shape
+    that survives 100 TB."""
+    t = Tables(spark, sf_dir)
+    li = synth.lineitem_ext(t.lineitem)
+    late_cond = F.col("l_receiptdate") > F.col("l_commitdate")
+    late = li.filter(late_cond)
+    # ONE per-order aggregate carries both existence tests (total
+    # distinct suppliers and distinct LATE suppliers) — a conditional
+    # countDistinct instead of two separate shuffles over the fact
+    stats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(
+            F.when(late_cond, F.col("l_suppkey"))
+        ).alias("_nl"),
+    )
+    return (
+        late.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            stats.filter((F.col("_ns") >= 2) & (F.col("_nl") == 1)),
+            F.col("l_orderkey") == F.col("_ok"),
+        )
+        .join(
+            F.broadcast(
+                t.supplier.join(
+                    F.broadcast(t.nation.filter(F.col("n_name") == "NATION_4")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = f"""
+    WITH lineitem_ext AS ({synth.LINEITEM_EXT_SQL}),
+    late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem_ext
+      WHERE l_receiptdate > l_commitdate
+    ),
+    n_supp AS (
+      SELECT l_orderkey AS _ok, count(DISTINCT l_suppkey) AS _ns
+      FROM lineitem GROUP BY 1
+    ),
+    n_late AS (
+      SELECT l_orderkey AS _lk, count(DISTINCT l_suppkey) AS _nl
+      FROM late GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN n_supp ON l_orderkey = _ok
+    JOIN n_late ON l_orderkey = _lk
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND _ns >= 2 AND _nl = 1
+      AND n_name = 'NATION_4'
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """
+
+
+def missing_subqueries():
+    """The nine r06 SubQuery members tpch_extra folds into suite_tpch."""
+    from .suites import SubQuery
+
+    return [
+        SubQuery(
+            "tpch_q2_min_cost_supplier",
+            tpch_q2_min_cost_supplier,
+            TPCH_Q2_SQL,
+            [("s_acctbal", "d2"), ("s_name", "s"), ("n_name", "s"),
+             ("p_partkey", "s"), ("ps_supplycost", "d2")],
+        ),
+        SubQuery(
+            "tpch_q4_order_priority",
+            tpch_q4_order_priority,
+            TPCH_Q4_SQL,
+            [("o_orderpriority", "s"), ("order_count", "s")],
+        ),
+        SubQuery(
+            "tpch_q9_product_type_profit",
+            tpch_q9_product_type_profit,
+            TPCH_Q9_SQL,
+            [("nation", "s"), ("o_year", "s"), ("sum_profit", "d2")],
+        ),
+        SubQuery(
+            "tpch_q11_important_stock",
+            tpch_q11_important_stock,
+            TPCH_Q11_SQL,
+            [("ps_partkey", "s"), ("value", "d2")],
+        ),
+        SubQuery(
+            "tpch_q12_shipmode_priority",
+            tpch_q12_shipmode_priority,
+            TPCH_Q12_SQL,
+            [("l_shipmode", "s"), ("high_line_count", "s"),
+             ("low_line_count", "s")],
+        ),
+        SubQuery(
+            "tpch_q16_parts_supplier",
+            tpch_q16_parts_supplier,
+            TPCH_Q16_SQL,
+            [("p_brand", "s"), ("p_type", "s"), ("p_size", "s"),
+             ("supplier_cnt", "s")],
+        ),
+        SubQuery(
+            "tpch_q19_discounted_revenue",
+            tpch_q19_discounted_revenue,
+            TPCH_Q19_SQL,
+            [("revenue", "d2"), ("n_items", "s")],
+        ),
+        SubQuery(
+            "tpch_q20_potential_promotion",
+            tpch_q20_potential_promotion,
+            TPCH_Q20_SQL,
+            [("s_suppkey", "s"), ("s_name", "s")],
+        ),
+        SubQuery(
+            "tpch_q21_suppliers_who_kept_waiting",
+            tpch_q21_suppliers_who_kept_waiting,
+            TPCH_Q21_SQL,
+            [("s_name", "s"), ("numwait", "s")],
+        ),
+    ]
