@@ -303,3 +303,40 @@ def test_triangle_count_total_is_three_per_triangle(spark):
     brute = _brute_triangles(edges)
     assert total == sum(brute.values())
     assert total % 3 == 0
+
+
+def test_reliable_checkpoint_path_matches_and_truncates(spark, tmp_path):
+    """`use_reliable_checkpoint=True` is the 100-TB configuration
+    (localCheckpoint dies with an executor; reliable checkpoints live
+    in the cluster FS) — run it for real: same labels as the default
+    path AND the union-find reference, checkpoint files actually land
+    in the configured dir, and the returned plan is truncated (a
+    checkpoint scan, not 2 * rounds of nested joins)."""
+    rng = random.Random(7)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(n)]
+    edges = [e for e in edges if e[0] != e[1]]
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    # leaving the dir set is harmless for other tests: nothing else
+    # calls .checkpoint(), and localCheckpoint ignores it
+    spark.sparkContext.setCheckpointDir(ckpt)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, use_reliable_checkpoint=True)
+    got = {r["node"]: r["component"] for r in out.collect()}
+
+    assert got == _union_find_labels(edges)
+    assert got == _spark_labels(spark, edges)  # localCheckpoint twin
+
+    import os
+
+    ckpt_files = [
+        os.path.join(r, f) for r, _d, fs in os.walk(ckpt) for f in fs
+    ]
+    assert ckpt_files, "reliable checkpoint wrote nothing to the dir"
+
+    # lineage truncation: the optimized plan of the result must hang off
+    # the checkpoint scan (one join of nodes with fixpoint labels), not
+    # accumulate a tree that grows with rounds.
+    plan = out._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    assert len(plan.splitlines()) < 30, plan
