@@ -61,7 +61,20 @@ def st_stream_dedup_exactly_once(spark, sf_dir):
     event-time-bounded state.  The oracle is the SINGLE-copy batch
     answer — hash equality IS the exactly-once proof: any re-delivered
     row surviving dedup would flip the totals."""
+    import os
+
     doubled = stage_backlog(f"{sf_dir}/events.parquet", copies=2)
+    # Precondition pin (VERDICT r05): this entry SHARES its oracle SQL
+    # string with st_daily_totals_incremental — correct only because
+    # the backlog really is every file twice, so the single-copy batch
+    # answer is the exactly-once target.  If stage_backlog ever stopped
+    # doubling, the query would pass vacuously; assert the staging
+    # contract here (2 entries, both resolving to the same real file)
+    # so that edit fails loudly instead.
+    staged = sorted(os.listdir(doubled))
+    assert len(staged) == 2 and len(
+        {os.path.realpath(os.path.join(doubled, f)) for f in staged}
+    ) == 1, f"backlog staging is no longer an exact double: {staged}"
     return deduped_ingest_stream(spark, doubled, query_name="st_dedup_q")
 
 
