@@ -79,30 +79,38 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
     )
 
 
-def _merge_pair_in_words(syms: DataFrame, first: str, second: str) -> DataFrame:
-    """Replace every adjacent (first, second) occurrence with the
-    merged symbol — Arrow-batched, per-word local, left-to-right
-    non-overlapping exactly like the reference algorithm."""
+def _merge_pairs_in_words(
+    syms: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Replace every adjacent occurrence of each (first, second) in
+    ``pairs`` with its merged symbol — Arrow-batched, per-word local,
+    left-to-right non-overlapping exactly like the reference
+    algorithm, applied in list order.  When the pairs are symbol-
+    disjoint with fresh merged strings (the batch-selection contract
+    of ``train_bpe``) the sequential application equals one-at-a-time
+    rounds."""
     import pandas as pd  # noqa: PLC0415 - executor-side
 
-    merged = first + second
+    plan = [(f, s, f + s) for f, s in pairs]
 
     def run(batches):
         for pdf in batches:
             out = []
             for s in pdf["syms"]:
                 s = list(s)
-                res = []
-                i = 0
-                n = len(s)
-                while i < n:
-                    if i + 1 < n and s[i] == first and s[i + 1] == second:
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(s[i])
-                        i += 1
-                out.append(res)
+                for first, second, merged in plan:
+                    res = []
+                    i = 0
+                    n = len(s)
+                    while i < n:
+                        if i + 1 < n and s[i] == first and s[i + 1] == second:
+                            res.append(merged)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                out.append(s)
             yield pd.DataFrame(
                 {"word": pdf["word"], "cnt": pdf["cnt"], "syms": out}
             )
@@ -110,11 +118,74 @@ def _merge_pair_in_words(syms: DataFrame, first: str, second: str) -> DataFrame:
     return syms.mapInPandas(run, schema="word string, cnt long, syms array<string>")
 
 
+def _select_batch(
+    top: list, k: int, known_symbols: set[str], min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Pick the longest prefix of the sorted top-``k`` pair list that is
+    provably order-equivalent to one-at-a-time merging.
+
+    Invariants that make the batch exact (not approximate):
+
+    - existing pair counts never INCREASE under a merge whose merged
+      string is a fresh symbol (new occurrences of an old pair would
+      need the old symbols adjacent, which merging other symbols cannot
+      create), so an unaffected pair's rank vs everything it already
+      beat is stable;
+    - a pair is only added while its symbols are disjoint from every
+      already-selected pair (its own count is therefore unchanged);
+    - any NEW pair created by a selected merge (x, f+s) inherits
+      count <= the count of an existing pair sharing a symbol with the
+      selection, so requiring n(candidate) strictly above every
+      collected pair that shares a symbol with the selection — and
+      above the collection floor n(top[k-1]), which bounds every
+      uncollected pair — keeps new pairs strictly below the candidate;
+    - merged strings must be fresh (not an existing symbol, not another
+      batch member's merged string): a string collision would let an
+      existing pair gain occurrences and invalidate the rank argument.
+
+    The first pair is always safe (it IS the sequential choice); growth
+    stops at the first candidate that cannot be proven safe."""
+    first = top[0]
+    batch = [(first["first"], first["second"], int(first["n"]))]
+    symset = {first["first"], first["second"]}
+    merged_set = {first["first"] + first["second"]}
+    if first["first"] + first["second"] in known_symbols:
+        return batch  # collision: pairs involving it may gain count
+    floor = int(top[-1]["n"]) if len(top) == k else 0
+    for i in range(1, len(top)):
+        cand = top[i]
+        f, s, n = cand["first"], cand["second"], int(cand["n"])
+        if n < min_pair_count:
+            break
+        if f in symset or s in symset:
+            break
+        if n <= floor:
+            break
+        merged = f + s
+        if merged in known_symbols or merged in merged_set:
+            break
+        touched = symset | {f, s}
+        unsafe = any(
+            int(q["n"]) >= n
+            and (q["first"] in touched or q["second"] in touched)
+            for j, q in enumerate(top)
+            if j > i
+        )
+        if unsafe:
+            break
+        batch.append((f, s, n))
+        symset |= {f, s}
+        merged_set.add(merged)
+    return batch
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
     col: str = "text",
     min_pair_count: int = 2,
+    batch_size: int = 16,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges from a corpus.
 
@@ -124,28 +195,51 @@ def train_bpe(
     (word, cnt, syms).  Training stops early when no pair reaches
     ``min_pair_count``.
 
-    Driver-side loop, one round per merge: the merge decision is a
-    1-row collect (the only driver data movement); everything else
-    stays distributed and vocab-bounded."""
+    Driver-side loop; per round the merge decision is a top-k collect
+    (k = 4*batch_size, the only driver data movement) and everything
+    else stays distributed and vocab-bounded.  r06: up to
+    ``batch_size`` merges apply per round when ``_select_batch`` can
+    PROVE the batch is order-equivalent to one-at-a-time merging
+    (symbol-disjoint pairs, fresh merged strings, counts strictly
+    above every pair the batch touches) — the merge list is bit-
+    identical to ``batch_size=1`` and to the pure-Python replay
+    oracle, while a 32k-vocab training run pays ~3-8x fewer
+    distributed pair-count jobs (``bpe_scale_demo`` in bench.py
+    measures the ratio).  Pass ``stats`` to receive
+    ``{"rounds": r, "n_merges": m}``."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     from ..cachereg import pin
 
     words = pin(_initial_symbols(word_counts(df, col)))
+    # conservative superset of the live symbol alphabet: every initial
+    # character (one tiny distinct job) plus every merged string we
+    # create — _select_batch uses it to keep merged strings fresh
+    known_symbols = {
+        r["s"]
+        for r in words.select(
+            F.explode("syms").alias("s")
+        ).distinct().collect()
+    }
     merges: list[tuple[str, str, int]] = []
-    for i in range(n_merges):
+    rounds = 0
+    k = max(4 * batch_size, 8)
+    while len(merges) < n_merges:
         top = (
             _pair_counts(words)
             .orderBy(F.col("n").desc(), F.col("first"), F.col("second"))
-            .limit(1)
+            .limit(k)
             .collect()
         )
         if not top or top[0]["n"] < min_pair_count:
             break
-        first, second, n = top[0]["first"], top[0]["second"], top[0]["n"]
-        merges.append((first, second, int(n)))
-        nxt = _merge_pair_in_words(words, first, second)
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
+        batch = _select_batch(top, k, known_symbols, min_pair_count)
+        batch = batch[: max(n_merges - len(merges), 1)][:batch_size]
+        merges.extend(batch)
+        known_symbols.update(f + s for f, s, _n in batch)
+        nxt = _merge_pairs_in_words(words, [(f, s) for f, s, _n in batch])
+        rounds += 1
+        if rounds % _CHECKPOINT_EVERY == 0:
             nxt = nxt.localCheckpoint(eager=True)
         prev = words
         words = pin(nxt)
@@ -153,6 +247,9 @@ def train_bpe(
         # round's cache — storage stays O(1) in rounds, not O(n_merges)
         words.count()
         prev.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_merges"] = len(merges)
     return merges, words
 
 

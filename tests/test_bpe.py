@@ -99,3 +99,31 @@ def test_train_bpe_on_fixture_documents(spark, sf_dir):
     want, _w = _py_replay(wc, 13)
     assert merges == want
     assert len(merges) == 13  # fixture has plenty of repeated pairs
+
+
+def test_batched_rounds_identical_merge_list(spark):
+    """The r06 batched merge rounds must be EXACTLY the sequential
+    algorithm, faster — same merge list as batch_size=1 (and therefore
+    as the replay oracle, which test_train_bpe_matches_python_replay
+    pins), in measurably fewer distributed rounds."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    s1, s16 = {}, {}
+    m1, _ = bpe.train_bpe(df, n_merges=12, batch_size=1, stats=s1)
+    m16, _ = bpe.train_bpe(df, n_merges=12, batch_size=16, stats=s16)
+    assert m1 == m16
+    assert s1["rounds"] == len(m1)
+    assert s16["rounds"] < s1["rounds"]
+
+
+def test_batched_rounds_identical_on_fixture(spark, sf_dir):
+    """Same exactness on the real documents corpus, where top pairs
+    share symbols often (the adversarial case for batch selection)."""
+    from clear_map_data_pipeline_spark.session import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("text")
+    stats = {}
+    merges, _ = bpe.train_bpe(docs, n_merges=20, batch_size=8, stats=stats)
+    wc = {r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()}
+    want, _w = _py_replay(wc, 20)
+    assert merges == want
+    assert stats["rounds"] <= len(merges)
