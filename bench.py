@@ -354,6 +354,128 @@ def _hh_scale_demo(spark) -> dict:
     }
 
 
+def _bpe_scale_demo(spark, sf_dir: str) -> dict:
+    """BPE merge-loop economics (r05-verdict task #5): one-at-a-time
+    training pays one distributed pair-count job per merge — a 32k-merge
+    vocab is 32k jobs.  r06 batches provably order-equivalent merges per
+    round (operators/bpe.py _select_batch; the replay tests pin the
+    merge list bit-identical), so the job count drops by the measured
+    batch ratio.  Reports merges/sec and the rounds ratio at two corpus
+    sizes (the fixture and a 4x vocab-grown replication)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.cachereg import release_all
+    from clear_map_data_pipeline_spark.operators.bpe import train_bpe
+
+    # The fixture documents carry only ~31 distinct words — a degenerate
+    # vocabulary where every top pair shares symbols and batching is
+    # structurally capped (measured batch_ratio ~1.2; that corpus stays
+    # covered by the replay tests).  Real tokenizer training runs on
+    # 10^5..10^7-word vocabularies, so the demo synthesizes a
+    # deterministic zipf-ish syllable corpus at two vocabulary scales.
+    syl = [
+        c + v
+        for c in "bdklmnrstz"
+        for v in "aeiou"
+    ]  # 50 CV syllables
+    arr = "array(" + ", ".join(f"'{s}'" for s in syl) + ")"
+    n_rows, n_merges = 40000, 32
+    points = []
+    for vocab_target in (600, 4000):
+        word_id = (
+            f"cast(floor(pow({vocab_target}.0, "
+            f"pmod(xxhash64(id), 1000000) / 1000000.0)) as long)"
+        )
+        word = " || ".join(
+            f"element_at({arr}, cast(pmod(xxhash64({word_id}, {k}), 50)"
+            " as int) + 1)"
+            for k in (1, 2, 3)
+        )
+        corpus = spark.range(n_rows).select(F.expr(word).alias("text"))
+        st: dict = {}
+        t0 = _t.perf_counter()
+        merges, final_words = train_bpe(
+            corpus, n_merges=n_merges, batch_size=16, stats=st
+        )
+        n_words = final_words.count()
+        wall = _t.perf_counter() - t0
+        release_all()
+        points.append(
+            {
+                "vocab_target": vocab_target,
+                "n_distinct_words": n_words,
+                "n_merges": len(merges),
+                "rounds": st["rounds"],
+                "batch_ratio": round(len(merges) / max(st["rounds"], 1), 2),
+                "wall_sec": round(wall, 3),
+                "merges_per_sec": round(len(merges) / wall, 2),
+            }
+        )
+    return {"points": points}
+
+
+def _pipeline_scale_demo(spark, sf_dir: str) -> dict:
+    """The flagship reference pipeline at 10x its synthesized input
+    (r05-verdict task #8): events replicated with 10x distinct users
+    (user_id*10+c), so the MOH frame, the city set, and the shape dim
+    all scale 10x.  Runs all four window exports over ONE pinned stats
+    prefix (plans/clearmap.py X3) and reports wall, per-window rows,
+    and the single-id-exchange property of the window stack measured AT
+    THIS SCALE (the plan invariant test_plan.py pins at sf fixtures)."""
+    import re
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.cachereg import pin, release_all
+    from clear_map_data_pipeline_spark.plans.clearmap import (
+        WINDOWS,
+        _export_frame,
+        _window_frame,
+        joined_stats_frame,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    reps = 10
+
+    class _ScaledTables(Tables):
+        def __getattr__(self, name):
+            df = Tables.__getattr__(self, name)
+            if name == "events":
+                df = df.select(
+                    F.explode(F.expr(f"sequence(0, {reps - 1})")).alias("_c"),
+                    *df.columns,
+                ).select(
+                    (F.col("user_id") * reps + F.col("_c")).alias("user_id"),
+                    *[c for c in df.columns if c != "user_id"],
+                )
+            return df
+
+    t = _ScaledTables(spark, sf_dir)
+    t0 = _t.perf_counter()
+    base = pin(joined_stats_frame(t))
+    frames = {w: _export_frame(_window_frame(base, w)) for w in WINDOWS}
+    rows = {}
+    for w, df in frames.items():
+        rows[w] = df.count()
+    wall = _t.perf_counter() - t0
+    # the stacked-window invariant at 10x: the per-window export's
+    # window stack still hangs off ONE id-hash exchange
+    plan = frames["weeks_1"]._jdf.queryExecution().executedPlan().toString()
+    id_exchanges = len(
+        set(re.findall(r"hashpartitioning\(id#\d+L?, \d+\)", plan))
+    )
+    release_all()
+    return {
+        "events_reps": reps,
+        "wall_sec_4_windows": round(wall, 3),
+        "rows_per_window": rows,
+        "id_exchanges_weeks_1": id_exchanges,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -428,6 +550,8 @@ def main() -> None:
     lsh_scale_demo = _lsh_scale_demo(spark)
     dedup_scale_demo = _dedup_scale_demo(spark, sf_dir)
     hh_scale_demo = _hh_scale_demo(spark)
+    bpe_scale_demo = _bpe_scale_demo(spark, sf_dir)
+    pipeline_scale_demo = _pipeline_scale_demo(spark, sf_dir)
 
     # same discipline for the LSH path: recall vs the exact all-pairs
     # baseline at its 0.35 threshold, measured AT THE REGISTERED
@@ -495,6 +619,12 @@ def main() -> None:
                 # candidate shuffle vs the naive per-partition-distinct
                 # shuffle, answer still exact
                 "hh_scale_demo": hh_scale_demo,
+                # batched BPE rounds: merge list bit-identical to
+                # sequential (replay-tested), jobs cut by batch_ratio
+                "bpe_scale_demo": bpe_scale_demo,
+                # flagship pipeline at 10x users: 4 windows over one
+                # pinned prefix, window stack still single-id-exchange
+                "pipeline_scale_demo": pipeline_scale_demo,
                 "ann_lsh_recall": round(lsh_recall_reg, 3),
                 "ann_lsh_candidate_fraction": round(lsh_cand_frac_reg, 3),
                 "ann_lsh_cheap_recall": round(lsh_recall_cheap, 3),
