@@ -199,6 +199,7 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("not a WAV payload")
     pos = 12
     audio_fmt = n_ch = rate = bits = block_align = None
+    samples_per_block = fact_frames = None
     pcm = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -209,6 +210,14 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
             audio_fmt, n_ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
+            if audio_fmt == 0x11 and len(body) >= 20:
+                # fmt extension: cbSize, wSamplesPerBlock — real ADPCM
+                # files pad the tail block; without this the padded
+                # nibbles decode as extra trailing samples, inflating
+                # duration/peak (ADVICE r05)
+                cb, spb = struct.unpack("<HH", body[16:20])
+                if cb >= 2 and spb > 0:
+                    samples_per_block = spb
             ok = (
                 (audio_fmt == 1 and bits in (8, 16, 24, 32))
                 or (audio_fmt == 3 and bits == 32)
@@ -219,6 +228,8 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
                 raise ValueError(
                     f"unsupported WAV (fmt={audio_fmt}, bits={bits})"
                 )
+        elif cid == b"fact" and ln >= 4:
+            fact_frames = int.from_bytes(body[:4], "little")
         elif cid == b"data":
             pcm = body
     if n_ch is None or pcm is None:
@@ -226,7 +237,11 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     if audio_fmt == 0x11:
         from .pcm import ima_adpcm_decode
 
-        samples = ima_adpcm_decode(pcm, n_ch, block_align)
+        samples = ima_adpcm_decode(
+            pcm, n_ch, block_align, samples_per_block=samples_per_block
+        )
+        if fact_frames is not None:
+            samples = samples[: fact_frames * n_ch]
     elif audio_fmt == 6:
         from .pcm import alaw_decode_byte
 
@@ -299,22 +314,44 @@ def encode_wav(
 
         tag, bits = 6, 8
         pcm = bytes(alaw_encode_sample(s) for s in samples)
-    elif fmt == "ima_adpcm":
+    samples_per_block = None
+    if fmt == "ima_adpcm":
         from .pcm import ima_adpcm_encode
 
         tag, bits = 0x11, 4
-        pcm, block_align = ima_adpcm_encode(samples, n_ch=n_ch)
-    else:
+        samples_per_block = 505
+        pcm, block_align = ima_adpcm_encode(
+            samples, n_ch=n_ch, samples_per_block=samples_per_block
+        )
+    elif fmt not in ("pcm", "float32", "mulaw", "alaw"):
         raise ValueError(f"unknown fmt {fmt!r}")
     if block_align is None:
         block_align = max(n_ch * bits // 8, 1)
+    if samples_per_block is None:
+        # sample-aligned formats: one frame per block_align bytes
+        byte_rate = sample_rate * block_align
+    else:
+        # block formats (ADPCM): block_align bytes carry
+        # samples_per_block frames — third-party tools read this field,
+        # so compute it per spec even though our own decoder ignores it
+        byte_rate = sample_rate * block_align // samples_per_block
     hdr = struct.pack(
-        "<HHIIHH", tag, n_ch, sample_rate,
-        sample_rate * block_align, block_align, bits,
+        "<HHIIHH", tag, n_ch, sample_rate, byte_rate, block_align, bits,
     )
+    if samples_per_block is not None:
+        # fmt-chunk extension (cbSize=2): wSamplesPerBlock, which
+        # decode_wav uses to truncate padded tail nibbles per block
+        hdr += struct.pack("<HH", 2, samples_per_block)
+    fact = b""
+    if tag != 1:
+        # compressed/non-PCM formats carry a fact chunk with the true
+        # frame count — decode_wav uses it to drop the zero-padded tail
+        # of the final ADPCM block
+        fact = b"fact" + struct.pack("<II", 4, len(samples) // n_ch)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+        + fact
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -125,13 +125,20 @@ def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
 
 
 def ima_adpcm_decode(
-    data: bytes, n_ch: int, block_align: int
+    data: bytes, n_ch: int, block_align: int,
+    samples_per_block: int | None = None,
 ) -> list[int]:
     """Decode an IMA-ADPCM WAV data chunk to interleaved 16-bit
     samples.  Per block and channel: a 4-byte header (int16 predictor
     = the block's first output sample, uint8 step index, reserved),
     then 4-byte nibble groups interleaved across channels (8 samples
-    per channel per group, low nibble first)."""
+    per channel per group, low nibble first).
+
+    ``samples_per_block`` (the fmt extension's wSamplesPerBlock, when
+    present) caps the decoded per-channel output of each block: real
+    encoders zero-pad the nibble area of short blocks to full
+    alignment, and without the cap the pad decodes as extra trailing
+    samples (ADVICE r05)."""
     if n_ch < 1 or block_align < 4 * n_ch:
         raise ValueError("invalid ADPCM layout")
     out: list[int] = []
@@ -154,6 +161,8 @@ def ima_adpcm_decode(
                         chans[c].append(preds[c])
             pos += 4 * n_ch
         n = len(chans[0])
+        if samples_per_block is not None:
+            n = min(n, samples_per_block)
         for i in range(n):
             for c in range(n_ch):
                 out.append(chans[c][i])

@@ -757,8 +757,18 @@ def doc_lexical_stats(
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
     ).where(F.col("n_tokens") > 0)
+    # codepoint-safe character split: split(text, '') yields UTF-16
+    # code units (an astral char becomes two surrogates) while the
+    # DuckDB twin's string_split(text, '') yields codepoints — Java
+    # regex '.' matches one CODE POINT, so regexp_extract_all keeps
+    # both engines' entropy terms identical on non-BMP text (ADVICE r05)
     chars = (
-        df.select(id_col, F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        df.select(
+            id_col,
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '(?s).', 0)")
+            ).alias("ch"),
+        )
         .groupBy(id_col, "ch")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
