@@ -11,8 +11,20 @@ packing) applied inverse in reverse order — plus a round-trip
 companion encoder that emits real prefix-coded literal streams and can
 exercise the subtract-green, palette, and predictor transform paths.
 
-Lossy WebP (VP8 intra coding) requires a boolean arithmetic decoder
-and stays at the documented stub seam, as does video.
+Lossy WebP (VP8 intra coding) stays at the documented stub seam, as
+does inter-frame video — a deliberate r06 stop, not an oversight.
+Corpus-frequency triage (public CommonCrawl MIME statistics): jpeg
+~45-50% of crawled image payloads, png ~30%, gif ~10%, webp ~5-8%
+(dominated by lossy VP8) — so lossy WebP is indeed the top stubbed
+format.  But a conformant VP8 decoder requires RFC 6386's 1056-byte
+default coefficient-probability table and its 1056-byte update-
+probability twin verbatim; those constants are not reproducible in
+this offline container, and a codec built on invented tables would
+round-trip against its own encoder while MIScoding every real
+interoperable stream — a false "real decode" claim, worse than the
+honest deterministic stub.  The codec family therefore stops here;
+``decode_real`` (multimodal.py) remains the seam where libwebp/PIL
+plug in.
 
 Reference parity note: the reference pipeline (il_analysis_git.py) has
 no media operators — this module is beyond-reference extension surface
