@@ -127,3 +127,78 @@ def test_batched_rounds_identical_on_fixture(spark, sf_dir):
     want, _w = _py_replay(wc, 20)
     assert merges == want
     assert stats["rounds"] <= len(merges)
+
+
+def test_select_batch_property_pure_python():
+    """Drive the batch-selection math through thousands of random
+    corpora WITHOUT Spark: simulate training on a word-count dict,
+    each round computing exact pair counts in Python, selecting with
+    the real ``_select_batch`` over the sorted top-k, applying the
+    whole batch — and assert the merge sequence equals the
+    one-at-a-time reference for every corpus.  This is the property
+    the safety conditions (symbol-disjointness, strict count
+    dominance over touched pairs and the collection floor, fresh
+    merged strings) claim to guarantee; random corpora probe the tie
+    and collision corners the fixed fixtures can't."""
+    import random as _random
+
+    def pair_counts(words):
+        pc = {}
+        for w, (cnt, syms) in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + cnt
+        return pc
+
+    def apply_merge(words, a, b):
+        for w, (cnt, syms) in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = (cnt, res)
+
+    def batched_train(word_counts, n_merges, k, batch_size):
+        words = {
+            w: (c, list(w) + [bpe.END_MARK]) for w, c in word_counts.items()
+        }
+        known = {s for _c, syms in words.values() for s in syms}
+        merges = []
+        while len(merges) < n_merges:
+            pc = pair_counts(words)
+            top_all = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            top = [
+                {"first": a, "second": b, "n": n}
+                for (a, b), n in top_all[:k]
+            ]
+            if not top or top[0]["n"] < 2:
+                break
+            batch = bpe._select_batch(top, k, known, 2)
+            batch = batch[: max(n_merges - len(merges), 1)][:batch_size]
+            merges.extend(batch)
+            known.update(f + s for f, s, _n in batch)
+            for f, s, _n in batch:
+                apply_merge(words, f, s)
+        return merges
+
+    for seed in range(400):
+        rng = _random.Random(seed)
+        alphabet = "abcd" if seed % 3 else "ab"
+        wc = {
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 7))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(2, 14))
+        }
+        n_merges = rng.randint(1, 12)
+        want, _w = _py_replay(wc, n_merges)
+        for batch_size in (4, 16):
+            got = batched_train(wc, n_merges, k=4 * batch_size,
+                                batch_size=batch_size)
+            assert got == want, (seed, batch_size, wc, got, want)
