@@ -22,7 +22,12 @@ Scale notes: every dimension side broadcasts; partsupp⋈lineitem (q9)
 and the per-order aggregates (q21) shuffle on their natural keys; q21
 needs no self-join of raw lineitem — the EXISTS / NOT-EXISTS pair
 collapses into two per-order countDistinct aggregates joined back to
-the late rows.
+the late rows.  Five members derive partsupp independently rather
+than sharing a pinned frame: the A/B was measured at sf0.1 (unshared
+3.29s vs shared-pinned 3.49s best-of-3 for the five members unioned)
+— the identical distinct stages dedupe at runtime inside the single
+suite plan, and a cachereg pin adds a materialization barrier for
+nothing.
 """
 
 from __future__ import annotations

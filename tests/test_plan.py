@@ -301,3 +301,54 @@ def test_hll_overlap_summaries_join_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         plan
     )
+
+
+def test_tpch_q9_partsupp_join_shape(spark, sf_dir):
+    """q9's plan contract at scale: every dimension side broadcasts,
+    the red-part filter reaches BOTH fact inputs (the explicit semi
+    join shrinks the shuffled partsupp side ~8x), and the composite
+    (partkey, suppkey) join stays a shuffle join — broadcastable at
+    fixture scale but partsupp is fact-sized at 100 TB, so the lint
+    only forbids the pathologies (cartesian/BNLJ), not the AQE
+    broadcast promotion."""
+    from clear_map_data_pipeline_spark.queries.tpch_missing import (
+        tpch_q9_product_type_profit,
+    )
+
+    df = tpch_q9_product_type_profit(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # part / supplier / nation dims + the partsupp-shrinking semi join
+    # all arrive via broadcast exchanges
+    assert plan.count("BroadcastExchange") >= 4, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q21_single_stats_aggregate(spark, sf_dir):
+    """q21 must pay ONE per-order aggregate (the fused conditional
+    countDistinct), not the two separate shuffles of the textbook
+    EXISTS/NOT-EXISTS rewrite: exactly one aggregate keyed on
+    l_orderkey with two count(distinct) outputs."""
+    from clear_map_data_pipeline_spark.queries.tpch_missing import (
+        tpch_q21_suppliers_who_kept_waiting,
+    )
+
+    df = tpch_q21_suppliers_who_kept_waiting(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst rewrites the multi-distinct as ONE expand+gid aggregate
+    # pair: both _ns and _nl must be produced by the SAME Aggregate
+    # node (two separate stats aggregates would mean two fact shuffles)
+    fused = [
+        ln
+        for ln in plan.splitlines()
+        if "AS _ns#" in ln and "AS _nl#" in ln
+    ]
+    assert len(fused) == 1, plan
+    # and no second aggregate computes either alone
+    lone = [
+        ln
+        for ln in plan.splitlines()
+        if ("AS _ns#" in ln) != ("AS _nl#" in ln)
+    ]
+    assert not lone, plan
