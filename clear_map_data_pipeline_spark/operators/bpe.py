@@ -273,3 +273,77 @@ def bpe_segment(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
                 i += 1
         syms = res
     return syms
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge list to a corpus, distributed — the
+    inference half of the tokenizer (train_bpe is the learning half).
+
+    Returns (id, n_tokens, n_subwords, subwords) per document, where
+    ``subwords`` is the concatenated BPE segmentation of the document's
+    whitespace tokens in order.
+
+    Scale shape — the vocab-bounded trick, same as training: the merge
+    loop runs once per DISTINCT word (Arrow-batched ``mapInPandas``
+    over the distinct-word table, merge list broadcast inside the
+    closure), and the per-document assembly is a plain broadcast-free
+    groupBy join — corpus rows never pay the per-word merge loop
+    twice.  A trillion-token corpus has millions of distinct words;
+    the expensive loop is millions of rows, not trillions."""
+    import pandas as pd  # noqa: PLC0415 - executor-side
+
+    ordered = [(f, s) for f, s, _n in merges]
+
+    words = (
+        df.select(F.explode(tokens(col)).alias("word")).distinct()
+    )
+
+    def seg_batches(batches):
+        for pdf in batches:
+            segs = []
+            for w in pdf["word"]:
+                syms = list(w) + [END_MARK]
+                for first, second in ordered:
+                    res, i = [], 0
+                    n = len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == first
+                            and syms[i + 1] == second
+                        ):
+                            res.append(first + second)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                segs.append(syms)
+            yield pd.DataFrame({"word": pdf["word"], "subword": segs})
+
+    seg_table = words.mapInPandas(
+        seg_batches, schema="word string, subword array<string>"
+    )
+
+    doc_words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(col)).alias("_pos", "word"),
+    )
+    return (
+        doc_words.join(seg_table, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.size("subword")).cast("long").alias("n_subwords"),
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "subword"))
+                ).getField("subword")
+            ).alias("subwords"),
+        )
+    )

@@ -202,3 +202,24 @@ def test_select_batch_property_pure_python():
             got = batched_train(wc, n_merges, k=4 * batch_size,
                                 batch_size=batch_size)
             assert got == want, (seed, batch_size, wc, got, want)
+
+
+def test_bpe_apply_matches_driver_segmenter(spark):
+    """Distributed application (vocab-bounded mapInPandas + order-
+    preserving reassembly) must equal the driver-side reference
+    segmenter word for word, in document order."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    merges, _ = bpe.train_bpe(df, n_merges=10)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_subwords"], list(r["subwords"]))
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        words = t.lower().split()
+        want = []
+        for w in words:
+            want.extend(bpe.bpe_segment(w, merges))
+        assert got[i] == (len(words), len(want), want), i
