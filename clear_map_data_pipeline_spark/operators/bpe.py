@@ -51,12 +51,20 @@ def word_counts(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def _initial_symbols(words: DataFrame) -> DataFrame:
-    """(word, cnt, syms): characters plus the end-of-word sentinel."""
+    """(word, cnt, syms): characters plus the end-of-word sentinel.
+
+    Codepoint-safe split (regexp over '(?s).', which Java regex
+    matches per CODE POINT): ``split(word, '')`` yields UTF-16 code
+    units, so astral characters would become surrogate-half symbols —
+    diverging from the pure-Python replay oracle's ``list(word)`` and
+    from ``bpe_segment``/``bpe_apply``, which all operate on
+    codepoints (the doc_lexical_stats lesson, ADVICE r05)."""
     return words.select(
         "word",
         "cnt",
         F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(END_MARK))
+            F.expr("regexp_extract_all(word, '(?s).', 0)"),
+            F.array(F.lit(END_MARK)),
         ).alias("syms"),
     )
 
@@ -209,6 +217,10 @@ def train_bpe(
     ``{"rounds": r, "n_merges": m}``."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch_size < 1:
+        # batch_size=0 would truncate every selected batch to [] and
+        # spin the round loop forever, re-running pair counts
+        raise ValueError("batch_size must be >= 1")
     from ..cachereg import pin
 
     words = pin(_initial_symbols(word_counts(df, col)))
@@ -297,7 +309,7 @@ def bpe_apply(
     the expensive loop is millions of rows, not trillions."""
     import pandas as pd  # noqa: PLC0415 - executor-side
 
-    ordered = [(f, s) for f, s, _n in merges]
+    ordered = list(merges)
 
     words = (
         df.select(F.explode(tokens(col)).alias("word")).distinct()
@@ -305,25 +317,10 @@ def bpe_apply(
 
     def seg_batches(batches):
         for pdf in batches:
-            segs = []
-            for w in pdf["word"]:
-                syms = list(w) + [END_MARK]
-                for first, second in ordered:
-                    res, i = [], 0
-                    n = len(syms)
-                    while i < n:
-                        if (
-                            i + 1 < n
-                            and syms[i] == first
-                            and syms[i + 1] == second
-                        ):
-                            res.append(first + second)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
-                segs.append(syms)
+            # one definition of the merge loop: bpe_segment (module-
+            # level, importable on executors) — a semantics fix there
+            # cannot miss this path
+            segs = [bpe_segment(w, ordered) for w in pdf["word"]]
             yield pd.DataFrame({"word": pdf["word"], "subword": segs})
 
     seg_table = words.mapInPandas(
@@ -334,7 +331,7 @@ def bpe_apply(
         F.col(id_col),
         F.posexplode(tokens(col)).alias("_pos", "word"),
     )
-    return (
+    per_doc = (
         doc_words.join(seg_table, "word")
         .groupBy(id_col)
         .agg(
@@ -344,6 +341,23 @@ def bpe_apply(
                 F.array_sort(
                     F.collect_list(F.struct("_pos", "subword"))
                 ).getField("subword")
+            ).alias("subwords"),
+        )
+    )
+    # zero-token documents (empty / whitespace-only text) produce no
+    # posexplode rows — restore them so the contract really is one row
+    # PER document, not per tokenizable document
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_subwords", F.lit(0).cast("long")).alias(
+                "n_subwords"
+            ),
+            F.coalesce(
+                "subwords", F.array().cast("array<string>")
             ).alias("subwords"),
         )
     )

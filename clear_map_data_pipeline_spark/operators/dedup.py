@@ -757,7 +757,9 @@ def duplicated_spans(
     xxhash64 for production throughput, semantics unchanged.  Windows
     never cross documents, so partitioning is embarrassingly row-local
     until the digest shuffle."""
-    toks_sql = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    from .text import tokens_sql
+
+    toks_sql = tokens_sql(text_col)
     span_expr = (
         f"CASE WHEN size({toks_sql}) >= {window} THEN "
         f"transform(sequence(1, size({toks_sql}) - {window - 1}), "

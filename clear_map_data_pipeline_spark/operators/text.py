@@ -22,9 +22,17 @@ STOPWORDS = {
 }
 
 
+def tokens_sql(col: str = "text") -> str:
+    """THE whitespace tokenizer, as a Spark SQL expression string —
+    the single definition every operator composes (tokens() below,
+    dedup.duplicated_spans' window builder, ...), so a tokenization
+    change cannot silently fracture the family."""
+    return f"filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+
+
 def tokens(col: str = "text") -> Column:
     """Lowercased whitespace tokens, empties dropped."""
-    return F.expr(f"filter(split(lower({col}), '\\\\s+'), x -> x != '')")
+    return F.expr(tokens_sql(col))
 
 
 def token_count(col: str = "text") -> Column:

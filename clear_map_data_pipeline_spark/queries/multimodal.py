@@ -471,6 +471,11 @@ def _mm_suite_oracle_sql() -> str:
     sizes are arithmetic in doc_id), so they need no LUT at all."""
     from . import _mm_lut as L
 
+    # docstat is total over documents: the byte aggregation produces no
+    # group for a zero-length text (unnest of an empty range), so it
+    # LEFT-joins back onto documents with the exact empty-payload
+    # values — adler32(b'') = 1, peak 0 — keeping the oracle correct
+    # even if a regenerated fixture ever carries empty docs
     docstat = """
 WITH pos AS (
   SELECT doc_id, length(text) AS n,
@@ -481,12 +486,18 @@ bytes AS (
   SELECT doc_id, n, i, ascii(substr(text, CAST(i AS INT), 1)) AS byte
   FROM pos
 ),
-docstat AS (
-  SELECT doc_id, any_value(n) AS n,
+bytestat AS (
+  SELECT doc_id,
          CAST(((any_value(n) + sum((n - i + 1) * byte)) % 65521) * 65536
               + (1 + sum(byte)) % 65521 AS BIGINT) AS adler,
          CAST(max(byte) AS BIGINT) AS peak
   FROM bytes GROUP BY doc_id
+),
+docstat AS (
+  SELECT d.doc_id, length(d.text) AS n,
+         coalesce(adler, 1) AS adler,
+         coalesce(peak, 0) AS peak
+  FROM documents d LEFT JOIN bytestat ON d.doc_id = bytestat.doc_id
 )"""
 
     def agg(name: str, n_rows: str, checksum: str, src: str) -> str:

@@ -72,9 +72,13 @@ def st_stream_dedup_exactly_once(spark, sf_dir):
     # contract here (2 entries, both resolving to the same real file)
     # so that edit fails loudly instead.
     staged = sorted(os.listdir(doubled))
-    assert len(staged) == 2 and len(
-        {os.path.realpath(os.path.join(doubled, f)) for f in staged}
-    ) == 1, f"backlog staging is no longer an exact double: {staged}"
+    targets = {os.path.realpath(os.path.join(doubled, f)) for f in staged}
+    if len(staged) != 2 or len(targets) != 1:
+        # explicit raise, not assert: python -O strips asserts, and
+        # this check exists precisely to fail loudly in any runtime
+        raise RuntimeError(
+            f"backlog staging is no longer an exact double: {staged}"
+        )
     return deduped_ingest_stream(spark, doubled, query_name="st_dedup_q")
 
 
