@@ -68,3 +68,25 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     return props.withColumn(
         "geometry", st_geomfromgeojson_udf()(F.col("_gj"))
     ).drop("_gj")
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source (r06) — the interchange format training-data
+    drops actually arrive in.  Explicit schema preferred (no inference
+    job, stable under drift — the S2 discipline); corrupt lines land
+    in ``_corrupt_record`` instead of failing the read when a schema
+    is given with that column, mirroring a 100-TB crawl's reality."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (r06): the other columnar lake format Spark reads
+    natively — same pushdown/pruning contract as parquet (PPD +
+    ReadSchema reach the scan), so lakehouse tables written by Hive/
+    Trino ingest without conversion."""
+    return spark.read.orc(path)

@@ -173,3 +173,21 @@ def write_bucketed_table(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def write_jsonl(df, path: str, n_files: int | None = None) -> None:
+    """JSON-lines sink (r06): one JSON object per row, optionally
+    coalesced to a bounded file count for downstream consumers that
+    glob shards.  Distributed write — no driver materialization."""
+    out = df.coalesce(n_files) if n_files else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_orc(df, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (r06), partition-layout aware — the interop surface
+    for Hive/Trino consumers; same dynamic-partition semantics as the
+    parquet export path."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

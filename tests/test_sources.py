@@ -335,3 +335,91 @@ def test_publish_mapbox_gated_without_transport(tmp_path):
 
     with pytest.raises(NotImplementedError, match="transport"):
         publish_mapbox("a.b", str(tmp_path / "t.mbtiles"), "k")
+
+
+def test_jsonl_roundtrip_with_corrupt_line(spark, tmp_path):
+    """JSONL write -> read round-trips values and types; a corrupt
+    line lands in _corrupt_record under an explicit schema instead of
+    failing the read."""
+    from pyspark.sql import types as T
+
+    from clear_map_data_pipeline_spark.sources.readers import read_jsonl
+    from clear_map_data_pipeline_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0)], ["id", "name", "score"]
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out, n_files=1)
+    back = read_jsonl(
+        spark,
+        out,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+    assert sorted(map(tuple, back.collect())) == [
+        (1, "alpha", 1.5),
+        (2, "beta", -2.0),
+    ]
+
+    # corrupt line: permissive mode captures, does not abort
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"id": 3, "name": "ok", "score": 0.0}\n{oops\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(bad), schema).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["id"] == 3
+    assert len(corrupt) == 1
+
+
+def test_orc_roundtrip_partitioned_and_pushdown(spark, tmp_path, sf_dir):
+    """ORC write (partitioned) -> read preserves values; filters and
+    column pruning reach the ORC scan like parquet's."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.sources.readers import read_orc
+    from clear_map_data_pipeline_spark.sources.writers import write_orc
+
+    nation = Tables(spark, sf_dir).nation
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out, partition_by=["n_regionkey"])
+    back = read_orc(spark, out)
+    want = sorted(
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in nation.collect()
+    )
+    got = sorted(
+        (r["n_nationkey"], r["n_name"], int(r["n_regionkey"]))
+        for r in back.collect()
+    )
+    assert got == want
+
+    q = back.filter(F.col("n_regionkey") == 1).select("n_name")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    # partition pruning on the partition column + pruned ReadSchema
+    assert re.search(r"Scan orc", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"n_name"}, plan
