@@ -210,3 +210,34 @@ def test_audio_features_truncated_fmt_chunk_stubs(spark):
     df = spark.createDataFrame([(2, bad)], "doc_id long, payload binary")
     (row,) = audio_features(df).collect()
     assert row["n_samples"] == len(bad)  # stub: raw byte count
+
+
+def test_wav_fact_chunk_robustness():
+    """The r06 fact-chunk truncation must degrade gracefully: an
+    oversized frame count is a no-op slice, a truncated fact body is
+    ignored, and both leave the decoded signal intact."""
+    import struct
+
+    from clear_map_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = [((i * 29) % 1200) - 600 for i in range(505)]
+    payload = encode_wav(pcm, 8000, fmt="ima_adpcm")
+    want = decode_wav(payload)[3]
+
+    # locate the fact chunk and corrupt its frame count upward
+    i = payload.index(b"fact")
+    oversized = (
+        payload[: i + 8] + struct.pack("<I", 10**6) + payload[i + 12 :]
+    )
+    assert decode_wav(oversized)[3] == want
+
+    # fact body shorter than 4 bytes: ignored, not crashed
+    short = (
+        payload[:i]
+        + b"fact" + struct.pack("<I", 2) + b"\x00\x00"
+        + payload[i + 12 :]
+    )
+    assert len(decode_wav(short)[3]) >= len(want)
