@@ -727,68 +727,3 @@ def minhash_lsh_fuzzy_join(
         b_col="right_id",
     )
 
-
-def duplicated_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 8,
-) -> DataFrame:
-    """Exact duplicated-SPAN detection (r06) — the substring-level
-    member of the dedup family: every ``window``-token span whose
-    digest occurs more than once in the corpus (any document,
-    including its own) is a duplicated span; per document report the
-    span count, the duplicated-occurrence count, and the duplicated
-    fraction as an exact scaled integer.
-
-    Public algorithm class: Lee et al. 2022, "Deduplicating Training
-    Data Makes Language Models Better" builds suffix arrays for exact
-    substring dedup; the production-scalable equivalent used here is
-    fixed-width n-gram-digest counting — one explode of per-row token
-    windows, one digest-keyed count, one join back.  Document-level
-    dedup (exact/MinHash/SimHash above) misses partial overlaps —
-    boilerplate headers, quoted passages, templated paragraphs — which
-    is exactly what this operator surfaces.
-
-    Scale shape: the explode emits one (id, 32-char digest) pair per
-    token position — the inherent cost of substring-level dedup; both
-    aggregations are map-side combined and AQE-coalesced.  md5 keeps
-    the digest DuckDB-reproducible (the exact_dedup precedent); swap
-    xxhash64 for production throughput, semantics unchanged.  Windows
-    never cross documents, so partitioning is embarrassingly row-local
-    until the digest shuffle."""
-    from .text import tokens_sql
-
-    toks_sql = tokens_sql(text_col)
-    span_expr = (
-        f"CASE WHEN size({toks_sql}) >= {window} THEN "
-        f"transform(sequence(1, size({toks_sql}) - {window - 1}), "
-        f"i -> md5(concat_ws(' ', slice({toks_sql}, i, {window})))) "
-        f"ELSE array() END"
-    )
-    spans = df.select(
-        F.col(id_col), F.explode(F.expr(span_expr)).alias("span_hash")
-    )
-    counts = spans.groupBy("span_hash").agg(F.count("*").alias("_c"))
-    per_doc = (
-        spans.join(counts, "span_hash")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum((F.col("_c") >= 2).cast("long")).alias("n_dup_spans"),
-        )
-    )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.expr(
-                "CASE WHEN coalesce(n_spans, 0) > 0 "
-                "THEN coalesce(n_dup_spans, 0) * 1000000 DIV n_spans "
-                "ELSE CAST(0 AS BIGINT) END"
-            ).alias("dup_frac_e6"),
-        )
-    )

@@ -424,52 +424,6 @@ def _semantic_sql() -> str:
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window;
 # COVERAGE.md "driver cap") — full result sets of all sub-queries
 # still hash-check inside the suite union.
-def dd_duplicated_spans(spark, sf_dir):
-    """Exact duplicated-span detection over documents (r06): every
-    8-token window whose md5 digest occurs >1 time in the corpus is a
-    duplicated span; per doc the span count, duplicated count, and
-    exact scaled fraction.  The substring-level complement of the
-    document-level dedup members — boilerplate and quoted passages
-    surface here that whole-document digests cannot see."""
-    from ..operators.dedup import duplicated_spans
-
-    t = Tables(spark, sf_dir)
-    return duplicated_spans(t.documents)
-
-
-_DUP_SPANS_SQL = """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'),
-                         x -> x <> '') AS t
-      FROM documents
-    ),
-    spans AS (
-      SELECT doc_id,
-             md5(array_to_string(
-               t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS h
-      FROM (SELECT doc_id, t,
-                   unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
-            FROM toks)
-    ),
-    counts AS (SELECT h, count(*) AS c FROM spans GROUP BY h),
-    per_doc AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-             CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dup_spans
-      FROM spans JOIN counts USING (h)
-      GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           coalesce(n_spans, 0) AS n_spans,
-           coalesce(n_dup_spans, 0) AS n_dup_spans,
-           CASE WHEN coalesce(n_spans, 0) > 0
-                THEN coalesce(n_dup_spans, 0) * 1000000 // n_spans
-                ELSE 0 END AS dup_frac_e6
-    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
-    """
-
-
 register_suite(
     "suite_dedup_fingerprints",
     [
@@ -491,19 +445,10 @@ register_suite(
             _semantic_sql(),
             [("vec_id", "s"), ("cluster_id", "s"), ("is_dup", "s")],
         ),
-        SubQuery(
-            "dd_duplicated_spans",
-            dd_duplicated_spans,
-            _DUP_SPANS_SQL,
-            [("doc_id", "s"), ("n_spans", "s"), ("n_dup_spans", "s"),
-             ("dup_frac_e6", "s")],
-        ),
     ],
     doc="Fingerprint dedup suite: embedding-cosine near-dup marking + "
-    "16-bit SimHash + SemDeDup cluster-bounded semantic dedup + exact "
-    "duplicated-span detection (8-token digest windows, the substring-"
-    "level complement of whole-document digests), each oracle-checked "
-    "row-for-row inside the union.",
+    "16-bit SimHash + SemDeDup cluster-bounded semantic dedup, each "
+    "oracle-checked row-for-row inside the union.",
 )
 
 

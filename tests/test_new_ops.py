@@ -370,38 +370,3 @@ def test_bm25_empty_query_terms_raises(spark):
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(df, [])
 
-
-def test_duplicated_spans_handcrafted(spark):
-    """Exact duplicated-span semantics on a corpus built to the case
-    boundaries: a shared 8-token passage across two docs, a doc with
-    an internal repetition, a short doc below the window, and a
-    unique doc."""
-    from clear_map_data_pipeline_spark.operators.dedup import (
-        duplicated_spans,
-    )
-
-    passage = "the quick brown fox jumps over the lazy"
-    rows = [
-        (0, passage + " dog extra tail"),          # shares spans with 1
-        (1, "intro words " + passage + " dog"),    # shares spans with 0
-        (2, "aa bb cc dd ee ff gg hh aa bb cc dd ee ff gg hh"),  # self-rep
-        (3, "too few tokens here"),                # < 8 tokens: 0 spans
-        (4, "entirely unique tokens q w e r t y u i o p"),
-    ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
-    got = {
-        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac_e6"])
-        for r in duplicated_spans(df).collect()
-    }
-    # doc 0: 11 tokens -> 4 spans; spans entirely inside the shared
-    # 9-token region "the ... lazy dog" (positions 1-2) also occur in
-    # doc 1 -> 2 duplicated
-    assert got[0] == (4, 2, 500000)
-    # doc 1: 11 tokens -> 4 spans; the passage+dog spans (pos 3-4) dup
-    assert got[1] == (4, 2, 500000)
-    # doc 2: 16 tokens -> 9 spans; the window 'aa..hh' occurs at
-    # positions 1 and 9 -> that digest has corpus count 2, so BOTH
-    # occurrences are duplicated
-    assert got[2] == (9, 2, 222222)
-    assert got[3] == (0, 0, 0)
-    assert got[4][1] == 0 and got[4][2] == 0
