@@ -799,3 +799,50 @@ def hard_negatives(
     (``ivf_topk_with_index`` with a larger k, then band filter +
     re-rank), which prunes to probed inverted lists first."""
     return cosine_topk(df, queries, k, id_col, vec_col, lo=lo, hi=hi)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column
+    — the storage/bandwidth lever of a 100 TB vector corpus (int8 cuts
+    a float32 column 4x on disk AND on every shuffle wire; ANN recall
+    loss is small because cosine is scale-invariant per vector).
+
+    Returns (id, scale, qvec): ``qvec`` is array<int> in
+    [-(2^(bits-1)-1), +(2^(bits-1)-1)] with ``x ~= q * scale``;
+    zero vectors get scale 0 and all-zero codes.  Pure per-row
+    expressions (transform + aggregate) — no UDF, no shuffle."""
+    qmax = (1 << (bits - 1)) - 1
+    absmax = F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double),"
+        " (acc, x) -> greatest(acc, abs(cast(x as double))))"
+    )
+    df = df.select(F.col(id_col), F.col(vec_col), absmax.alias("_m"))
+    scale = F.when(F.col("_m") > 0.0, F.col("_m") / qmax).otherwise(
+        F.lit(0.0)
+    )
+    df = df.withColumn("scale", scale)
+    qvec = F.expr(
+        f"transform({vec_col}, x -> CASE WHEN scale > 0.0 THEN"
+        " cast(round(cast(x as double) / scale) as int)"
+        " ELSE 0 END)"
+    )
+    return df.select(id_col, "scale", qvec.alias("qvec"))
+
+
+def dequantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: (id, embedding) with
+    ``embedding = qvec * scale`` as array<double>.  Per-element error
+    is bounded by scale/2 = absmax/(2*(2^(bits-1)-1))."""
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            "transform(qvec, q -> cast(q as double) * scale)"
+        ).alias("embedding"),
+    )

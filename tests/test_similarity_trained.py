@@ -258,3 +258,68 @@ def test_lsh_params_for_recall_formula_and_registration():
         lsh_params_for_recall(0.9, 0.35, max_planes=2, max_repetitions=2)
     with _pytest.raises(ValueError):
         lsh_params_for_recall(1.5, 0.35)
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Per-element |x - dequant(x)| <= scale/2 on the fixture corpus,
+    and zero vectors survive as exact zeros."""
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    q = quantize_embeddings(emb)
+    back = dequantize_embeddings(q)
+    joined = (
+        emb.select("vec_id", F.col("embedding").alias("_orig"))
+        .join(back, "vec_id")
+        .join(q.select("vec_id", "scale"), "vec_id")
+    )
+    bad = joined.select(
+        F.expr(
+            "exists(zip_with(_orig, embedding,"
+            " (a, b) -> abs(cast(a as double) - b)),"
+            " e -> e > scale / 2 + 1e-12)"
+        ).alias("over")
+    ).filter("over").count()
+    assert bad == 0
+
+    zq = dequantize_embeddings(quantize_embeddings(zero)).collect()[0]
+    assert list(zq["embedding"]) == [0.0] * 8
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8-quantized vectors must preserve brute-force cosine top-5
+    almost exactly on the fixture corpus — the measured claim behind
+    'quantize the 100 TB corpus, search the int8 copy'."""
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = set(
+        map(tuple, cosine_topk(emb, queries, 5).select("va", "vb").collect())
+    )
+    dq = dequantize_embeddings(quantize_embeddings(emb))
+    dq_queries = dq.filter(F.col("vec_id") % 50 == 0)
+    approx = set(
+        map(
+            tuple,
+            cosine_topk(dq, dq_queries, 5).select("va", "vb").collect(),
+        )
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, recall
