@@ -169,37 +169,29 @@ def j_asof_join(spark, sf_dir):
     same user at-or-before the event date.
 
     Spark has no native ASOF JOIN; the scalable pattern is union-tag +
-    one window pass: tag both streams, sort by (key, time, tag) and take
-    the running max of the right-side time — one shuffle on the key, no
-    per-row subquery, no skew-prone range join.  (The DuckDB oracle uses
-    a correlated subquery for clarity; semantics identical.)"""
+    one window pass — one shuffle on the key, no per-row subquery, no
+    skew-prone range join.  r06: the inline pattern this query
+    introduced is promoted to ``operators/asof.py: asof_join``
+    (backward/forward/nearest + tolerance, pandas.merge_asof-parity
+    tested); the registered query now CALLS the operator, so the
+    oracle here also guards the shared implementation.  (The DuckDB
+    oracle uses a correlated subquery for clarity; semantics
+    identical.)"""
+    from ..operators.asof import asof_join
+
     t = Tables(spark, sf_dir)
     events = t.events.select(
-        "event_id",
-        F.col("user_id").alias("key"),
-        F.to_date("ts").alias("time"),
-        F.lit(1).alias("is_left"),
+        "event_id", "user_id", F.to_date("ts").alias("d")
     )
     orders = t.orders.select(
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_custkey").alias("key"),
-        F.to_date("o_orderdate").alias("time"),
-        F.lit(0).alias("is_left"),
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("d"),
+        F.to_date("o_orderdate").alias("last_order_date"),
     )
-    unioned = events.unionByName(orders)
-    # right rows sort before left rows at the same time => '<=' semantics
-    w = (
-        Window.partitionBy("key")
-        .orderBy("time", "is_left")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn(
-        "last_order_date",
-        F.max(F.when(F.col("is_left") == 0, F.col("time"))).over(w),
-    )
-    return matched.filter(F.col("is_left") == 1).select(
-        "event_id", F.col("key").alias("user_id"), "last_order_date"
-    )
+    return asof_join(
+        events, orders, on="user_id", time="d",
+        right_cols=["last_order_date"],
+    ).select("event_id", "user_id", "last_order_date")
 
 
 _SESSIONIZATION_SQL = """
