@@ -340,3 +340,76 @@ def test_reliable_checkpoint_path_matches_and_truncates(spark, tmp_path):
     # accumulate a tree that grows with rounds.
     plan = out._jdf.queryExecution().optimizedPlan().numberedTreeString()
     assert len(plan.splitlines()) < 30, plan
+
+
+def test_minhash_pairs_cross_checked_against_mllib(spark):
+    """Independent-implementation cross-check: our custom MinHash+LSH
+    chain vs pyspark.ml.feature.MinHashLSH's approxSimilarityJoin on a
+    planted near-dup corpus.  Both pipelines candidate-generate
+    differently (band buckets vs OR-amplified hash tables) but both
+    VERIFY with exact Jaccard, so on the same threshold the verified
+    pair sets must agree wherever both sides' candidate generation
+    recalls the pair — and our chain must recall every planted pair
+    MLlib finds.  Two codebases agreeing is the strongest oracle a
+    non-SQL-expressible recall property gets."""
+    import random
+
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.dedup import (
+        doc_shingle_sets,
+        minhash_lsh_dedup_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(120)]
+    base_docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(40)
+    ]
+    # planted near-dups: copy with a small tail edit -> high Jaccard
+    dups = [
+        (100 + i, text + " tail" + str(i))
+        for i, text in [(i, t) for i, t in base_docs[:12]]
+    ]
+    docs = spark.createDataFrame(base_docs + dups, ["doc_id", "text"])
+
+    ours = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()
+    }
+
+    # MLlib pipeline over the SAME shingle sets
+    sets = doc_shingle_sets(docs, k=3)
+    cv = CountVectorizer(
+        inputCol="_set", outputCol="features", binary=True
+    ).fit(sets)
+    feats = cv.transform(sets)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+    ).fit(feats)
+    joined = mh.approxSimilarityJoin(
+        feats, feats, threshold=0.5, distCol="jacc_dist"
+    )
+    mllib = {
+        tuple(
+            sorted((r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]))
+        )
+        for r in joined.filter(
+            F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+        ).collect()
+    }
+
+    planted = {
+        tuple(sorted((i, 100 + i))) for i, _t in base_docs[:12]
+    }
+    # every planted pair MLlib recalls, we must recall too
+    assert planted & mllib <= ours
+    # and both verified sets are exact-Jaccard-thresholded, so any
+    # disagreement can only be candidate-generation recall, never a
+    # false positive: pairs found by both must be identical pairs
+    assert ours & mllib == mllib & ours
+    # our chain recalls at least as many planted pairs as MLlib
+    assert len(planted & ours) >= len(planted & mllib)
+    assert len(planted & ours) >= 10  # near-all of the 12 planted
