@@ -413,3 +413,114 @@ def test_minhash_pairs_cross_checked_against_mllib(spark):
     # our chain recalls at least as many planted pairs as MLlib
     assert len(planted & ours) >= len(planted & mllib)
     assert len(planted & ours) >= 10  # near-all of the 12 planted
+
+
+# --- strongly connected components ------------------------------------
+
+
+def _tarjan_sccs(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan — the single-process reference; returns
+    node -> min-id-of-SCC labels."""
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack: list[int] = []
+    label: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return label
+
+
+def _spark_sccs(spark, edges):
+    from clear_map_data_pipeline_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("pure_dag", [(1, 2), (2, 3), (1, 3), (3, 4)]),
+        ("one_cycle", [(1, 2), (2, 3), (3, 1), (3, 4)]),
+        ("two_sccs_bridge", [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)]),
+        ("self_loops", [(5, 5), (5, 6), (6, 7), (7, 6)]),
+        ("reverse_chain", [(5, 4), (4, 3), (3, 2), (2, 1)]),
+        ("nested", [(1, 2), (2, 3), (3, 2), (3, 1), (3, 4), (4, 5), (5, 4)]),
+    ],
+)
+def test_scc_shapes_match_tarjan(spark, name, edges):
+    assert _spark_sccs(spark, edges) == _tarjan_sccs(edges)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scc_random_digraph_matches_tarjan(spark, seed):
+    rng = random.Random(seed)
+    n = 40
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(int(n * 1.5))
+    ]
+    assert _spark_sccs(spark, edges) == _tarjan_sccs(edges)
+
+
+def test_scc_vs_undirected_cc_divergence(spark):
+    """The case that motivates SCC: a DAG is ONE undirected component
+    but all singleton SCCs."""
+    edges = [(1, 2), (2, 3), (2, 4)]
+    scc = _spark_sccs(spark, edges)
+    assert scc == {1: 1, 2: 2, 3: 3, 4: 4}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cc = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(cc.values()) == {1}
