@@ -637,3 +637,59 @@ def strongly_connected_components(
             "node", F.col("node").alias("component")
         ).limit(0)
     return settled
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 60,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree >= k — the classic link-graph quality prior
+    (web-corpus curation prunes pages outside a small core: spam farms
+    and orphan pages peel away, densely cross-linked content stays).
+
+    Returns the surviving (node) frame.  Iterative peeling: drop every
+    node with degree < k, recompute, repeat to fixpoint.  Each round is
+    one degree aggregation + two semi joins over the shrinking edge
+    list (lineage truncated per round); rounds are bounded by the peel
+    depth — O(sqrt(|E|)) in theory, single digits on real graphs.
+    Self-loops are ignored; parallel edges count once."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_nodes = -1
+    for _round in range(max_rounds):
+        deg = (
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_deg"))
+        )
+        keep = deg.where(F.col("_deg") >= k).select("node")
+        keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        if stats is not None:
+            stats["rounds"] = _round + 1
+        if n == prev_nodes:
+            return keep
+        prev_nodes = n
+        if n == 0:
+            return keep
+        e = (
+            e.join(keep.select(F.col("node").alias("s")), "s", "left_semi")
+            .join(keep.select(F.col("node").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not stabilize in {max_rounds} rounds")

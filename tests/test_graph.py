@@ -524,3 +524,61 @@ def test_scc_vs_undirected_cc_divergence(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     cc = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert set(cc.values()) == {1}
+
+
+# --- k-core ------------------------------------------------------------
+
+
+def _py_k_core(edges: list[tuple[int, int]], k: int) -> set[int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for w in adj[v]:
+                    adj[w].discard(v)
+                del adj[v]
+                changed = True
+    return set(adj)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_k_core_random_matches_reference(spark, k, seed):
+    from clear_map_data_pipeline_spark.operators.graph import k_core
+
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(2 * n)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"] for r in k_core(df, k).collect()}
+    assert got == _py_k_core(edges, k)
+
+
+def test_k_core_peels_tendrils_keeps_clique(spark):
+    """A 4-clique with pendant chains: 3-core = exactly the clique —
+    the spam-farm/orphan peeling story in miniature."""
+    from clear_map_data_pipeline_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tendrils = [(0, 10), (10, 11), (11, 12), (1, 20)]
+    df = spark.createDataFrame(clique + tendrils, "src long, dst long")
+    stats = {}
+    got = {r["node"] for r in k_core(df, 3, stats=stats).collect()}
+    assert got == {0, 1, 2, 3}
+    assert stats["rounds"] <= 4  # peel depth, not node count
+
+
+def test_k_core_validation(spark):
+    from clear_map_data_pipeline_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_core(df, 0)
