@@ -446,3 +446,52 @@ def weighted_sample(
         .orderBy("es_key", id_col)
         .limit(k)
     )
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    k_per_stratum: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exactly-k sampling PER STRATUM — the third member of the
+    sampling family: ``stratified_sample`` keeps a RATE per stratum,
+    ``weighted_sample`` keeps exact-k globally; this keeps exact-k per
+    stratum ("exactly 10k documents per language"), optionally
+    weight-proportional (the per-stratum A-ES key when ``weight_col``
+    is given, plain derandomized-uniform otherwise).
+
+    Deterministic (hash-derived keys, stable under retries), one
+    shuffle on the stratum for the ranking window; strata absent from
+    ``k_per_stratum`` are dropped.  A hot stratum concentrates its
+    ranking in one partition — for pathologically skewed strata use
+    ``operators/skew.py: salted_topk_per_group`` with the same key."""
+    from pyspark.sql import Window
+
+    from .text import hash31
+
+    u = (hash31(F.col(id_col)) + F.lit(1)) / F.lit(2147483648.0)
+    if weight_col is not None:
+        key = -F.log(u) / F.col(weight_col).cast("double")
+        df = df.filter(F.col(weight_col) > 0)
+    else:
+        key = u
+    k_expr = None
+    for stratum, k in k_per_stratum.items():
+        cond = F.col(strata_col) == stratum
+        k_expr = (
+            F.when(cond, F.lit(k))
+            if k_expr is None
+            else k_expr.when(cond, F.lit(k))
+        )
+    k_expr = k_expr.otherwise(F.lit(0))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_skey"), F.col(id_col)
+    )
+    return (
+        df.withColumn("_skey", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_expr)
+        .drop("_skey", "_rn")
+    )

@@ -333,3 +333,53 @@ def test_weighted_sample_fractional_weights_preserved(spark):
     assert rows[1]["weight"] == 0.7
     assert rows[3]["weight"] == 2.5
     assert all(r["es_key"] is not None for r in rows.values())
+
+
+def test_stratified_exact_k_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.assembly import (
+        stratified_exact_k,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out1 = stratified_exact_k(df, {"en": 10, "de": 25, "fr": 200})
+    counts = {
+        r["lang"]: r["n"]
+        for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # exact where the stratum has enough rows, everything where not
+    assert counts == {"en": 10, "de": 25, "fr": 100}
+    # deterministic under rerun and repartition
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_exact_k(
+            df.repartition(7), {"en": 10, "de": 25, "fr": 200}
+        ).collect()
+    )
+    assert ids1 == ids2
+    # unknown strata drop entirely
+    assert (
+        stratified_exact_k(df, {"en": 5}).select("lang").distinct().count()
+        == 1
+    )
+
+
+def test_stratified_exact_k_weighted_prefers_heavy_rows(spark):
+    """With weights, selection is A-ES per stratum: giving half the
+    rows 100x weight must place (nearly) all sample slots on them."""
+    from clear_map_data_pipeline_spark.operators.assembly import (
+        stratified_exact_k,
+    )
+
+    rows = [
+        (i, "en", 100.0 if i % 2 == 0 else 1.0) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = stratified_exact_k(df, {"en": 40}, weight_col="w").collect()
+    heavy = sum(1 for r in out if r["doc_id"] % 2 == 0)
+    assert len(out) == 40 and heavy >= 36
