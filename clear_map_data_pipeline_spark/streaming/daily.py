@@ -59,3 +59,48 @@ def daily_totals_stream(
     return drain_to_memory(
         agg, spark, query_name, store_provider=store_provider
     )
+
+
+def sliding_totals_stream(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "3 days",
+    slide: str = "1 day",
+    query_name: str = "sliding_totals",
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+    store_provider: str | None = None,
+) -> DataFrame:
+    """Sliding-window totals (r06) — the overlapping-window mode the
+    tumbling daily aggregate can't express: every event lands in
+    window/slide windows (3 here), giving the rolling-3-day trend per
+    event_type as windows CLOSE (append mode: a window emits exactly
+    once, when the watermark passes its end — same emission rule as
+    the tumbling op, same exactly-once-per-window downstream
+    contract).
+
+    State scale note: state rows = windows-per-event x live keys —
+    windows/slide times the tumbling op's state, still bounded by the
+    watermark horizon, and per-key updates stay O(overlap) per event.
+    """
+    from .drain import drain_to_memory, stage_stream_source
+
+    stream = normalize_ts(
+        stage_stream_source(spark, events_dir, max_files_per_trigger)
+    ).withWatermark("ts", watermark)
+    agg = (
+        stream.groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.to_date(F.col("w.start")).alias("window_start"),
+            F.to_date(F.col("w.end")).alias("window_end"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
+    return drain_to_memory(
+        agg, spark, query_name, store_provider=store_provider
+    )

@@ -816,3 +816,59 @@ def test_streaming_heavy_hitters_multibatch_rocksdb(spark, sf_dir, tmp_path):
         assert dict(zip(one[g]["keys"], one[g]["ests"])) == dict(
             zip(multi[g]["keys"], multi[g]["ests"])
         )
+
+
+def test_sliding_totals_match_batch(spark, sf_dir):
+    """Sliding 3-day/1-day windows: every emitted (closed) window must
+    equal the batch recomputation of the same overlapping window, each
+    event counted in exactly window/slide = 3 windows, and only
+    windows whose end the final watermark passed may emit."""
+    from clear_map_data_pipeline_spark.session import Tables
+    from clear_map_data_pipeline_spark.streaming.daily import (
+        sliding_totals_stream,
+    )
+
+    streamed = sliding_totals_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="t_sliding_eq"
+    )
+    srows = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"], r["sum_value"],
+        )
+        for r in streamed.collect()
+    }
+    assert len(srows) > 0, "no closed windows emitted"
+
+    ev = Tables(spark, sf_dir).events
+    batch = (
+        ev.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 2), k ->"
+                    " date_sub(to_date(ts), k))"
+                )
+            ).alias("window_start"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+    )
+    brows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    wm = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    for (ws, we, et), v in srows.items():
+        assert (we - ws).days == 3
+        assert brows[(ws, et)] == v, ((ws, et), v, brows[(ws, et)])
+        # append-mode emission rule: window end <= watermark
+        import datetime
+
+        assert (
+            datetime.datetime.combine(we, datetime.time())
+            <= wm - datetime.timedelta(days=1)
+        )
