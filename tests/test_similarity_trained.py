@@ -323,3 +323,24 @@ def test_quantized_topk_recall(spark, sf_dir):
     )
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, recall
+
+
+def test_quantized_ivf_composition(spark, sf_dir):
+    """quantize -> dequantize -> IVF composes cleanly: the trained-
+    centroid IVF search over the int8-reconstructed corpus keeps
+    recall@5 within a small margin of the float IVF — the '4x smaller
+    index, same answers' claim as one measured pipeline."""
+    from clear_map_data_pipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        ivf_recall_at_k,
+        quantize_embeddings,
+    )
+    from clear_map_data_pipeline_spark.queries.similarity import (
+        IVF_KMEANS_PARAMS,
+    )
+    from clear_map_data_pipeline_spark.session import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    dq = dequantize_embeddings(quantize_embeddings(emb))
+    recall = ivf_recall_at_k(dq, k=5, trained="lloyd", **IVF_KMEANS_PARAMS)
+    assert recall >= 0.85, recall
