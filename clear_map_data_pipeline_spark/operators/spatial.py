@@ -30,6 +30,8 @@ import re
 from typing import Iterable
 
 import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 try:  # optional, for true unions of overlapping polygons
     from shapely import wkt as _shapely_wkt  # type: ignore
@@ -581,4 +583,115 @@ def dissolve(df, key: str = "city", geom: str = "geometry"):
     ktype = dict(df.dtypes)[key]
     return df.select(key, geom).groupBy(key).applyInPandas(
         _g, schema=f"{key} {ktype}, {geom} string"
+    )
+
+
+# --- distributed spatial join (grid-bucketed point-in-polygon) ---------
+
+
+def _grid_cells_of_wkt(wkt: str, cell: float) -> list[tuple[int, int]]:
+    """Grid cells covering the polygon's bounding box (candidate
+    cells — the exact test prunes false positives)."""
+    import math
+
+    _typ, polys = parse_wkt(wkt)
+    pts = [p for rings in polys for r in rings for p in r]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    cx0, cx1 = math.floor(min(xs) / cell), math.floor(max(xs) / cell)
+    cy0, cy1 = math.floor(min(ys) / cell), math.floor(max(ys) / cell)
+    return [
+        (cx, cy)
+        for cx in range(cx0, cx1 + 1)
+        for cy in range(cy0, cy1 + 1)
+    ]
+
+
+def spatial_join_points_in_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell: float = 4.0,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "poly_id",
+    geom_col: str = "geometry",
+    include_boundary: bool = True,
+) -> DataFrame:
+    """Distributed point-in-polygon join — the spatial equi-join
+    rewrite (the geometry analogue of the LSH band bucket / range-
+    bucket join): no all-pairs, no theta join.
+
+    1. each polygon emits the GRID CELLS covering its bounding box
+       (Arrow-batched mapInPandas over the WKT — per-polygon local);
+    2. each point's cell is a pure expression floor(x/cell),
+       floor(y/cell);
+    3. candidates = equi-join on the cell id (AQE splits hot cells);
+    4. exact ray-cast verify per candidate (applied in the same
+       Arrow batch as the join output — false positives from the bbox
+       cover die here; ``include_boundary`` counts edge-touching
+       points as covered, matching ST_Covers).
+
+    Returns (point_id, poly_id).  ``cell`` should approximate the
+    median polygon diameter: too small explodes cells-per-polygon, too
+    large packs many polygons per cell — either way correctness holds,
+    only the candidate ratio moves.  At 100 TB the shuffle carries
+    (cell, id[, xy]) pairs, never geometry bodies; the polygon table
+    re-joins by id for the verify batch."""
+    def _poly_cells(it):
+        for pdf in it:
+            pids, cxs, cys = [], [], []
+            for pid, wkt in zip(pdf[poly_id], pdf[geom_col]):
+                for cx, cy in _grid_cells_of_wkt(wkt, cell):
+                    pids.append(pid)
+                    cxs.append(cx)
+                    cys.append(cy)
+            yield pd.DataFrame(
+                {poly_id: pids, "_cx": cxs, "_cy": cys}
+            )
+
+    poly_cells = polygons.select(poly_id, geom_col).mapInPandas(
+        _poly_cells,
+        schema=f"{poly_id} long, _cx long, _cy long",
+    )
+    pts = points.select(
+        point_id,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.floor(F.col(x_col).cast("double") / cell).alias("_cx"),
+        F.floor(F.col(y_col).cast("double") / cell).alias("_cy"),
+    )
+    cands = pts.join(poly_cells, ["_cx", "_cy"]).select(
+        point_id, "_x", "_y", poly_id
+    )
+    # attach geometry for the verify pass (by id — bodies never rode
+    # the cell shuffle), then exact-test per Arrow batch
+    with_geom = cands.join(polygons.select(poly_id, geom_col), poly_id)
+
+    ok_states = ("in", "boundary") if include_boundary else ("in",)
+
+    def _verify(it):
+        cache: dict = {}
+        for pdf in it:
+            keep_pt, keep_poly = [], []
+            for pt_id, x, y, pid, wkt in zip(
+                pdf[point_id], pdf["_x"], pdf["_y"],
+                pdf[poly_id], pdf[geom_col],
+            ):
+                polys = cache.get(pid)
+                if polys is None:
+                    polys = parse_wkt(wkt)[1]
+                    cache[pid] = polys
+                state = "out"
+                for rings in polys:
+                    state = _pt_in_rings((x, y), rings)
+                    if state != "out":
+                        break
+                if state in ok_states:
+                    keep_pt.append(pt_id)
+                    keep_poly.append(pid)
+            yield pd.DataFrame({point_id: keep_pt, poly_id: keep_poly})
+
+    return with_geom.mapInPandas(
+        _verify, schema=f"{point_id} long, {poly_id} long"
     )

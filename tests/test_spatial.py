@@ -255,3 +255,88 @@ def test_union_dissolve_float_crossings():
     # union outline has 8 distinct vertices (4+4 minus none, plus 2
     # crossings, minus the 2 swallowed corners) — hull would have <= 7
     assert len(ring) - 1 == 8, got
+
+
+# --- grid-bucketed spatial join ----------------------------------------
+
+
+def test_spatial_join_matches_bruteforce(spark):
+    """Grid-bucketed point-in-polygon join vs the all-pairs ray-cast
+    reference on a synthesized layout: unit squares on a sparse grid
+    plus one multi-cell rectangle and one polygon with a hole; points
+    inside, outside, on edges, and on corners."""
+    import random
+
+    from clear_map_data_pipeline_spark.operators.spatial import (
+        _pt_in_rings,
+        parse_wkt,
+        spatial_join_points_in_polygons,
+    )
+
+    def square(x0, y0, w=1.0, h=1.0):
+        return (
+            f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + h}, "
+            f"{x0} {y0 + h}, {x0} {y0}))"
+        )
+
+    donut = (
+        "POLYGON ((20 0, 26 0, 26 6, 20 6, 20 0), "
+        "(22 2, 24 2, 24 4, 22 4, 22 2))"
+    )
+    polys = [
+        (1, square(0, 0)),
+        (2, square(4, 0)),
+        (3, square(0, 4)),
+        (4, square(8, 0, w=7.0, h=2.0)),  # spans multiple 4.0 cells
+        (5, donut),
+    ]
+    rng = random.Random(5)
+    pts = [(i, rng.uniform(-2, 30), rng.uniform(-2, 8)) for i in range(300)]
+    # deliberate edge/corner/hole probes
+    pts += [
+        (1000, 0.0, 0.0),    # corner of poly 1
+        (1001, 0.5, 0.0),    # edge of poly 1
+        (1002, 23.0, 3.0),   # inside the hole of poly 5 -> out
+        (1003, 21.0, 1.0),   # in the donut ring -> in poly 5
+        (1004, 22.0, 3.0),   # on the hole boundary -> boundary
+    ]
+
+    pdf = spark.createDataFrame(polys, ["poly_id", "geometry"])
+    tdf = spark.createDataFrame(pts, ["point_id", "x", "y"])
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in spatial_join_points_in_polygons(tdf, pdf).collect()
+    }
+
+    want = set()
+    parsed = {pid: parse_wkt(w)[1] for pid, w in polys}
+    for pt_id, x, y in pts:
+        for pid, pp in parsed.items():
+            for rings in pp:
+                if _pt_in_rings((x, y), rings) in ("in", "boundary"):
+                    want.add((pt_id, pid))
+                    break
+    assert got == want
+    assert (1000, 1) in got and (1001, 1) in got
+    assert (1002, 5) not in got and (1003, 5) in got and (1004, 5) in got
+
+
+def test_spatial_join_exclude_boundary(spark):
+    from clear_map_data_pipeline_spark.operators.spatial import (
+        spatial_join_points_in_polygons,
+    )
+
+    pdf = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")],
+        ["poly_id", "geometry"],
+    )
+    tdf = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 0.0, 1.0)], ["point_id", "x", "y"]
+    )
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in spatial_join_points_in_polygons(
+            tdf, pdf, include_boundary=False
+        ).collect()
+    }
+    assert got == {(1, 1)}
