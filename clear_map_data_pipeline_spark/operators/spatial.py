@@ -636,8 +636,13 @@ def spatial_join_points_in_polygons(
     median polygon diameter: too small explodes cells-per-polygon, too
     large packs many polygons per cell — either way correctness holds,
     only the candidate ratio moves.  At 100 TB the shuffle carries
-    (cell, id[, xy]) pairs, never geometry bodies; the polygon table
-    re-joins by id for the verify batch."""
+    (cell, id[, xy]) pairs, never geometry bodies; the polygon table is
+    dim-sized so the verify pass BROADCASTS it (r06-verdict fix: the
+    id-keyed shuffle rejoin replicated each hot polygon's WKT body once
+    per candidate pair — body x candidates wire volume on a skewed
+    cell; the broadcast ships each body once per executor instead, and
+    the per-partition parse cache in ``_verify`` keeps the CPU cost at
+    one parse per polygon per task)."""
     def _poly_cells(it):
         for pdf in it:
             pids, cxs, cys = [], [], []
@@ -665,8 +670,12 @@ def spatial_join_points_in_polygons(
         point_id, "_x", "_y", poly_id
     )
     # attach geometry for the verify pass (by id — bodies never rode
-    # the cell shuffle), then exact-test per Arrow batch
-    with_geom = cands.join(polygons.select(poly_id, geom_col), poly_id)
+    # the cell shuffle; broadcast, so they never ride a shuffle at all
+    # and a hot polygon's body is shipped per-executor, not per-pair),
+    # then exact-test per Arrow batch
+    with_geom = cands.join(
+        F.broadcast(polygons.select(poly_id, geom_col)), poly_id
+    )
 
     ok_states = ("in", "boundary") if include_boundary else ("in",)
 

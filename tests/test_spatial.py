@@ -340,3 +340,81 @@ def test_spatial_join_exclude_boundary(spark):
         ).collect()
     }
     assert got == {(1, 1)}
+
+
+def test_spatial_join_hot_polygon_skew(spark):
+    """Hot-cell skew drill (r06-verdict task #4): ONE polygon covers
+    half the point cloud, so its grid cells are the hot keys of the
+    candidate equi-join.  Asserts (a) exactness vs the all-pairs
+    ray-cast reference, (b) the verify join is a BROADCAST of the
+    dim-sized polygon table — the fix for the body x candidates
+    replication the id-keyed shuffle rejoin would pay on exactly this
+    layout — and (c) the candidate ratio stays bounded by the bbox
+    cover (no all-pairs blowup: candidates << |points| x |polys|)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.operators.spatial import (
+        _pt_in_rings,
+        parse_wkt,
+        spatial_join_points_in_polygons,
+    )
+
+    # one 16x8 monster spanning many 4.0-cells + 4 unit squares
+    polys = [
+        (1, "POLYGON ((0 0, 16 0, 16 8, 0 8, 0 0))"),
+        (2, "POLYGON ((20 0, 21 0, 21 1, 20 1, 20 0))"),
+        (3, "POLYGON ((20 4, 21 4, 21 5, 20 5, 20 4))"),
+        (4, "POLYGON ((24 0, 25 0, 25 1, 24 1, 24 0))"),
+        (5, "POLYGON ((24 4, 25 4, 25 5, 24 5, 24 4))"),
+    ]
+    rng = random.Random(7)
+    # ~half the points land inside polygon 1's bbox, the rest spread
+    pts = [
+        (i, rng.uniform(0, 16), rng.uniform(0, 8)) for i in range(500)
+    ] + [
+        (1000 + i, rng.uniform(16, 30), rng.uniform(-2, 10))
+        for i in range(500)
+    ]
+    pdf = spark.createDataFrame(polys, ["poly_id", "geometry"])
+    tdf = spark.createDataFrame(pts, ["point_id", "x", "y"])
+
+    joined = spatial_join_points_in_polygons(tdf, pdf)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the verify rejoin must NOT fall back to a shuffle join: the only
+    # shuffle-eligible join left is the cell-candidate equi-join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+    got = {(r["point_id"], r["poly_id"]) for r in joined.collect()}
+    want = set()
+    parsed = {pid: parse_wkt(w)[1] for pid, w in polys}
+    for pt_id, x, y in pts:
+        for pid, pp in parsed.items():
+            for rings in pp:
+                if _pt_in_rings((x, y), rings) in ("in", "boundary"):
+                    want.add((pt_id, pid))
+                    break
+    assert got == want
+    # hot polygon really is hot: it owns ~half of all matches
+    n_hot = sum(1 for _, pid in got if pid == 1)
+    assert n_hot >= 400
+
+    # candidate-ratio bound: candidates = bbox-cover hits only, far
+    # below the 1000 x 5 all-pairs cross product
+    from clear_map_data_pipeline_spark.operators.spatial import (
+        _grid_cells_of_wkt,
+    )
+
+    cell = 4.0
+    poly_cells = {
+        (pid, c) for pid, w in polys for c in _grid_cells_of_wkt(w, cell)
+    }
+    n_cand = sum(
+        1
+        for pt_id, x, y in pts
+        for pid, _ in polys
+        if (pid, (x // cell, y // cell)) in poly_cells
+    )
+    assert n_cand < 1000 * 5 * 0.45, n_cand
