@@ -156,42 +156,83 @@ def j_anti_join(spark, sf_dir):
 @register(
     "j_asof_join",
     sql="""
-    SELECT e.event_id, e.user_id,
-           (SELECT max(CAST(o.o_orderdate AS DATE)) FROM orders o
-             WHERE o.o_custkey = e.user_id
-               AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE))
-             AS last_order_date
-    FROM events e
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events),
+    m AS (
+      SELECT e.event_id, e.user_id, e.d,
+        (SELECT max(CAST(o.o_orderdate AS DATE)) FROM orders o
+          WHERE o.o_custkey = e.user_id
+            AND CAST(o.o_orderdate AS DATE) <= e.d) AS bd,
+        (SELECT min(CAST(o.o_orderdate AS DATE)) FROM orders o
+          WHERE o.o_custkey = e.user_id
+            AND CAST(o.o_orderdate AS DATE) >= e.d) AS fd,
+        (SELECT max(CAST(o.o_orderdate AS DATE)) FROM orders o
+          WHERE o.o_custkey = e.user_id
+            AND CAST(o.o_orderdate AS DATE) <= e.d
+            AND e.d - CAST(o.o_orderdate AS DATE) <= 30) AS bd30
+      FROM e)
+    SELECT 'backward' AS direction, event_id, user_id,
+           bd AS last_order_date FROM m
+    UNION ALL
+    SELECT 'forward' AS direction, event_id, user_id,
+           fd AS last_order_date FROM m
+    UNION ALL
+    SELECT 'nearest' AS direction, event_id, user_id,
+           CASE WHEN bd IS NULL THEN fd
+                WHEN fd IS NULL THEN bd
+                WHEN (fd - d) < (d - bd) THEN fd
+                ELSE bd END AS last_order_date FROM m
+    UNION ALL
+    SELECT 'backward_tol30' AS direction, event_id, user_id,
+           bd30 AS last_order_date FROM m
     """,
 )
 def j_asof_join(spark, sf_dir):
-    """As-of join (backward): for each event, the latest order date of the
-    same user at-or-before the event date.
+    """As-of join, ALL directions hash-checked (r06-verdict task #3):
+    for each event, the temporally closest order date of the same user
+    under each direction rule — latest at-or-before (backward),
+    earliest at-or-after (forward), closer of the two with ties to
+    backward (nearest) — plus a 30-day-tolerance backward case, all
+    four unioned and tagged so one registered query exercises every
+    branch of ``operators/asof.py: asof_join``.
 
     Spark has no native ASOF JOIN; the scalable pattern is union-tag +
-    one window pass — one shuffle on the key, no per-row subquery, no
-    skew-prone range join.  r06: the inline pattern this query
-    introduced is promoted to ``operators/asof.py: asof_join``
-    (backward/forward/nearest + tolerance, pandas.merge_asof-parity
-    tested); the registered query now CALLS the operator, so the
-    oracle here also guards the shared implementation.  (The DuckDB
-    oracle uses a correlated subquery for clarity; semantics
-    identical.)"""
+    one window pass per direction — one shuffle on the key, no per-row
+    subquery, no skew-prone range join.  Time rides as epoch-day ints
+    (dates don't cast to double for the tolerance distance); the
+    matched payload stays a real DATE column.  The DuckDB oracle uses
+    correlated subqueries per direction for clarity; semantics
+    identical (pandas.merge_asof parity is separately pinned by
+    tests/test_asof.py)."""
     from ..operators.asof import asof_join
 
     t = Tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01")
     events = t.events.select(
-        "event_id", "user_id", F.to_date("ts").alias("d")
+        "event_id", "user_id",
+        F.datediff(F.to_date("ts"), epoch).alias("d"),
     )
     orders = t.orders.select(
         F.col("o_custkey").alias("user_id"),
-        F.to_date("o_orderdate").alias("d"),
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("d"),
         F.to_date("o_orderdate").alias("last_order_date"),
     )
-    return asof_join(
-        events, orders, on="user_id", time="d",
-        right_cols=["last_order_date"],
-    ).select("event_id", "user_id", "last_order_date")
+    out = None
+    for tag, direction, tol in (
+        ("backward", "backward", None),
+        ("forward", "forward", None),
+        ("nearest", "nearest", None),
+        ("backward_tol30", "backward", 30.0),
+    ):
+        part = asof_join(
+            events, orders, on="user_id", time="d",
+            right_cols=["last_order_date"],
+            direction=direction, tolerance=tol,
+        ).select(
+            F.lit(tag).alias("direction"),
+            "event_id", "user_id", "last_order_date",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 _SESSIONIZATION_SQL = """
