@@ -484,6 +484,71 @@ def triangle_sql(edges_cte: str) -> str:
     """
 
 
+def scc_sql(edges_cte: str) -> str:
+    """DuckDB twin of ``strongly_connected_components``: full transitive
+    closure via a recursive CTE, then component(v) = min over the nodes
+    mutually reachable with v (v itself when its SCC is a singleton) —
+    exactly the min-id label the coloring loop assigns.  ``edges_cte``
+    must define ``e(src, dst)``; self-loops and duplicates are
+    normalized here the same way the operator does.  O(n * reach) rows
+    — an sf0.01-scale oracle, not a scale path (that's the operator's
+    job)."""
+    return f"""
+    WITH RECURSIVE {edges_cte},
+    en AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+    vertices AS (SELECT src AS node FROM en UNION SELECT dst FROM en),
+    reach AS (
+      SELECT src AS a, dst AS b FROM en
+      UNION
+      SELECT r.a, en.dst FROM reach r JOIN en ON en.src = r.b
+    ),
+    mutual AS (
+      SELECT r1.a AS node, r1.b AS other
+      FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+    )
+    SELECT v.node, least(v.node, coalesce(min(m.other), v.node)) AS component
+    FROM vertices v LEFT JOIN mutual m ON m.node = v.node
+    GROUP BY v.node
+    """
+
+
+def k_core_sql(edges_cte: str, k: int, peels: int = 8) -> str:
+    """DuckDB twin of ``k_core``: the peeling loop unrolled to a fixed
+    ``peels`` rounds of (degree -> keep -> induced subgraph) CTEs.
+    Rounds past the true fixpoint are no-ops, so any ``peels`` >= the
+    operator's measured round count yields the identical node set —
+    and if it ever were too small, the driver hash (Spark = true
+    fixpoint vs oracle = truncated peel) flips rather than passing
+    silently.  ``edges_cte`` must define ``e(src, dst)``.  Every CTE
+    in the chain is MATERIALIZED: each level references its
+    predecessor multiple times, and DuckDB's default CTE inlining
+    would multiply the base scan exponentially in the peel depth."""
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS s, "
+        "greatest(src, dst) AS d FROM e WHERE src <> dst)"
+    ]
+    for i in range(peels):
+        ctes.append(
+            f"""n{i + 1} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS deg FROM (
+          SELECT s AS node FROM e{i} UNION ALL SELECT d FROM e{i})
+        GROUP BY node)
+      WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e{i}.* FROM e{i} "
+            f"JOIN n{i + 1} a ON a.node = e{i}.s "
+            f"JOIN n{i + 1} b ON b.node = e{i}.d)"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {edges_cte},
+    {body}
+    SELECT node FROM n{peels}
+    """
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -537,7 +602,10 @@ def strongly_connected_components(
         if n_live == 0:
             break
         rounds += 1
-        # 1. forward max-color propagation to fixpoint
+        # 1. forward max-color propagation to fixpoint.  The old color
+        # rides the checkpointed frame so the changed-count is a cheap
+        # local scan of already-materialized rows, not a second
+        # join+shuffle job per round (2 jobs/round -> 1 + a scan).
         colors = live_nodes.select("node", F.col("node").alias("color"))
         colors = colors.localCheckpoint(eager=True)
         while True:
@@ -558,18 +626,12 @@ def strongly_connected_components(
                     F.greatest(
                         "color", F.coalesce("_in", F.col("color"))
                     ).alias("color"),
+                    F.col("color").alias("_old"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                nxt.join(
-                    colors.select("node", F.col("color").alias("_old")),
-                    "node",
-                )
-                .where(F.col("color") != F.col("_old"))
-                .count()
-            )
-            colors = nxt
+            changed = nxt.where(F.col("color") != F.col("_old")).count()
+            colors = nxt.select("node", "color")
             if changed == 0:
                 break
         # 2. backward settled-flag propagation within color classes,
@@ -578,6 +640,7 @@ def strongly_connected_components(
             "node", F.col("color").alias("component")
         )
         scc = scc.localCheckpoint(eager=True)
+        n_scc = scc.count()
         while True:
             # flag flows AGAINST edge direction: if d is settled with
             # component c and color(s) == c, then s reaches the root
@@ -599,9 +662,10 @@ def strongly_connected_components(
             grown = (
                 scc.unionByName(msgs).distinct().localCheckpoint(eager=True)
             )
-            if grown.count() == scc.count():
+            n_grown = grown.count()
+            if n_grown == n_scc:
                 break
-            scc = grown
+            scc, n_scc = grown, n_grown
         # component label: min node id of the SCC (colors are max-ids)
         labels = scc.groupBy("component").agg(
             F.min("node").alias("_lbl")

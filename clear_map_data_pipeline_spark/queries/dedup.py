@@ -299,6 +299,123 @@ def _triangle_sql() -> str:
     return triangle_sql(_TRIANGLE_EDGES_CTE)
 
 
+def gr_scc(spark, sf_dir):
+    """Strongly connected components (r07, upgrading the r06 tests-only
+    operator to hash-checked): a directed hub graph with real SCC
+    structure — a dense supplier CORE (supplier a -> supplier b when
+    they ship the same (part, quantity) in adjacent order-residue
+    classes; odd node ids) plus part SATELLITES feeding in (part ->
+    supplier, one thin order slice; even ids) and out (supplier ->
+    part, another slice).  Parts on both slices become mutually
+    reachable with the core and join its SCC; in-only/out-only parts
+    stay singleton components — so the coloring loop's forward pass,
+    backward settle, AND multi-round shrink all execute.  The slices
+    keep the registered slot proportionate; the oracle is a
+    transitive-closure recursive CTE (operators/graph.py: scc_sql)."""
+    from ..operators.graph import strongly_connected_components
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+
+    def pq(m):
+        return (
+            li.filter(F.col("l_orderkey") % 8 == m)
+            .select("l_partkey", "l_quantity", "l_suppkey")
+            .distinct()
+        )
+
+    core = (
+        pq(0).alias("a")
+        .join(pq(1).alias("b"), ["l_partkey", "l_quantity"])
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            (2 * F.col("a.l_suppkey") + 1).alias("src"),
+            (2 * F.col("b.l_suppkey") + 1).alias("dst"),
+        )
+    )
+    up = li.filter(F.col("l_orderkey") % 37 == 2).select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    down = li.filter(F.col("l_orderkey") % 37 == 3).select(
+        (2 * F.col("l_suppkey") + 1).alias("src"),
+        (2 * F.col("l_partkey")).alias("dst"),
+    )
+    edges = core.unionByName(up).unionByName(down).distinct()
+    return strongly_connected_components(edges)
+
+
+_SCC_EDGES_CTE = """e AS (
+      SELECT DISTINCT 2 * a.l_suppkey + 1 AS src, 2 * b.l_suppkey + 1 AS dst
+      FROM (SELECT DISTINCT l_partkey, l_quantity, l_suppkey FROM lineitem
+            WHERE l_orderkey % 8 = 0) a
+      JOIN (SELECT DISTINCT l_partkey, l_quantity, l_suppkey FROM lineitem
+            WHERE l_orderkey % 8 = 1) b
+      USING (l_partkey, l_quantity)
+      WHERE a.l_suppkey <> b.l_suppkey
+      UNION
+      SELECT DISTINCT 2 * l_partkey, 2 * l_suppkey + 1 FROM lineitem
+      WHERE l_orderkey % 37 = 2
+      UNION
+      SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey FROM lineitem
+      WHERE l_orderkey % 37 = 3
+    )"""
+
+
+def _scc_sql() -> str:
+    from ..operators.graph import scc_sql
+
+    return scc_sql(_SCC_EDGES_CTE)
+
+
+KCORE_K = 4
+
+
+def gr_kcore(spark, sf_dir):
+    """k-core decomposition (r07, tests-only -> hash-checked): the
+    4-core of the part co-occurrence graph over every 9th order — the
+    link-graph quality prior (densely cross-linked parts survive,
+    peripheral ones peel away).  The operator peels to TRUE fixpoint;
+    the oracle unrolls 8 peel rounds (operators/graph.py: k_core_sql
+    — measured fixpoint is 3-4 rounds at these fixtures, and a
+    too-shallow unroll flips the hash rather than passing silently)."""
+    from ..operators.graph import k_core
+
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.filter(F.col("l_orderkey") % 9 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return k_core(e, k=KCORE_K)
+
+
+_KCORE_EDGES_CTE = """e AS (
+      SELECT x.l_partkey AS src, y.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 9 = 0) x
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 9 = 0) y
+      USING (l_orderkey)
+      WHERE x.l_partkey < y.l_partkey
+    )"""
+
+
+def _kcore_sql() -> str:
+    from ..operators.graph import k_core_sql
+
+    return k_core_sql(_KCORE_EDGES_CTE, k=KCORE_K, peels=8)
+
+
 register_suite(
     "suite_graph",
     [
@@ -326,14 +443,30 @@ register_suite(
             _triangle_sql(),
             [("node", "s"), ("n_triangles", "s")],
         ),
+        SubQuery(
+            "gr_scc",
+            gr_scc,
+            _scc_sql(),
+            [("node", "s"), ("component", "s")],
+        ),
+        SubQuery(
+            "gr_kcore",
+            gr_kcore,
+            _kcore_sql(),
+            [("node", "s")],
+        ),
     ],
     doc="Graph-algorithms suite: LSH-verified near-dup pairs folded to "
     "connected components (alternating-star, recursive-CTE oracle) + "
     "deterministic fixed-round PageRank over the part<->supplier "
     "graph, undirected AND directed modes (unrolled-CTE oracles, "
     "scaled-integer message sums) + degree-ordered triangle counting "
-    "over the part co-occurrence graph (exact-enumeration oracle) — "
-    "all hash-checked row-for-row inside the union.",
+    "over the part co-occurrence graph (exact-enumeration oracle) + "
+    "r07: strongly connected components over a directed supplier-core/"
+    "part-satellite hub graph (transitive-closure recursive-CTE "
+    "oracle) and the 4-core of the part co-occurrence graph "
+    "(unrolled-peeling oracle) — all hash-checked row-for-row inside "
+    "the union.",
 )
 
 
