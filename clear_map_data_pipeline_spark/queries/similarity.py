@@ -294,7 +294,7 @@ IVF_KMEANS_PARAMS = {
 
 def _ivf_lloyd_sql(
     k_clusters: int, nprobe: int, k: int, n_assign: int, max_iter: int,
-    query_mod: int = 100, train_mod: int = 1,
+    query_mod: int = 100, train_mod: int = 1, v_cte: str = _V_CTE,
 ) -> str:
     """DuckDB twin of the FULL trained-IVF pipeline: the Lloyd fit
     unrolled as one CTE chain per iteration (score -> argmax assign ->
@@ -377,7 +377,7 @@ def _ivf_lloyd_sql(
     )
     body = ",\n    ".join(ctes)
     return f"""
-    WITH {_V_CTE},
+    WITH {v_cte},
     {body}
     SELECT va, vb, cos_sim, CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY va
@@ -409,10 +409,43 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     return sim.ivf_topk_lloyd(t.embeddings, **IVF_KMEANS_PARAMS)
 
 
-# One registry slot for the two IVF variants (r05: same probe/rank
-# shape, different trainers — the suite fold frees a slot for a net-new
-# oracle-checked operator while both full result sets keep hash-checking
-# row-for-row inside the union).
+# int8-reconstructed vector CTE (r06-verdict task #6): the DuckDB twin
+# of quantize_embeddings -> dequantize_embeddings, replayed expression
+# for expression — per-vector absmax, scale = absmax/127, symmetric
+# round-half-up codes, dequant = code * scale — so the downstream Lloyd
+# chain runs over bit-identical doubles on both engines.
+_V_INT8_CTE = """
+v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+       FROM embeddings),
+vm AS (SELECT vec_id, e0,
+              list_max(list_transform(e0, x -> abs(x))) AS m FROM v0),
+v AS (SELECT vec_id, list_transform(e0, x ->
+         CASE WHEN m > 0.0
+              THEN CAST(round(x / (m / 127.0)) AS BIGINT) * (m / 127.0)
+              ELSE 0.0 END) AS e
+      FROM vm)"""
+
+
+def sim_ivf_int8_topk(spark, sf_dir):
+    """int8-quantized IVF top-5 (r07, tests-only -> hash-checked): the
+    full storage-scale composition — symmetric per-vector int8
+    quantization (4x wire/disk cut), dequantize, then the SAME trained
+    Lloyd IVF search as ``sim_ivf_kmeans_topk``.  The oracle replays
+    quantize/dequantize as a CTE prefix and the identical unrolled
+    Lloyd chain over the reconstructed vectors, so the driver
+    hash-checks the quantizer's exact arithmetic AND its composition
+    with the index — not just a recall bound (recall vs the float
+    exact baseline is measured in bench.py and asserted >= 0.85 in
+    tests/test_similarity_trained.py)."""
+    t = Tables(spark, sf_dir)
+    deq = sim.dequantize_embeddings(sim.quantize_embeddings(t.embeddings))
+    return sim.ivf_topk_lloyd(deq, **IVF_KMEANS_PARAMS)
+
+
+# One registry slot for the three IVF variants (r05: same probe/rank
+# shape, different trainers/input encodings — the suite fold frees
+# slots for net-new oracle-checked operators while all full result sets
+# keep hash-checking row-for-row inside the union).
 register_suite(
     "suite_ivf",
     [
@@ -434,8 +467,23 @@ register_suite(
             ),
             [("va", "s"), ("vb", "s"), ("cos_sim", "d4"), ("rank", "s")],
         ),
+        SubQuery(
+            "sim_ivf_int8_topk",
+            sim_ivf_int8_topk,
+            _ivf_lloyd_sql(
+                IVF_KMEANS_PARAMS["k_clusters"],
+                IVF_KMEANS_PARAMS["nprobe"],
+                5,
+                IVF_KMEANS_PARAMS["n_assign"],
+                IVF_KMEANS_PARAMS["max_iter"],
+                v_cte=_V_INT8_CTE,
+            ),
+            [("va", "s"), ("vb", "s"), ("cos_sim", "d4"), ("rank", "s")],
+        ),
     ],
     doc="IVF approximate top-5 suite: deterministic-sample centroids "
-    "(training-free) + trained Lloyd centroids (unrolled-CTE oracle), "
+    "(training-free) + trained Lloyd centroids (unrolled-CTE oracle) + "
+    "r07: the int8 quantize->dequantize->Lloyd-IVF composition "
+    "(quantizer arithmetic replayed in the oracle CTE prefix), "
     "identical probe/rank structure.",
 )
