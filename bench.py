@@ -39,7 +39,7 @@ HEADLINE = [
     "mm_multimodal_suite",
     "pipeline_export_weeks_1",
     "mnt_zorder_key",
-    "st_daily_totals_incremental",
+    "suite_streaming_daily",
     "suite_graph",
     "suite_corpus_assembly",
     "suite_sketches",

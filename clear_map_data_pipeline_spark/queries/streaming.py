@@ -18,10 +18,11 @@ from __future__ import annotations
 import tempfile
 
 from ..registry import register
-from ..streaming.daily import daily_totals_stream
+from ..streaming.daily import daily_totals_stream, sliding_totals_stream
 from ..streaming.dedup import deduped_ingest_stream, stage_backlog
 from ..streaming.export import export_daily_partitions
 from ..streaming.sessions import user_sessions_stream
+from .suites import SubQuery, register_suite
 
 # Closed daily windows over events: totals per (date, event_type),
 # keeping only windows whose end (date + 1 day) is at or before the
@@ -40,7 +41,6 @@ _CLOSED_DAILY_TOTALS_SQL = """
 """
 
 
-@register("st_daily_totals_incremental", sql=_CLOSED_DAILY_TOTALS_SQL)
 def st_daily_totals_incremental(spark, sf_dir):
     """Incremental daily totals: readStream(parquet) -> 1-day watermark
     -> daily windowed agg -> AvailableNow drain -> memory sink.  The
@@ -51,6 +51,77 @@ def st_daily_totals_incremental(spark, sf_dir):
     return daily_totals_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_daily_totals_q"
     )
+
+
+# Sliding windows (r06 op, r07 hash-checked): every event lands in
+# window/slide = 3 daily-aligned windows (starts date-2 .. date), and a
+# window emits exactly once, when the watermark (max ts - 1 day) passes
+# its END — the same closed-window rule as the tumbling twin, so the
+# batch oracle enumerates each event's 3 window starts and keeps closed
+# windows only.
+_CLOSED_SLIDING_TOTALS_SQL = """
+    WITH wm AS (SELECT max(ts) AS mx FROM events),
+    x AS (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+    w AS (
+      SELECT d - i AS window_start, event_type, value
+      FROM x CROSS JOIN (VALUES (0), (1), (2)) AS t(i)
+    ),
+    agg AS (
+      SELECT window_start, window_start + 3 AS window_end, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM w GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, event_type, n_events, sum_value
+    FROM agg, wm
+    WHERE CAST(window_end AS TIMESTAMP) + INTERVAL 1 DAY <= wm.mx
+"""
+
+
+def st_sliding_totals(spark, sf_dir):
+    """Sliding-window totals (3-day window, 1-day slide): the
+    overlapping-window mode tumbling aggregation can't express — the
+    rolling-3-day trend per event_type, emitted append-mode as windows
+    close.  The oracle reconstructs the drained output in batch SQL
+    (every event unnested into its 3 daily-aligned windows + the same
+    closed-window watermark rule), so overlapping-window semantics are
+    driver-hash-checked, not just batch-equivalence-tested."""
+    return sliding_totals_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="st_sliding_totals_q"
+    )
+
+
+# One registry slot for both windowed-aggregation streams (tumbling +
+# sliding) — the r07 fold that admits the sliding-window query into the
+# driver's 50-entry window while both drained result sets keep
+# hash-checking row-for-row inside the union.
+register_suite(
+    "suite_streaming_daily",
+    [
+        SubQuery(
+            "st_daily_totals_incremental",
+            st_daily_totals_incremental,
+            _CLOSED_DAILY_TOTALS_SQL,
+            [
+                ("date", "s"), ("event_type", "s"),
+                ("n_events", "s"), ("sum_value", "d2"),
+            ],
+        ),
+        SubQuery(
+            "st_sliding_totals",
+            st_sliding_totals,
+            _CLOSED_SLIDING_TOTALS_SQL,
+            [
+                ("window_start", "s"), ("window_end", "s"),
+                ("event_type", "s"), ("n_events", "s"), ("sum_value", "d2"),
+            ],
+        ),
+    ],
+    doc="Windowed streaming aggregation suite: tumbling daily totals + "
+    "sliding 3-day/1-day totals, both drained with AvailableNow and "
+    "hash-checked against closed-window batch-SQL twins (append-mode "
+    "emission rule: window_end <= final watermark = max ts - 1 day).",
+)
 
 
 @register("st_stream_dedup_exactly_once", sql=_CLOSED_DAILY_TOTALS_SQL)
