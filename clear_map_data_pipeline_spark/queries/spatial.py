@@ -107,6 +107,29 @@ def sp_boundary(spark, sf_dir):
     )
 
 
+def sp_points_in_polygons(spark, sf_dir):
+    """Grid-bucketed point-in-polygon join (r07, tests-only ->
+    hash-checked): customers become quarter-grid points (exact binary
+    fractions, so containment comparisons are bit-identical across
+    engines), nations the usual disjoint unit squares, and the REAL
+    operator runs — polygon cells via mapInPandas, cell equi-join,
+    broadcast verify rejoin, exact ray-cast — while the oracle is pure
+    interval arithmetic (a point is in an axis-aligned square iff both
+    coordinates lie in its closed ranges; squares are 3 units apart so
+    no point can match two).  Covers operators/spatial.py:
+    spatial_join_points_in_polygons end to end."""
+    polys = _nation_squares(spark, sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("poly_id"), "geometry"
+    )
+    t = Tables(spark, sf_dir)
+    pts = t.customer.select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") % 61) / F.lit(4.0)).alias("x"),
+        ((F.expr("c_custkey DIV 61") % 53) / F.lit(4.0)).alias("y"),
+    )
+    return sp.spatial_join_points_in_polygons(pts, polys)
+
+
 # DuckDB twin of the suite: all three layouts are deterministic
 # functions of (region, member count / nation key), so the expected
 # WKTs are pure SQL.  printf('%g') mirrors the operators' canonical
@@ -152,10 +175,25 @@ _GEOMETRY_SUITE_SQL = """
                     n_nationkey % 5 * 3, (n_nationkey // 5) * 3 + 1,
                     n_nationkey % 5 * 3, (n_nationkey // 5) * 3) AS wkt
       FROM nation
+    ),
+    pip AS (
+      SELECT 'sp_points_in_polygons' AS q,
+             CAST(c_custkey AS VARCHAR) AS key,
+             CAST(n_nationkey AS VARCHAR) AS wkt
+      FROM customer, nation
+      WHERE (c_custkey % 61) / 4.0
+              >= CAST(n_nationkey % 5 * 3 AS DOUBLE)
+        AND (c_custkey % 61) / 4.0
+              <= CAST(n_nationkey % 5 * 3 + 1 AS DOUBLE)
+        AND ((c_custkey // 61) % 53) / 4.0
+              >= CAST((n_nationkey // 5) * 3 AS DOUBLE)
+        AND ((c_custkey // 61) % 53) / 4.0
+              <= CAST((n_nationkey // 5) * 3 + 1 AS DOUBLE)
     )
     SELECT * FROM clip
     UNION ALL SELECT * FROM hull
     UNION ALL SELECT * FROM bnd
+    UNION ALL SELECT * FROM pip
     """
 
 
@@ -163,9 +201,10 @@ _GEOMETRY_SUITE_SQL = """
 def sp_geometry_suite(spark, sf_dir):
     """Folded spatial suite, SQL-checked since r03: the synthesized
     layouts make every expected WKT a pure function of the nation
-    table, so the driver hash-verifies all three geometry paths —
+    table, so the driver hash-verifies all four geometry paths —
     exact clipping union (overlapping strip), MultiPolygon -> convex
-    hull (diagonal squares), and per-polygon boundary — through the
+    hull (diagonal squares), per-polygon boundary, and (r07) the
+    grid-bucketed point-in-polygon spatial join — through the
     applyInPandas/pandas-UDF machinery.  Exact goldens and property
     tests remain in tests/test_spatial*.py."""
     clip = sp_dissolve_clip(spark, sf_dir).select(
@@ -183,7 +222,12 @@ def sp_geometry_suite(spark, sf_dir):
         F.col("n_nationkey").cast("string").alias("key"),
         F.col("boundary_wkt").alias("wkt"),
     )
-    return clip.unionByName(dis).unionByName(bnd)
+    pip = sp_points_in_polygons(spark, sf_dir).select(
+        F.lit("sp_points_in_polygons").alias("q"),
+        F.col("point_id").cast("string").alias("key"),
+        F.col("poly_id").cast("string").alias("wkt"),
+    )
+    return clip.unionByName(dis).unionByName(bnd).unionByName(pip)
 
 
 @register(
