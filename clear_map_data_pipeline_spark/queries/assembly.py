@@ -170,6 +170,43 @@ def _wsample_sql() -> str:
     """
 
 
+# exactly-k per stratum, weight-proportional — drops fr/es on purpose
+# (strata absent from the dict are dropped, and the oracle must agree)
+EXACT_K = {"en": 40, "de": 15, "zh": 25}
+
+
+def asm_stratified_exact_k(spark, sf_dir):
+    """Exactly-k-per-stratum sampling (r07, tests-only ->
+    hash-checked): 40 en / 15 de / 25 zh documents, selection
+    weight-proportional to n_chars via per-stratum A-ES keys
+    (operators/assembly.py: stratified_exact_k); fr/es are absent from
+    the k-dict and must be dropped.  One shuffle on the stratum for
+    the ranking window; the oracle replays the hash31-derived key and
+    the per-stratum row_number in SQL."""
+    from ..operators.assembly import stratified_exact_k
+
+    t = Tables(spark, sf_dir)
+    return stratified_exact_k(
+        t.documents, EXACT_K, strata_col="lang", weight_col="n_chars"
+    ).select("doc_id", "lang")
+
+
+def _exact_k_sql() -> str:
+    h = tx.hash31_sql("doc_id")
+    key = f"-ln((({h}) + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE)"
+    keep = " OR ".join(
+        f"(lang = '{s}' AND rn <= {k})" for s, k in EXACT_K.items()
+    )
+    return f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ({key}), doc_id) AS rn
+      FROM documents WHERE n_chars > 0
+    ) WHERE {keep}
+    """
+
+
 register_suite(
     "suite_corpus_assembly",
     [
@@ -206,13 +243,19 @@ register_suite(
             _wsample_sql(),
             [("doc_id", "s"), ("weight", "d4"), ("es_key", "d9")],
         ),
+        SubQuery(
+            "asm_stratified_exact_k",
+            asm_stratified_exact_k,
+            _exact_k_sql(),
+            [("doc_id", "s"), ("lang", "s")],
+        ),
     ],
     doc="""Corpus-assembly suite: concat-and-chunk sequence packing
     (all-integer, one shard shuffle) + temperature-based domain mixing
     (broadcast rates, map-only corpus pass) + deterministic global
     shuffle index (range sort + offset arithmetic, no single-partition
     window) + overlapping-window document chunking (map-only) +
-    exact-k weighted sampling without replacement (A-ES keys, r04) —
-    each hash-checked row-for-row against its DuckDB twin inside the
-    suite union.""",
+    exact-k weighted sampling without replacement (A-ES keys, r04) +
+    exactly-k-per-stratum weighted sampling (r07) — each hash-checked
+    row-for-row against its DuckDB twin inside the suite union.""",
 )
