@@ -34,11 +34,11 @@ HEADLINE = [
     "suite_ivf",
     "suite_text_quality",
     "tx_stratified_sample",
-    "j_merge_upsert",
     "j_range_bucket_join",
     "mm_multimodal_suite",
     "pipeline_export_weeks_1",
-    "mnt_zorder_key",
+    "suite_maintenance",
+    "suite_io_roundtrip",
     "suite_streaming_daily",
     "suite_graph",
     "suite_corpus_assembly",

@@ -720,14 +720,14 @@ FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
-@register("j_merge_upsert", sql=_MERGE_SQL)
 def j_merge_upsert(spark, sf_dir):
     """CDC MERGE INTO: apply a deterministic change set (updates for
     keys % 7, deletes for % 13, inserts at key+10M for % 101; a key
     hitting both update and delete resolves to delete via the op
     tiebreak) onto orders.  One hash exchange on the merge key; see
     operators/merge.py for the bucketed/partition-pruned zero-shuffle
-    variants at lakehouse scale."""
+    variants at lakehouse scale.  r07: folded into suite_maintenance
+    (queries/olap.py) — same oracle, one driver slot."""
     from ..operators.merge import merge_upsert
 
     t = Tables(spark, sf_dir)

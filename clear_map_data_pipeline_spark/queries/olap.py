@@ -534,7 +534,6 @@ FROM k
 """
 
 
-@register("mnt_zorder_key", sql=_ZORDER_SQL)
 def mnt_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (o_custkey, o_orderdate) —
     the lakehouse-maintenance layout primitive (operators/maintenance.
@@ -555,3 +554,39 @@ def mnt_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = zorder_value(df, ["o_custkey", "od"], bits=ZORDER_BITS, out="zkey")
     return z.select("o_orderkey", "zkey")
+
+
+# r07: the two lakehouse-maintenance entries fold into ONE driver slot
+# (same oracles, same result sets, hash-checked inside the union) —
+# freeing a slot for the net-new suite_io_roundtrip while the registry
+# stays at the driver's 50-entry cap.
+def _register_maintenance_suite() -> None:
+    from .joins import _MERGE_SQL, j_merge_upsert
+
+    register_suite(
+        "suite_maintenance",
+        [
+            SubQuery(
+                "mnt_zorder_key",
+                mnt_zorder_key,
+                _ZORDER_SQL,
+                [("o_orderkey", "s"), ("zkey", "s")],
+            ),
+            SubQuery(
+                "j_merge_upsert",
+                j_merge_upsert,
+                _MERGE_SQL,
+                [
+                    ("o_orderkey", "s"), ("o_custkey", "s"),
+                    ("o_total", "d2"), ("o_orderpriority", "s"),
+                ],
+            ),
+        ],
+        doc="Lakehouse-maintenance suite: Z-order (Morton) clustering "
+        "key (codegen bit-interleave, bounds replayed in the oracle) + "
+        "CDC MERGE upsert (deterministic change set, version/op "
+        "tiebreak), each hash-checked row-for-row inside the union.",
+    )
+
+
+_register_maintenance_suite()

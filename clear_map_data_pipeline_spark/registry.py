@@ -70,6 +70,7 @@ def load_all() -> dict[str, QueryDef]:
             joins,
             tpch_extra,
             olap,
+            io_formats,
             sketches,
             dedup,
             similarity,
