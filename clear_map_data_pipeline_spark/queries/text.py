@@ -369,6 +369,89 @@ def tx_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIGRAM_SURPRISAL_SQL = tx.bigram_surprisal_sql("documents")
 
 
+# BPE apply (r07, tests-only -> hash-checked): a FIXED public-style
+# merge list — the oracle checks the operator's APPLY path (vocab-
+# bounded mapInPandas over distinct words + order-preserving
+# reassembly), not training, so the list is a constant shared by both
+# engines.  Includes symbol-chained merges (t+h, th+e) and END_MARK
+# merges to exercise multi-round composition.
+APPLY_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+    ("in", "g"), ("ing", "</w>"), ("e", "</w>"), ("d", "</w>"),
+    ("s", "</w>"), ("e", "r"), ("er", "</w>"), ("o", "r"), ("o", "n"),
+]
+
+
+def tx_bpe_apply(spark, sf_dir):
+    """Distributed BPE tokenization (apply half): segment every
+    document with the fixed APPLY_MERGES list via operators/bpe.py:
+    bpe_apply — the merge loop runs once per DISTINCT word (Arrow-
+    batched), documents reassemble by position join.  Subwords render
+    space-joined so the driver hash covers the full segmentation, not
+    just counts."""
+    from ..operators.bpe import bpe_apply
+
+    t = Tables(spark, sf_dir)
+    out = bpe_apply(t.documents, [(a, b, 0) for a, b in APPLY_MERGES])
+    return out.select(
+        "doc_id", "n_tokens", "n_subwords",
+        F.array_join("subwords", " ").alias("subwords"),
+    )
+
+
+def _bpe_apply_sql() -> str:
+    """DuckDB twin of the one-scan-per-merge BPE segmenter via the
+    DOUBLE-SEPARATOR chained-replace encoding: a word renders as
+    SS sym SS sym SS (S = chr(31), never in the corpus), each merge is
+    ONE replace of 'S first SS second S' -> 'S firstsecond S' —
+    consuming a single S from each boundary keeps the invariant, so
+    leftmost-nonoverlapping replace is EXACTLY the operator's
+    left-to-right scan (verified on 3k adversarial words incl. aaaa
+    chains before registration).  Segmentation runs once per DISTINCT
+    word, mirroring the operator's vocab-bounded shape."""
+    s1 = "chr(31)"
+    s2 = f"repeat(chr(31), 2)"
+    expr = (
+        f"{s2} || array_to_string(list_concat("
+        f"list_transform(range(1, length(word) + 1), i -> word[i]), "
+        f"['</w>']), {s2}) || {s2}"
+    )
+    for first, second in APPLY_MERGES:
+        pat = f"{s1} || '{first}' || {s2} || '{second}' || {s1}"
+        rep = f"{s1} || '{first}{second}' || {s1}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    dw AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+             i -> struct_pack(pos := i, word := toks[i]))) AS pw
+      FROM d
+    ),
+    dw2 AS (SELECT doc_id, pw.pos AS pos, pw.word AS word FROM dw),
+    words AS (SELECT DISTINCT word FROM dw2),
+    segl AS (
+      SELECT word,
+             list_filter(string_split({expr}, chr(31)), x -> x <> '')
+               AS subs
+      FROM words
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(len(subs)) AS BIGINT) AS n_subwords,
+             array_to_string(flatten(list(subs ORDER BY pos)), ' ')
+               AS subwords
+      FROM dw2 JOIN segl USING (word) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_subwords, 0) AS n_subwords,
+           coalesce(subwords, '') AS subwords
+    FROM (SELECT doc_id FROM documents) dd LEFT JOIN per_doc USING (doc_id)
+    """
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
@@ -425,14 +508,22 @@ register_suite(
             [("w1", "s"), ("w2", "s"), ("n_pair", "s"),
              ("n_w1", "s"), ("n_w2", "s"), ("pmi_e6", "s")],
         ),
+        SubQuery(
+            "tx_bpe_apply",
+            tx_bpe_apply,
+            _bpe_apply_sql(),
+            [("doc_id", "s"), ("n_tokens", "s"), ("n_subwords", "s"),
+             ("subwords", "s")],
+        ),
     ],
     doc="Token-accounting suite: whitespace/BPE-ish token counts + "
     "rolling-hash document fingerprints + top-N corpus vocabulary + "
     "per-doc TF-IDF top terms + unigram-LM mean surprisal (r04) + "
     "adjacent-bigram PMI collocations + interpolated-bigram LM "
     "surprisal + TTR/char-entropy lexical "
-    "diversity (r05), each oracle-checked "
-    "row-for-row inside the union.",
+    "diversity (r05) + full BPE-apply segmentation over a fixed merge "
+    "list (r07, double-separator chained-replace oracle), each "
+    "oracle-checked row-for-row inside the union.",
 )
 
 
