@@ -582,3 +582,77 @@ def test_k_core_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         k_core(df, 0)
+
+
+def _duck_edges_cte(edges):
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    return f"e(src, dst) AS (VALUES {vals})"
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_scc_sql_twin_matches_operator_random(spark, seed):
+    """The DuckDB scc_sql twin (the suite_graph oracle generator) must
+    agree with the Spark operator on random digraphs — independent of
+    the fixture layout the registered query uses."""
+    import random
+
+    import duckdb
+
+    from clear_map_data_pipeline_spark.operators.graph import (
+        scc_sql,
+        strongly_connected_components,
+    )
+
+    rng = random.Random(seed)
+    n = 40
+    edges = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(90)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    sdf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["node"], r["component"])
+        for r in strongly_connected_components(sdf).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(scc_sql(_duck_edges_cte(edges)))
+        .fetchall()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("k,seed", [(3, 5), (4, 11)])
+def test_k_core_sql_twin_matches_operator_random(spark, k, seed):
+    """The unrolled-peeling k_core_sql twin must agree with the Spark
+    operator's true-fixpoint peel on random graphs (8 unrolled rounds
+    cover the observed 2-4 round fixpoints with margin; disagreement
+    would also flip the suite hash, but this pins it at unit level)."""
+    import random
+
+    import duckdb
+
+    from clear_map_data_pipeline_spark.operators.graph import (
+        k_core,
+        k_core_sql,
+    )
+
+    rng = random.Random(seed)
+    n = 50
+    edges = sorted(
+        {(rng.randrange(n), rng.randrange(n)) for _ in range(140)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    sdf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"] for r in k_core(sdf, k=k).collect()}
+    want = {
+        r[0]
+        for r in duckdb.connect()
+        .execute(k_core_sql(_duck_edges_cte(edges), k=k, peels=8))
+        .fetchall()
+    }
+    assert got == want
