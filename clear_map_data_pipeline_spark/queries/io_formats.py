@@ -49,14 +49,52 @@ def io_orc_roundtrip(spark, sf_dir):
     return read_orc(spark, out).select(*_DOC_COLS)
 
 
+def io_shard_export_roundtrip(spark, sf_dir):
+    """documents -> write_training_shards (the write-audit-publish
+    sharded training export: partitioned write, storage re-read +
+    checksum audit, manifest.json commit marker) -> read back ->
+    identical rows.  The full WAP path executes — a failed audit
+    aborts before the marker — and the driver hash proves the
+    published dataset is row-for-row the input corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.assembly import (
+        audit_training_shards,
+        write_training_shards,
+    )
+
+    docs = Tables(spark, sf_dir).documents.select(*_DOC_COLS)
+    sharded = docs.withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    out = tempfile.mkdtemp(prefix="clearmap_io_") + "/shards"
+    write_training_shards(sharded, out)
+    fsck = audit_training_shards(spark, out)
+    if not fsck["ok"]:  # never return a corrupt dataset as "published"
+        raise RuntimeError(f"shard audit failed: {fsck}")
+    return (
+        spark.read.parquet(os.path.join(out, "data")).select(*_DOC_COLS)
+    )
+
+
 register_suite(
     "suite_io_roundtrip",
     [
         SubQuery("io_jsonl_roundtrip", io_jsonl_roundtrip, _DOCS_SQL, _SPEC),
         SubQuery("io_orc_roundtrip", io_orc_roundtrip, _DOCS_SQL, _SPEC),
+        SubQuery(
+            "io_shard_export_roundtrip",
+            io_shard_export_roundtrip,
+            _DOCS_SQL,
+            _SPEC,
+        ),
     ],
-    doc="Source/sink round-trip suite: JSONL and ORC write+read over "
-    "the documents table must be an exact identity — hash-checked "
-    "against the parquet fixture, so the sinks' encoding and the "
-    "sources' decoding are both driver-verified end to end.",
+    doc="Source/sink round-trip suite: JSONL write+read, ORC "
+    "write+read, and the write-audit-publish sharded training export "
+    "must each be an exact identity over the documents table — "
+    "hash-checked against the parquet fixture, so sink encoding, "
+    "source decoding, and the WAP publish path are all "
+    "driver-verified end to end.",
 )
