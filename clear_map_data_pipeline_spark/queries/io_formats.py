@@ -79,6 +79,38 @@ def io_shard_export_roundtrip(spark, sf_dir):
     )
 
 
+def io_compaction_roundtrip(spark, sf_dir):
+    """Small-files compaction (r07, tests-only -> hash-checked): the
+    documents table is deliberately shattered into many small files,
+    then compact_parquet_dataset rewrites it to ~2 target-sized,
+    doc_id-clustered files — and the compacted dataset must be
+    row-identical to the original (the maintenance job's one
+    inviolable contract).  The builder also asserts the file count
+    actually dropped, so the hash can't pass on a no-op."""
+    import os
+
+    from ..operators.maintenance import compact_parquet_dataset
+
+    docs = Tables(spark, sf_dir).documents.select(*_DOC_COLS)
+    root = tempfile.mkdtemp(prefix="clearmap_io_")
+    shattered, compacted = root + "/shattered", root + "/compacted"
+    docs.repartition(24).write.parquet(shattered)
+    n_in = len([f for f in os.listdir(shattered) if f.endswith(".parquet")])
+    total = sum(
+        os.path.getsize(os.path.join(shattered, f))
+        for f in os.listdir(shattered)
+        if f.endswith(".parquet")
+    )
+    compact_parquet_dataset(
+        spark, shattered, compacted,
+        target_file_bytes=max(1, total // 2), order_by=["doc_id"],
+    )
+    n_out = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    if not n_out < n_in:  # the compaction must actually compact
+        raise RuntimeError(f"compaction was a no-op: {n_in} -> {n_out}")
+    return spark.read.parquet(compacted).select(*_DOC_COLS)
+
+
 register_suite(
     "suite_io_roundtrip",
     [
@@ -90,11 +122,18 @@ register_suite(
             _DOCS_SQL,
             _SPEC,
         ),
+        SubQuery(
+            "io_compaction_roundtrip",
+            io_compaction_roundtrip,
+            _DOCS_SQL,
+            _SPEC,
+        ),
     ],
-    doc="Source/sink round-trip suite: JSONL write+read, ORC "
-    "write+read, and the write-audit-publish sharded training export "
-    "must each be an exact identity over the documents table — "
-    "hash-checked against the parquet fixture, so sink encoding, "
-    "source decoding, and the WAP publish path are all "
-    "driver-verified end to end.",
+    doc="Source/sink/maintenance round-trip suite: JSONL write+read, "
+    "ORC write+read, the write-audit-publish sharded training export, "
+    "and small-files compaction (24 shattered files -> ~2 clustered, "
+    "builder-asserted) must each be an exact identity over the "
+    "documents table — hash-checked against the parquet fixture, so "
+    "sink encoding, source decoding, the WAP publish path, and the "
+    "compaction rewrite are all driver-verified end to end.",
 )

@@ -434,16 +434,15 @@ register_suite(
 )
 
 
-@register(
-    "j_skew_salted_join",
-    sql="""
+_SKEW_JOIN_SQL = """
     SELECT p_type,
            round(sum(l_extendedprice), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_type
-    """,
-)
+    """
+
+
 def j_skew_salted_join(spark, sf_dir):
     """Skew-resistant join (operators/skew.py): the fact side is salted
     into 16 sub-keys and the dim side replicated per salt value, so a
@@ -460,14 +459,13 @@ def j_skew_salted_join(spark, sf_dir):
     )
 
 
-@register(
-    "a_distinct_count_skewsafe",
-    sql="""
+_SKEW_DISTINCT_SQL = """
     SELECT o_custkey,
            CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct
     FROM orders GROUP BY o_custkey
-    """,
-)
+    """
+
+
 def a_distinct_count_skewsafe(spark, sf_dir):
     """Two-stage exact distinct count (operators/skew.py): partial
     distinct within (key, hash(value) % 16) buckets, then sum — a hot
@@ -477,6 +475,72 @@ def a_distinct_count_skewsafe(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     return salted_distinct_count(t.orders, "o_custkey", "o_orderdate")
+
+
+TOPK_PER_CUST = 3
+
+_SKEW_TOPK_SQL = f"""
+    SELECT o_custkey, o_orderkey, o_total FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_total,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY round(o_totalprice, 2) DESC,
+                                         o_orderkey) AS rn
+      FROM orders) WHERE rn <= {TOPK_PER_CUST}
+    """
+
+
+def o_salted_topk_per_group(spark, sf_dir):
+    """Two-stage exact top-k per group (r07, tests-only ->
+    hash-checked): each customer's 3 highest-value orders via
+    operators/skew.py: salted_topk_per_group — local top-k within
+    (key, xxhash64-salt bucket) first, so a hot key never funnels all
+    its rows through one task; the <= k*salt survivors re-rank
+    globally.  Oracle is the PLAIN single-window top-k — salting must
+    be row-identical."""
+    from ..operators.skew import salted_topk_per_group
+
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_total"),
+    )
+    return salted_topk_per_group(
+        o, "o_custkey",
+        [F.col("o_total").desc(), F.col("o_orderkey")],
+        k=TOPK_PER_CUST,
+    )
+
+
+# r07: the three skew weapons fold into ONE driver slot (same oracles,
+# hash-checked inside the union) — and the fold admits the previously
+# tests-only salted top-k as a net-new hash-checked member.
+register_suite(
+    "suite_skew",
+    [
+        SubQuery(
+            "j_skew_salted_join",
+            j_skew_salted_join,
+            _SKEW_JOIN_SQL,
+            [("p_type", "s"), ("revenue", "d2"), ("n_items", "s")],
+        ),
+        SubQuery(
+            "a_distinct_count_skewsafe",
+            a_distinct_count_skewsafe,
+            _SKEW_DISTINCT_SQL,
+            [("o_custkey", "s"), ("n_distinct", "s")],
+        ),
+        SubQuery(
+            "o_salted_topk_per_group",
+            o_salted_topk_per_group,
+            _SKEW_TOPK_SQL,
+            [("o_custkey", "s"), ("o_orderkey", "s"), ("o_total", "d2")],
+        ),
+    ],
+    doc="Skew-weapons suite: salted fact x replicated-dim join, "
+    "two-stage exact distinct count, and two-stage exact top-k per "
+    "group — every oracle is the PLAIN formulation, so each salted "
+    "rewrite must be row-identical to the unsalted answer.",
+)
 
 
 @register(

@@ -91,10 +91,83 @@ def st_sliding_totals(spark, sf_dir):
     )
 
 
-# One registry slot for both windowed-aggregation streams (tumbling +
-# sliding) — the r07 fold that admits the sliding-window query into the
-# driver's 50-entry window while both drained result sets keep
-# hash-checking row-for-row inside the union.
+# Static enrichment dim for the stream-static join member: event_type
+# -> category, 'error' deliberately ABSENT so the inner-join drop path
+# executes (the batch twin drops it identically).
+ENRICH_DIM = {
+    "click": "engage",
+    "view": "engage",
+    "purchase": "revenue",
+    "signup": "revenue",
+}
+
+_ENRICHED_TOTALS_SQL = f"""
+    WITH wm AS (SELECT max(ts) AS mx FROM events),
+    dim(event_type, category) AS (VALUES
+      {", ".join(f"('{k}', '{v}')" for k, v in ENRICH_DIM.items())}),
+    d AS (
+      SELECT CAST(e.ts AS DATE) AS date, dim.category,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(e.value), 2) AS sum_value
+      FROM events e JOIN dim USING (event_type)
+      GROUP BY 1, 2
+    )
+    SELECT date, category, n_events, sum_value
+    FROM d, wm
+    WHERE CAST(date AS TIMESTAMP) + INTERVAL 2 DAY <= wm.mx
+"""
+
+
+def st_enriched_totals(spark, sf_dir):
+    """Stream-static enrichment join (r07, tests-only -> hash-checked):
+    the event stream broadcast-joins a static category dim per
+    microbatch (no streaming state for the join; events without a dim
+    row drop — 'error' is deliberately unmapped), then closed daily
+    totals per (date, category).  Oracle = the batch join + the same
+    closed-window watermark rule."""
+    from ..streaming.enrich import enriched_daily_totals_stream
+
+    dim = spark.createDataFrame(
+        list(ENRICH_DIM.items()), ["event_type", "category"]
+    )
+    return enriched_daily_totals_stream(
+        spark, f"{sf_dir}/events.parquet", dim,
+        query_name="st_enriched_totals_q",
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+    WITH l AS (SELECT user_id, event_id AS left_id, ts AS l_ts
+               FROM events WHERE event_type = 'view'),
+    r AS (SELECT user_id, event_id AS right_id, ts AS r_ts
+          FROM events WHERE event_type = 'click')
+    SELECT l.user_id, left_id, right_id,
+           CAST(floor(epoch(r_ts)) - floor(epoch(l_ts)) AS BIGINT)
+             AS seconds_between
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 30 MINUTE
+"""
+
+
+def st_interval_join(spark, sf_dir):
+    """Stream-stream interval join (r07, tests-only -> hash-checked):
+    view -> click attribution within 30 minutes per user, both sides
+    watermarked so state stays O(events in the gap window).  Inner
+    join: matches emit as found, so the drained output equals the
+    batch self-join — which is the oracle."""
+    from ..streaming.join import interval_join_stream
+
+    return interval_join_stream(
+        spark, f"{sf_dir}/events.parquet",
+        query_name="st_interval_join_q",
+    )
+
+
+# One registry slot for the four stateful/windowed stream queries —
+# the r07 fold that admits sliding windows, stream-static enrichment,
+# and the stream-stream interval join into the driver's 50-entry
+# window while every drained result set hash-checks row-for-row
+# inside the union.
 register_suite(
     "suite_streaming_daily",
     [
@@ -116,11 +189,31 @@ register_suite(
                 ("event_type", "s"), ("n_events", "s"), ("sum_value", "d2"),
             ],
         ),
+        SubQuery(
+            "st_enriched_totals",
+            st_enriched_totals,
+            _ENRICHED_TOTALS_SQL,
+            [
+                ("date", "s"), ("category", "s"),
+                ("n_events", "s"), ("sum_value", "d2"),
+            ],
+        ),
+        SubQuery(
+            "st_interval_join",
+            st_interval_join,
+            _INTERVAL_JOIN_SQL,
+            [
+                ("user_id", "s"), ("left_id", "s"),
+                ("right_id", "s"), ("seconds_between", "s"),
+            ],
+        ),
     ],
-    doc="Windowed streaming aggregation suite: tumbling daily totals + "
-    "sliding 3-day/1-day totals, both drained with AvailableNow and "
-    "hash-checked against closed-window batch-SQL twins (append-mode "
-    "emission rule: window_end <= final watermark = max ts - 1 day).",
+    doc="Streaming suite: tumbling daily totals + sliding 3-day/1-day "
+    "totals (closed-window watermark twins) + stream-static broadcast "
+    "enrichment (per-microbatch dim join, unmapped types drop) + "
+    "watermarked stream-stream interval join (view->click attribution "
+    "within 30 min), every drained result set hash-checked against "
+    "its batch-SQL twin inside the union.",
 )
 
 
