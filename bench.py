@@ -39,7 +39,9 @@ HEADLINE = [
     "pipeline_export_weeks_1",
     "suite_maintenance",
     "suite_io_roundtrip",
+    "suite_skew",
     "suite_streaming_daily",
+    "st_merge_sink",
     "suite_graph",
     "suite_corpus_assembly",
     "suite_sketches",

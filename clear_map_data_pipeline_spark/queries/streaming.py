@@ -1,16 +1,22 @@
 """Streaming query registration.
 
-ALL four entries carry a DuckDB oracle twin (VERDICT r02 task #7):
-their drained output is a deterministic function of the fixture, so
-batch SQL over the same events table is an exact twin and the driver
-hash-checks the streaming semantics end-to-end.  Two rules encode
-Structured Streaming's emission behavior in SQL:
+EVERY entry carries a DuckDB oracle twin (VERDICT r02 task #7; r07
+widened the set to eight streaming queries across four slots): the
+drained output is a deterministic function of the fixture, so batch
+SQL over the same tables is an exact twin and the driver hash-checks
+the streaming semantics end-to-end.  Rules encoding Structured
+Streaming's behavior in SQL:
 
 - append-mode windows: emitted iff ``window_end <= watermark``, where
   the drain's final watermark is ``max(ts) - <delay>``;
 - EventTimeTimeout (stateful sessionizer): a trailing session emits
   iff the final watermark strictly passes ``session_end + gap``
-  (compared at millisecond precision — the watermark's own clock).
+  (compared at millisecond precision — the watermark's own clock);
+- stream-stream INNER interval joins emit every match found during
+  the drain, so the batch self-join is exact;
+- the CDC-merge sink pins its microbatch layout (staged mtimes +
+  maxFilesPerTrigger) and uses a per-key-conflict-free change set, so
+  the published table equals the single-shot merge.
 """
 
 from __future__ import annotations
@@ -18,6 +24,9 @@ from __future__ import annotations
 import tempfile
 
 from ..registry import register
+from pyspark.sql import functions as F
+
+from ..session import Tables
 from ..streaming.daily import daily_totals_stream, sliding_totals_stream
 from ..streaming.dedup import deduped_ingest_stream, stage_backlog
 from ..streaming.export import export_daily_partitions
@@ -88,6 +97,111 @@ def st_sliding_totals(spark, sf_dir):
     driver-hash-checked, not just batch-equivalence-tested."""
     return sliding_totals_stream(
         spark, f"{sf_dir}/events.parquet", query_name="st_sliding_totals_q"
+    )
+
+
+_MERGE_SINK_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_total,
+             o_orderpriority, 0 AS version, 'U' AS op
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_custkey, o_total + 1000.0, o_orderpriority, 1, 'U'
+      FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_total, o_orderpriority, 1, 'D'
+      FROM base WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 123.45, 'NEW', 1, 'I'
+      FROM base WHERE o_orderkey % 101 = 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC, op) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT o_orderkey, o_custkey, o_total, o_orderpriority
+    FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("st_merge_sink", sql=_MERGE_SINK_SQL)
+def st_merge_sink(spark, sf_dir):
+    """Streaming CDC-merge sink (r07, tests-only -> hash-checked): a
+    deterministic change stream — the full orders table as version-0
+    upserts, then version-1 updates (%7, excluding deleted keys),
+    deletes (%13), and inserts (%101, key+10M) — drains through
+    foreachBatch + versioned write-audit-publish into a keyed parquet
+    table; the query returns the FINAL published table.
+
+    Batch layout is pinned so the drained result is deterministic:
+    base and change files get distinct staged mtimes (the file source
+    processes oldest-first) and maxFilesPerTrigger splits them into
+    separate microbatches — so the cross-batch keep_version path
+    genuinely executes, base-then-changes.  Each key carries at most
+    ONE change row (updates exclude delete keys), so the final table
+    is the same whatever the batch boundaries; the oracle is the
+    single-shot merge SQL.  Cross-batch tombstone/version-order edge
+    cases stay pinned in tests/test_streaming.py."""
+    import os
+    import tempfile
+    import time as _t
+
+    from ..streaming.merge_sink import streaming_merge_sink
+
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("o_total"), "o_orderpriority",
+    ).select(
+        "*", F.lit(0).alias("version"), F.lit("U").alias("op")
+    )
+    upd = (
+        base.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+        )
+        .withColumn("o_total", F.col("o_total") + 1000.0)
+        .withColumn("version", F.lit(1))
+    )
+    dele = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "version", F.lit(1)
+    ).withColumn("op", F.lit("D"))
+    ins = (
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit(123.45).alias("o_total"),
+            F.lit("NEW").alias("o_orderpriority"),
+            F.lit(1).alias("version"),
+            F.lit("I").alias("op"),
+        )
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+
+    root = tempfile.mkdtemp(prefix="clearmap_merge_sink_")
+    changes_dir = root + "/changes"
+    base.coalesce(2).write.parquet(changes_dir)
+    base_files = sorted(
+        f for f in os.listdir(changes_dir) if f.endswith(".parquet")
+    )
+    changes.coalesce(2).write.mode("append").parquet(changes_dir)
+    # pin batch order: base files strictly older than change files, so
+    # the oldest-first file source drains base in microbatch 1 and the
+    # changes in microbatch 2 (maxFilesPerTrigger=2 splits there)
+    now = _t.time()
+    for f in os.listdir(changes_dir):
+        if not f.endswith(".parquet"):
+            continue
+        age = 60 if f in base_files else 0
+        os.utime(os.path.join(changes_dir, f), (now - age, now - age))
+    out = streaming_merge_sink(
+        spark, changes_dir, root + "/table", "o_orderkey",
+        query_name="st_merge_sink_q", max_files_per_trigger=2,
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_total", "o_orderpriority"
     )
 
 
