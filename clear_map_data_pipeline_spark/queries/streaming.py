@@ -187,6 +187,21 @@ def st_merge_sink(spark, sf_dir):
         f for f in os.listdir(changes_dir) if f.endswith(".parquet")
     )
     changes.coalesce(2).write.mode("append").parquet(changes_dir)
+    # Precondition pin (the stream-dedup r05 discipline): determinism
+    # rests on maxFilesPerTrigger=2 splitting the drain exactly at the
+    # base|changes boundary, which needs each side to be <= 2 files.
+    # If a coalesce above ever drifts, fail loudly instead of letting
+    # the oracle pass only for lucky batch layouts.
+    all_files = [
+        f for f in os.listdir(changes_dir) if f.endswith(".parquet")
+    ]
+    n_base, n_change = len(base_files), len(all_files) - len(base_files)
+    if not (1 <= n_base <= 2 and 1 <= n_change <= 2):
+        raise RuntimeError(
+            f"staged CDC layout drifted: {n_base} base + {n_change} "
+            "change files (each side must be 1-2 for the pinned "
+            "two-microbatch drain)"
+        )
     # pin batch order: base files strictly older than change files, so
     # the oldest-first file source drains base in microbatch 1 and the
     # changes in microbatch 2 (maxFilesPerTrigger=2 splits there)
