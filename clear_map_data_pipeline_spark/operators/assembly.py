@@ -477,6 +477,13 @@ def stratified_exact_k(
         df = df.filter(F.col(weight_col) > 0)
     else:
         key = u
+    # Engine-parity rule (weighted_sample's discipline): JVM Math.log
+    # and DuckDB's libm ln are each only ~1-ulp accurate, so a rank-k
+    # boundary pair whose raw keys differ by one ulp could rank
+    # differently per engine.  Floor-scale truncation before ordering
+    # (with the id tie-break below) makes the ranking key identical on
+    # both sides.
+    key = F.floor(key * F.lit(1e9)) / F.lit(1e9)
     k_expr = None
     for stratum, k in k_per_stratum.items():
         cond = F.col(strata_col) == stratum

@@ -496,7 +496,7 @@ def scc_sql(edges_cte: str) -> str:
     return f"""
     WITH RECURSIVE {edges_cte},
     en AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
-    vertices AS (SELECT src AS node FROM en UNION SELECT dst FROM en),
+    vertices AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     reach AS (
       SELECT src AS a, dst AS b FROM en
       UNION

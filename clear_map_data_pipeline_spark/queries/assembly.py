@@ -194,6 +194,10 @@ def asm_stratified_exact_k(spark, sf_dir):
 def _exact_k_sql() -> str:
     h = tx.hash31_sql("doc_id")
     key = f"-ln((({h}) + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE)"
+    # same floor-1e9 truncation as the operator's _skey (and as
+    # _wsample_sql) so a 1-ulp ln() divergence between JVM and libm
+    # can't flip a rank-k boundary pair between engines
+    tkey = f"floor(({key}) * 1000000000.0) / 1000000000.0"
     keep = " OR ".join(
         f"(lang = '{s}' AND rn <= {k})" for s, k in EXACT_K.items()
     )
@@ -201,7 +205,7 @@ def _exact_k_sql() -> str:
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-                                ORDER BY ({key}), doc_id) AS rn
+                                ORDER BY ({tkey}), doc_id) AS rn
       FROM documents WHERE n_chars > 0
     ) WHERE {keep}
     """

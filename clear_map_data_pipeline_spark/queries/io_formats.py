@@ -17,9 +17,8 @@ adds the driver-grade end-to-end fidelity check.
 
 from __future__ import annotations
 
-import tempfile
-
 from ..session import Tables
+from ..streaming.drain import _tracked_mkdtemp
 from ..sources.readers import read_jsonl, read_orc
 from ..sources.writers import write_jsonl, write_orc
 from .suites import SubQuery, register_suite
@@ -35,7 +34,7 @@ def io_jsonl_roundtrip(spark, sf_dir):
     document byte-exactly (the interchange format training-data drops
     arrive in)."""
     docs = Tables(spark, sf_dir).documents.select(*_DOC_COLS)
-    out = tempfile.mkdtemp(prefix="clearmap_io_") + "/docs_jsonl"
+    out = _tracked_mkdtemp("clearmap_io_") + "/docs_jsonl"
     write_jsonl(docs, out)
     return read_jsonl(spark, out, schema=docs.schema).select(*_DOC_COLS)
 
@@ -44,7 +43,7 @@ def io_orc_roundtrip(spark, sf_dir):
     """documents -> write_orc -> read_orc -> identical rows: the other
     columnar lake format, same pushdown contract as parquet."""
     docs = Tables(spark, sf_dir).documents.select(*_DOC_COLS)
-    out = tempfile.mkdtemp(prefix="clearmap_io_") + "/docs_orc"
+    out = _tracked_mkdtemp("clearmap_io_") + "/docs_orc"
     write_orc(docs, out)
     return read_orc(spark, out).select(*_DOC_COLS)
 
@@ -69,7 +68,7 @@ def io_shard_export_roundtrip(spark, sf_dir):
     sharded = docs.withColumn(
         "shard", (F.col("doc_id") % 8).cast("int")
     )
-    out = tempfile.mkdtemp(prefix="clearmap_io_") + "/shards"
+    out = _tracked_mkdtemp("clearmap_io_") + "/shards"
     write_training_shards(sharded, out)
     fsck = audit_training_shards(spark, out)
     if not fsck["ok"]:  # never return a corrupt dataset as "published"
@@ -92,7 +91,7 @@ def io_compaction_roundtrip(spark, sf_dir):
     from ..operators.maintenance import compact_parquet_dataset
 
     docs = Tables(spark, sf_dir).documents.select(*_DOC_COLS)
-    root = tempfile.mkdtemp(prefix="clearmap_io_")
+    root = _tracked_mkdtemp("clearmap_io_")
     shattered, compacted = root + "/shattered", root + "/compacted"
     docs.repartition(24).write.parquet(shattered)
     n_in = len([f for f in os.listdir(shattered) if f.endswith(".parquet")])

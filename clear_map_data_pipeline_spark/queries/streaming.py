@@ -21,14 +21,13 @@ Streaming's behavior in SQL:
 
 from __future__ import annotations
 
-import tempfile
-
 from ..registry import register
 from pyspark.sql import functions as F
 
 from ..session import Tables
 from ..streaming.daily import daily_totals_stream, sliding_totals_stream
 from ..streaming.dedup import deduped_ingest_stream, stage_backlog
+from ..streaming.drain import _tracked_mkdtemp
 from ..streaming.export import export_daily_partitions
 from ..streaming.sessions import user_sessions_stream
 from .suites import SubQuery, register_suite
@@ -145,7 +144,6 @@ def st_merge_sink(spark, sf_dir):
     single-shot merge SQL.  Cross-batch tombstone/version-order edge
     cases stay pinned in tests/test_streaming.py."""
     import os
-    import tempfile
     import time as _t
 
     from ..streaming.merge_sink import streaming_merge_sink
@@ -180,7 +178,7 @@ def st_merge_sink(spark, sf_dir):
     )
     changes = upd.unionByName(dele).unionByName(ins)
 
-    root = tempfile.mkdtemp(prefix="clearmap_merge_sink_")
+    root = _tracked_mkdtemp("clearmap_merge_sink_")
     changes_dir = root + "/changes"
     base.coalesce(2).write.parquet(changes_dir)
     base_files = sorted(
@@ -392,7 +390,7 @@ def st_incremental_export(spark, sf_dir):
     every date, so the oracle is the full batch daily-totals table —
     the hash check covers the write-path roundtrip (partition values,
     types, rounding) as well as the aggregation."""
-    out = tempfile.mkdtemp(prefix="clearmap_export_out_") + "/daily"
+    out = _tracked_mkdtemp("clearmap_export_out_") + "/daily"
     export_daily_partitions(
         spark, f"{sf_dir}/events.parquet", out, query_name="st_export_q"
     )

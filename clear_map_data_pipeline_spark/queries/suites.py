@@ -22,6 +22,9 @@ cannot drift):
   integer is exact on both engines.
 
 NULLs render as a sentinel so (a, NULL) and (NULL, a) stay distinct.
+String values have '\\' and '|' escaped before joining, so the
+'|'-separated payload is injective — a value containing the separator
+cannot mask a column-boundary divergence between engines.
 """
 
 from __future__ import annotations
@@ -46,7 +49,16 @@ class SubQuery(NamedTuple):
 def _spark_canon(col: str, kind: str) -> Column:
     c = F.col(col)
     if kind == "s":
-        rendered = c.cast("string")
+        # Escape the join separator (r07 verdict nit): without this,
+        # concat_ws('|', ...) is non-injective — a text value
+        # containing '|' could mask a column-boundary divergence
+        # between engines.  Backslash first, then the pipe, mirrored
+        # exactly in _duck_canon.
+        rendered = F.replace(
+            F.replace(c.cast("string"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("|"),
+            F.lit("\\|"),
+        )
     elif kind.startswith("d"):
         scale = 10 ** int(kind[1:])
         rendered = F.round(c * scale).cast("long").cast("string")
@@ -57,7 +69,11 @@ def _spark_canon(col: str, kind: str) -> Column:
 
 def _duck_canon(col: str, kind: str) -> str:
     if kind == "s":
-        rendered = f"CAST({col} AS VARCHAR)"
+        # same backslash-then-pipe escape as _spark_canon
+        rendered = (
+            "replace(replace(CAST({c} AS VARCHAR),"
+            " '\\', '\\\\'), '|', '\\|')"
+        ).format(c=col)
     elif kind.startswith("d"):
         scale = 10 ** int(kind[1:])
         rendered = f"CAST(CAST(round(({col}) * {scale}) AS BIGINT) AS VARCHAR)"
@@ -94,6 +110,12 @@ def _suite_sql(subs: list[SubQuery]) -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+#: suite name -> member list, for mechanical per-member itemization
+#: (bench.py times each member builder separately so multi-member
+#: suite drift decomposes without hand-written member tables)
+SUITES: dict[str, list[SubQuery]] = {}
+
+
 def register_suite(name: str, subs: list[SubQuery], doc: str = "") -> None:
     """Register the folded suite as one oracle-checked query."""
     build = _suite_builder(subs)
@@ -101,4 +123,5 @@ def register_suite(name: str, subs: list[SubQuery], doc: str = "") -> None:
     build.__doc__ = doc or (
         "Folded oracle suite over: " + ", ".join(s.name for s in subs)
     )
+    SUITES[name] = list(subs)
     register(name, sql=_suite_sql(subs))(build)

@@ -611,7 +611,11 @@ def test_scc_sql_twin_matches_operator_random(spark, seed):
             for _ in range(90)
         }
     )
-    edges = [(s, d) for s, d in edges if s != d]
+    # self-loops stay IN (r07 advice): a node whose only edge is a
+    # self-loop must get a singleton component from BOTH engines —
+    # scc_sql derives its vertex set from the raw edge list exactly
+    # like the operator's nodes_all, so no pre-stripping here.
+    edges.append((n, n))  # guaranteed self-loop-only node
     sdf = spark.createDataFrame(edges, ["src", "dst"])
     got = {
         (r["node"], r["component"])

@@ -136,3 +136,42 @@ def test_query_matches_oracle(spark, sf_dir, name):
         (a, b) for a, b in zip(s_norm, d_norm) if a != b
     ]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+def test_suite_canon_separator_injective(spark):
+    """r07 verdict nit: the suite payload join must be injective.  A
+    string value containing '|' (or the escape char itself) must NOT
+    collide with a different column split, and both engines must
+    render the escaped payload identically."""
+    import duckdb as _dd
+
+    from pyspark.sql import functions as F
+
+    from clear_map_data_pipeline_spark.queries.suites import (
+        _duck_canon,
+        _spark_canon,
+    )
+
+    rows = [("a|b", "c"), ("a", "b|c"), ("x\\", "|y"), ("x", "\\|y")]
+    sdf = spark.createDataFrame(rows, ["u", "v"])
+    spark_payloads = sorted(
+        r[0]
+        for r in sdf.select(
+            F.concat_ws(
+                "|", _spark_canon("u", "s"), _spark_canon("v", "s")
+            )
+        ).collect()
+    )
+    # injective: the four distinct (u, v) pairs -> four distinct payloads
+    assert len(set(spark_payloads)) == 4
+    # DuckDB standard string literals are backslash-verbatim
+    vals = ", ".join(f"('{u}', '{v}')" for u, v in rows)
+    duck_payloads = sorted(
+        r[0]
+        for r in _dd.connect().execute(
+            "SELECT concat_ws('|', "
+            f"{_duck_canon('u', 's')}, {_duck_canon('v', 's')}) "
+            f"FROM (SELECT * FROM (VALUES {vals}) AS t(u, v))"
+        ).fetchall()
+    )
+    assert spark_payloads == duck_payloads
