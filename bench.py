@@ -561,51 +561,93 @@ def _pipeline_scale_demo(spark, sf_dir: str) -> dict:
     }
 
 
-def _graph_member_times(spark, sf_dir: str, n_runs: int = 3) -> dict:
-    """Per-member best-of-N timings for every suite_graph member
-    (r06-verdict task #1): the suite's single number kept resisting
-    adjudication between warm-JVM and fresh-isolation protocols, so the
-    bench itemizes the members inside its own loop — called TWICE per
-    bench run (once right after warmup, once after the full headline
-    loop) so the warm-vs-pressured JVM gap is measured inside one
-    process instead of being re-litigated across protocols."""
-    from clear_map_data_pipeline_spark.queries.dedup import (
-        dd_lsh_clusters,
-        gr_kcore,
-        gr_pagerank,
-        gr_pagerank_directed,
-        gr_scc,
-        gr_triangles,
-    )
-
+def _suite_member_times(spark, sf_dir: str, suite: str, n_runs: int) -> dict:
+    """Per-member best-of-N timings for a folded suite's members
+    (r06-verdict task #1 for suite_graph; r07-verdict task #8 extends
+    the same itemization to the other multi-member movers).  Members
+    come mechanically from the SUITES registry, so a suite gaining a
+    member next round shows up in the itemization without bench edits.
+    One protocol point per run (post-headline, the steady-state JVM):
+    r07 measured fresh-vs-post-headline inside one process and the two
+    agreed within spread, closing the r06 warm-JVM question — so the
+    second pass is dropped to keep the standing bench inside the
+    driver's wall envelope."""
     from clear_map_data_pipeline_spark.cachereg import release_all
+    from clear_map_data_pipeline_spark.queries.suites import SUITES
 
-    members = [
-        ("dd_lsh_clusters", dd_lsh_clusters),
-        ("gr_pagerank", gr_pagerank),
-        ("gr_pagerank_directed", gr_pagerank_directed),
-        ("gr_triangles", gr_triangles),
-        ("gr_scc", gr_scc),
-        ("gr_kcore", gr_kcore),
-    ]
     out = {}
-    for name, fn in members:
+    for sub in SUITES[suite]:
         runs = []
         for _ in range(n_runs):
             release_all()  # same cache discipline as the registry wrapper
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            sub.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             runs.append(time.perf_counter() - t0)
-        out[name] = {
+        out[sub.name] = {
             "min": round(min(runs), 3),
             "spread": round(max(runs) - min(runs), 3),
         }
     return out
 
 
+_FULL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
+)
+
+
+def _write_full(full: dict) -> None:
+    """Rewrite the full record NOW (r07-verdict task #1: incremental
+    evidence — a mid-run kill must never lose what already finished).
+    Write-then-rename so a kill mid-write can't truncate the record."""
+    tmp = _FULL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    os.replace(tmp, _FULL_PATH)
+
+
+def _emit_compact(full: dict) -> None:
+    """Print + flush the ONE-line stdout contract the driver parses.
+    Called immediately after the headline loop (r07-verdict task #1:
+    the compact line used to print only after every scale demo, so any
+    wall-clock kill discarded ~13 minutes of finished headline
+    evidence)."""
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "noise_floor_sec": full["noise_floor_sec"],
+        "medians_on_contention": full["medians_on_contention"],
+        "extras_file": "BENCH_full_latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never outgrow a 2000-char tail window
+        compact.pop("medians_on_contention", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Standing wall budget for the post-headline extras (r07-verdict
+    # tasks #1/#2: the r07 bench grew to ~28 min and the driver killed
+    # it mid-demo, rc=1 parsed=null).  Demos run in value order until
+    # the budget is spent; anything past it lands as a skipped marker,
+    # never as lost evidence.
+    wall_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "780")
+    )
+    # The 100x dedup demo (4-8 min alone) is on-demand now: its
+    # observables (CC rounds flat at 2, verified-pair fraction ~2.1e-4)
+    # are on the r07 record and reproduced bit-identically on three
+    # boxes, so it doesn't need re-demonstrating every round.
+    run_100x = os.environ.get("SPARK_GRAFT_BENCH_100X", "0") == "1"
+    t_start = time.perf_counter()
 
     from clear_map_data_pipeline_spark.registry import load_all
     from clear_map_data_pipeline_spark.session import get_spark
@@ -640,9 +682,45 @@ def main() -> None:
         warm = registry[name].builder(spark, "/root/testdata/sf0.001")
         warm.write.format("noop").mode("overwrite").save()
 
-    # suite_graph members, point 1 of 2: right after warmup — the
-    # closest this process gets to the "fresh isolation" protocol
-    graph_members_fresh = _graph_member_times(spark, sf_dir)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    # The evidence record exists from the first headline query onward
+    # (r07-verdict task #1): every finished query updates the on-disk
+    # full record immediately, and a SIGTERM dumps whatever exists
+    # instead of losing the run.
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    full: dict = {
+        "metric": "headline_queries_total_wall",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "noise_floor_sec": round(noise_floor, 3),
+        "spread": spreads,
+        # medians exist only for queries whose best-of-3 spread blew
+        # past 5x min (contention flag -> 2 extra runs, r06 task #5)
+        "medians_on_contention": medians,
+        "headline_complete": False,
+    }
+
+    import signal
+
+    def _dump_and_exit(signum, frame):  # pragma: no cover - signal path
+        full["terminated_by_signal"] = signum
+        _write_full(full)
+        if not full.get("headline_complete"):
+            # partial headline: still emit what exists so the driver
+            # tail parses SOMETHING machine-readable
+            _emit_compact(full)
+        os._exit(143)
+
+    signal.signal(signal.SIGTERM, _dump_and_exit)
 
     # Best-of-3 per query: single-run numbers on a shared 32-thread box
     # swing 2-4x with GC/codegen/compaction noise (observed: the same
@@ -655,9 +733,6 @@ def main() -> None:
     # so one pathological run can't dominate the committed narrative.
     import statistics
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    medians: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(3):
@@ -676,186 +751,169 @@ def main() -> None:
         # best-of-N spread: how contended this query's runs were — the
         # mechanical noise context for cross-round comparisons
         spreads[name] = round(max(runs) - min(runs), 3)
+        full["value"] = round(sum(timings.values()), 3)
+        _write_full(full)
 
-    # suite_graph members, point 2 of 2: after the full headline loop —
-    # the warm/GC-pressured regime the r06 judge re-timed in
-    graph_members_warm = _graph_member_times(spark, sf_dir)
+    # The stdout contract line prints NOW — before any scale demo — so
+    # a wall-clock kill downstream can no longer discard the headline
+    # evidence (exactly what happened to BENCH_r07.json).
+    full["headline_complete"] = True
+    _write_full(full)
+    _emit_compact(full)
 
-    # quality metric alongside the timings: recall@5 of the trained-IVF
-    # ANN vs the exact brute-force baseline (judge-visible: a fast but
-    # low-recall index is not an improvement)
-    from clear_map_data_pipeline_spark.operators.similarity import (
-        ivf_recall_at_k,
-    )
-    from clear_map_data_pipeline_spark.session import Tables
+    # Per-member itemization for the multi-member movers (r06 task #1,
+    # r07 task #8): mechanical decomposition so cross-round drift
+    # adjudicates per member, not per suite.  One protocol point
+    # (post-headline steady state): r07 measured fresh vs post-headline
+    # inside one process and they agreed within spread.
+    for suite, n_runs in (
+        ("suite_graph", 3),
+        ("suite_ivf", 2),
+        ("suite_streaming_daily", 2),
+        ("suite_io_roundtrip", 2),
+    ):
+        full.setdefault("suite_members", {})[suite] = _suite_member_times(
+            spark, sf_dir, suite, n_runs
+        )
+        _write_full(full)
 
-    from clear_map_data_pipeline_spark.queries.similarity import (
-        IVF_KMEANS_PARAMS,
-    )
+    # Post-headline extras: quality metrics first (cheap, part of the
+    # standing record), then the scale demos in evidential-value order.
+    # Each entry is budget-gated and exception-isolated: over-budget ->
+    # a skipped marker; a throw -> an error marker; either way the
+    # record on disk stays complete and the process exits 0.
+    def _quality_metrics() -> dict:
+        from pyspark.sql import functions as _Fq
 
-    emb = Tables(spark, sf_dir).embeddings
-    recall = ivf_recall_at_k(emb, k=5, trained="lloyd", **IVF_KMEANS_PARAMS)
-    # int8 composition recall (r06-verdict task #6), measured against
-    # the FLOAT exact baseline — quantization loss AND index loss in
-    # one number, next to the float path's recall above
-    from pyspark.sql import functions as _Fq
+        from clear_map_data_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            dequantize_embeddings,
+            ivf_recall_at_k,
+            ivf_topk_lloyd,
+            lsh_candidate_fraction,
+            lsh_recall_vs_exact,
+            quantize_embeddings,
+        )
+        from clear_map_data_pipeline_spark.queries.similarity import (
+            ANN_REG_PLANES,
+            ANN_REG_REPS,
+            DIM,
+            IVF_KMEANS_PARAMS,
+        )
+        from clear_map_data_pipeline_spark.session import Tables
 
-    from clear_map_data_pipeline_spark.operators.similarity import (
-        cosine_topk,
-        dequantize_embeddings,
-        ivf_topk_lloyd,
-        quantize_embeddings,
-    )
+        emb = Tables(spark, sf_dir).embeddings
+        recall = ivf_recall_at_k(
+            emb, k=5, trained="lloyd", **IVF_KMEANS_PARAMS
+        )
+        # int8 composition recall (r06 task #6), measured against the
+        # FLOAT exact baseline — quantization loss AND index loss in
+        # one number, next to the float path's recall above
+        _q = emb.filter(_Fq.col("vec_id") % 100 == 0)
+        _exact = {
+            (r["va"], r["vb"])
+            for r in cosine_topk(emb, _q, 5).select("va", "vb").collect()
+        }
+        _deq = dequantize_embeddings(quantize_embeddings(emb))
+        _got = {
+            (r["va"], r["vb"])
+            for r in ivf_topk_lloyd(_deq, **IVF_KMEANS_PARAMS)
+            .select("va", "vb")
+            .collect()
+        }
+        int8_recall = len(_exact & _got) / max(len(_exact), 1)
+        # LSH: recall vs the exact all-pairs baseline at the registered
+        # operating point, with the measured candidate fraction (the
+        # LSH analogue of IVF's probe fraction); a cheap single-shot
+        # point alongside to show the knob's cost end
+        REG = {"num_planes": ANN_REG_PLANES, "repetitions": ANN_REG_REPS}
+        CHEAP = {"num_planes": 8, "repetitions": 1}
+        return {
+            "ivf_kmeans_recall_at_5": round(recall, 3),
+            "ivf_int8_recall_at_5": round(int8_recall, 3),
+            "ivf_probe_fraction": round(
+                IVF_KMEANS_PARAMS["nprobe"]
+                / IVF_KMEANS_PARAMS["k_clusters"],
+                3,
+            ),
+            "ivf_n_assign": IVF_KMEANS_PARAMS.get("n_assign", 1),
+            "ann_lsh_recall": round(
+                lsh_recall_vs_exact(emb, DIM, threshold=0.35, **REG), 3
+            ),
+            "ann_lsh_candidate_fraction": round(
+                lsh_candidate_fraction(emb, DIM, **REG), 3
+            ),
+            "ann_lsh_cheap_recall": round(
+                lsh_recall_vs_exact(emb, DIM, threshold=0.35, **CHEAP), 3
+            ),
+            "ann_lsh_cheap_candidate_fraction": round(
+                lsh_candidate_fraction(emb, DIM, **CHEAP), 3
+            ),
+        }
 
-    _q = emb.filter(_Fq.col("vec_id") % 100 == 0)
-    _exact = {
-        (r["va"], r["vb"])
-        for r in cosine_topk(emb, _q, 5).select("va", "vb").collect()
-    }
-    _deq = dequantize_embeddings(quantize_embeddings(emb))
-    _got = {
-        (r["va"], r["vb"])
-        for r in ivf_topk_lloyd(_deq, **IVF_KMEANS_PARAMS)
-        .select("va", "vb")
-        .collect()
-    }
-    int8_recall = len(_exact & _got) / max(len(_exact), 1)
-    ivf_scale_demo = _ivf_scale_demo(spark)
-    lsh_scale_demo = _lsh_scale_demo(spark)
-    dedup_scale_demo = _dedup_scale_demo(spark, sf_dir)
-    # r06-verdict task #8: one order of magnitude further — 100x
-    # replication (500k docs at sf0.1).  The 100 TB observables: CC
-    # rounds stay O(log n)-flat, wall grows sublinearly in docs, and
-    # the verified-pair fraction stays orders of magnitude below
-    # all-pairs even with 100-member families (see _dedup_scale_demo's
-    # docstring for why it is ~1/n, flat in reps).
-    dedup_scale_demo_100x = _dedup_scale_demo(spark, sf_dir, reps=100)
-    hh_scale_demo = _hh_scale_demo(spark)
-    bpe_scale_demo = _bpe_scale_demo(spark, sf_dir)
-    pipeline_scale_demo = _pipeline_scale_demo(spark, sf_dir)
-    tpch_scale_demo = _tpch_scale_demo(spark, sf_dir)
+    demo_plan: list[tuple[str, object]] = [
+        # quality metrics: recall/candidate-fraction block, flattened
+        # into the record's top level (judge-visible quality next to
+        # the timings)
+        ("quality_metrics", _quality_metrics),
+        # flagship dedup chain at 10x corpus: wall + CC rounds flat,
+        # verified-pair fraction collapsing
+        ("dedup_scale_demo", lambda: _dedup_scale_demo(spark, sf_dir)),
+        # q1/q9/q21 at 10x replicated facts through the real builders:
+        # wall ratio <= ~10 == linear-in-data plans
+        ("tpch_scale_demo", lambda: _tpch_scale_demo(spark, sf_dir)),
+        # flagship pipeline at 10x users: 4 windows over one pinned
+        # prefix, window stack still single-id-exchange
+        ("pipeline_scale_demo", lambda: _pipeline_scale_demo(spark, sf_dir)),
+        # sqrt(N) probe economics at 10x the fixture: k grows, the
+        # probed fraction collapses, recall stays >= 0.95
+        ("ivf_scale_demo", lambda: _ivf_scale_demo(spark)),
+        # cheap-LSH-point story on a planted near-dup corpus (r05):
+        # formula-picked point, recall >= 0.9 at a collapsed fraction
+        ("lsh_scale_demo", lambda: _lsh_scale_demo(spark)),
+        # MG heavy hitters on a 200k vocabulary: bounded candidate
+        # shuffle vs naive per-partition-distinct, answer still exact
+        ("hh_scale_demo", lambda: _hh_scale_demo(spark)),
+        # batched BPE rounds: merge list bit-identical to sequential
+        # (replay-tested), jobs cut by batch_ratio
+        ("bpe_scale_demo", lambda: _bpe_scale_demo(spark, sf_dir)),
+    ]
+    if run_100x:
+        demo_plan.append(
+            (
+                "dedup_scale_demo_100x",
+                lambda: _dedup_scale_demo(spark, sf_dir, reps=100),
+            )
+        )
+    else:
+        full["dedup_scale_demo_100x"] = {
+            "skipped": "on_demand (SPARK_GRAFT_BENCH_100X=1); observables "
+            "on the r07 record: cc_rounds=2, verified_pair_fraction "
+            "2.1e-4, judge-reproduced bit-identically on three boxes"
+        }
 
-    # same discipline for the LSH path: recall vs the exact all-pairs
-    # baseline at its 0.35 threshold, measured AT THE REGISTERED
-    # operating point (4 planes x 16 repetitions — the amplification-
-    # formula pick for >=0.9 recall at this band; what
-    # sim_ann_lsh_pairs actually runs), with the MEASURED deduped
-    # candidate fraction (the LSH analogue of IVF's probe fraction)
-    # next to it.  The fixture's embeddings are near-uniform (max
-    # pairwise cosine 0.60), so high recall here inherently costs a
-    # high candidate fraction — honest to report; a cheap single-shot
-    # point (8 planes x 1 rep) is reported alongside to show the
-    # knob's cost end.
-    from clear_map_data_pipeline_spark.operators.similarity import (
-        lsh_candidate_fraction,
-        lsh_recall_vs_exact,
-    )
-    from clear_map_data_pipeline_spark.queries.similarity import (
-        ANN_REG_PLANES,
-        ANN_REG_REPS,
-        DIM,
-    )
+    for key, thunk in demo_plan:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > wall_budget:
+            full[key] = {
+                "skipped": "over_wall_budget",
+                "elapsed_sec": round(elapsed, 1),
+                "budget_sec": wall_budget,
+            }
+            _write_full(full)
+            continue
+        try:
+            result = thunk()
+        except Exception as exc:  # noqa: BLE001 - demo must not kill record
+            result = {"error": f"{type(exc).__name__}: {exc}"[:400]}
+        if key == "quality_metrics":
+            full.update(result)
+        else:
+            full[key] = result
+        _write_full(full)
 
-    REG = {"num_planes": ANN_REG_PLANES, "repetitions": ANN_REG_REPS}
-    CHEAP = {"num_planes": 8, "repetitions": 1}
-    lsh_recall_reg = lsh_recall_vs_exact(emb, DIM, threshold=0.35, **REG)
-    lsh_cand_frac_reg = lsh_candidate_fraction(emb, DIM, **REG)
-    lsh_recall_cheap = lsh_recall_vs_exact(emb, DIM, threshold=0.35, **CHEAP)
-    lsh_cand_frac_cheap = lsh_candidate_fraction(emb, DIM, **CHEAP)
-
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
-
-    full = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-        "noise_floor_sec": round(noise_floor, 3),
-        "spread": spreads,
-        # medians exist only for queries whose best-of-3 spread blew
-        # past 5x min (contention flag -> 2 extra runs, r06 task #5)
-        "medians_on_contention": medians,
-        # suite_graph itemized, both protocol points in one process
-        # (r06 task #1): fresh = right after warmup, warm = after the
-        # full headline loop (the GC/codegen-pressured regime)
-        "suite_graph_members": {
-            "fresh": graph_members_fresh,
-            "post_headline": graph_members_warm,
-        },
-        "ivf_kmeans_recall_at_5": round(recall, 3),
-        # int8 quantize -> Lloyd-IVF composition recall vs the FLOAT
-        # exact baseline (quantization + index loss in one number)
-        "ivf_int8_recall_at_5": round(int8_recall, 3),
-        # the honest cost metric next to the recall: fraction of
-        # inverted lists each query probes, and the index
-        # multiplier from multi-assignment
-        "ivf_probe_fraction": round(
-            IVF_KMEANS_PARAMS["nprobe"] / IVF_KMEANS_PARAMS["k_clusters"], 3
-        ),
-        "ivf_n_assign": IVF_KMEANS_PARAMS.get("n_assign", 1),
-        # sqrt(N) probe economics at 10x the fixture: k grows,
-        # the probed fraction collapses, recall stays >= 0.95
-        "ivf_scale_demo": ivf_scale_demo,
-        # cheap-LSH-point story, measured on a planted near-dup
-        # corpus (r05): formula-picked point, recall >= 0.9 at a
-        # collapsed candidate fraction
-        "lsh_scale_demo": lsh_scale_demo,
-        # flagship dedup chain at 10x and 100x corpus: wall + CC
-        # rounds flat, verified-pair fraction collapsing
-        "dedup_scale_demo": dedup_scale_demo,
-        "dedup_scale_demo_100x": dedup_scale_demo_100x,
-        # MG heavy hitters on a 200k vocabulary: bounded
-        # candidate shuffle vs the naive per-partition-distinct
-        # shuffle, answer still exact
-        "hh_scale_demo": hh_scale_demo,
-        # batched BPE rounds: merge list bit-identical to
-        # sequential (replay-tested), jobs cut by batch_ratio
-        "bpe_scale_demo": bpe_scale_demo,
-        # flagship pipeline at 10x users: 4 windows over one
-        # pinned prefix, window stack still single-id-exchange
-        "pipeline_scale_demo": pipeline_scale_demo,
-        # q1/q9/q21 at 10x replicated facts through the real
-        # builders: wall ratio <= ~10 == linear-in-data plans
-        "tpch_scale_demo": tpch_scale_demo,
-        "ann_lsh_recall": round(lsh_recall_reg, 3),
-        "ann_lsh_candidate_fraction": round(lsh_cand_frac_reg, 3),
-        "ann_lsh_cheap_recall": round(lsh_recall_cheap, 3),
-        "ann_lsh_cheap_candidate_fraction": round(lsh_cand_frac_cheap, 3),
-    }
-
-    # Parse-robust output (r06 ADVICE: BENCH_r05/r06 committed with
-    # parsed:null — the driver keeps only a 2000-char tail of stdout,
-    # and the full blob outgrew it when the scale demos landed).  The
-    # FULL record goes to a committed file; stdout carries exactly ONE
-    # compact JSON line with the contract keys, small enough to survive
-    # any tail window whole.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
-    )
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1)
-        f.write("\n")
-
-    compact = {
-        "metric": full["metric"],
-        "value": full["value"],
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-        "noise_floor_sec": full["noise_floor_sec"],
-        "medians_on_contention": medians,
-        "extras_file": "BENCH_full_latest.json",
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never outgrow a 2000-char tail window
-        compact.pop("medians_on_contention", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    full["total_wall_sec"] = round(time.perf_counter() - t_start, 1)
+    _write_full(full)
     spark.stop()
 
 

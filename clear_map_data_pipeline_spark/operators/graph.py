@@ -565,23 +565,32 @@ def strongly_connected_components(
     Per outer round over the unsettled subgraph:
 
     1. FORWARD max-color propagation to fixpoint: color(v) = max id of
-       any vertex that reaches v (iterated join+agg, the message-
-       passing shape of ``pagerank``);
+       any vertex that reaches v — SEMI-NAIVE (r08): only vertices
+       whose color changed last iteration send messages (Datalog
+       delta evaluation; max is monotone, so delta propagation reaches
+       the same fixpoint with shrinking join inputs);
     2. every vertex whose color == its own id is a ROOT, and an SCC is
-       exactly {v : color(v) == id(root) and v reaches root} — found by
-       BACKWARD propagation of the settled flag along reversed edges
-       WITHIN each color class, all roots in parallel;
-    3. settled vertices (and their edges) drop out; repeat.
+       exactly {v : color(v) == id(root) and v reaches root}.  Any
+       v->root path lies entirely inside root's color class (every
+       vertex on it is mutually reachable with the root), so the
+       BACKWARD settle runs on the once-per-round SAME-COLOR edge
+       subset, frontier-only: one shuffle job per iteration instead of
+       the r07 shape's two (message join + grown-set distinct);
+    3. settled vertices (and their edges) drop out; repeat.  The
+       min-id relabel of each color class is deferred to ONE global
+       pass after the outer loop (color classes from different rounds
+       are disjoint by construction — a class id is a live node id,
+       and settled nodes leave the graph), saving two jobs per round.
 
     Scale notes, stated honestly: each propagation runs O(diameter)
-    rounds of one equi-join + one max-aggregation (shuffle volume =
-    |edges| longs, lineage truncated per step), and the OUTER loop
-    settles every SCC whose color class it rooted — low-diameter
-    web/citation graphs (the regime GraphX's SCC targets) finish in a
-    few rounds, while an adversarially id-ordered chain of singleton
-    SCCs degrades toward O(n) rounds; ``max_rounds`` bounds the damage
-    and raises rather than spinning.  Self-loops are fine; parallel
-    edges are deduped."""
+    rounds of one equi-join + one aggregation (shuffle volume bounded
+    by |edges| longs and shrinking with the frontier, lineage truncated
+    per step), and the OUTER loop settles every SCC whose color class
+    it rooted — low-diameter web/citation graphs (the regime GraphX's
+    SCC targets) finish in a few rounds, while an adversarially
+    id-ordered chain of singleton SCCs degrades toward O(n) rounds;
+    ``max_rounds`` bounds the damage and raises rather than spinning.
+    Self-loops are fine; parallel edges are deduped."""
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s") != F.col("d"))
@@ -594,7 +603,7 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    settled = None  # (node, component)
+    settled = None  # (node, component=color-class id), relabeled at end
     live_nodes = nodes_all
     rounds = 0
     for _round in range(max_rounds):
@@ -602,16 +611,18 @@ def strongly_connected_components(
         if n_live == 0:
             break
         rounds += 1
-        # 1. forward max-color propagation to fixpoint.  The old color
-        # rides the checkpointed frame so the changed-count is a cheap
-        # local scan of already-materialized rows, not a second
-        # join+shuffle job per round (2 jobs/round -> 1 + a scan).
+        # 1. forward max-color propagation to fixpoint, semi-naive:
+        # messages flow only from the frontier (vertices whose color
+        # rose last iteration); the old color rides the checkpointed
+        # frame so both the new frontier and the convergence check are
+        # cheap local scans of already-materialized rows.
         colors = live_nodes.select("node", F.col("node").alias("color"))
         colors = colors.localCheckpoint(eager=True)
+        frontier = colors
         while True:
             msgs = (
                 e.join(
-                    colors.select(
+                    frontier.select(
                         F.col("node").alias("s"), F.col("color").alias("c")
                     ),
                     "s",
@@ -630,53 +641,63 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = nxt.where(F.col("color") != F.col("_old")).count()
+            frontier = nxt.where(F.col("color") != F.col("_old")).select(
+                "node", "color"
+            )
             colors = nxt.select("node", "color")
-            if changed == 0:
+            if frontier.count() == 0:
                 break
-        # 2. backward settled-flag propagation within color classes,
-        # all roots at once; a root's SCC label is its color (== id)
+        # 2. backward settle, frontier-only, on the same-color edge
+        # subset (computed ONCE per round instead of re-joining colors
+        # every iteration).  A settled vertex's component is simply its
+        # color, carried on the frontier, so no post-loop rejoin.
+        er = (
+            e.join(
+                colors.select(
+                    F.col("node").alias("s"), F.col("color").alias("cs")
+                ),
+                "s",
+            )
+            .join(
+                colors.select(
+                    F.col("node").alias("d"), F.col("color").alias("cd")
+                ),
+                "d",
+            )
+            .where(F.col("cs") == F.col("cd"))
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
         scc = colors.where(F.col("node") == F.col("color")).select(
             "node", F.col("color").alias("component")
         )
         scc = scc.localCheckpoint(eager=True)
-        n_scc = scc.count()
+        frontier_b = scc
         while True:
-            # flag flows AGAINST edge direction: if d is settled with
-            # component c and color(s) == c, then s reaches the root
-            # through d, so s joins the SCC
-            msgs = (
-                e.join(
-                    scc.select(
-                        F.col("node").alias("d"),
-                        F.col("component").alias("_c"),
+            # flag flows AGAINST edge direction: if d is settled and
+            # (s, d) is a same-class edge, s reaches the root through
+            # d.  New settles are disjoint from the accumulated set by
+            # the anti join, so the union needs no distinct.
+            new = (
+                er.join(
+                    frontier_b.select(
+                        F.col("node").alias("d"), "component"
                     ),
                     "d",
                 )
-                .select(F.col("s").alias("node"), "_c")
-                .join(colors, "node")
-                .where(F.col("color") == F.col("_c"))
-                .select("node", F.col("_c").alias("component"))
+                .select(F.col("s").alias("node"), "component")
                 .distinct()
+                .join(scc.select("node"), "node", "left_anti")
+                .localCheckpoint(eager=True)
             )
-            grown = (
-                scc.unionByName(msgs).distinct().localCheckpoint(eager=True)
-            )
-            n_grown = grown.count()
-            if n_grown == n_scc:
+            if new.count() == 0:
                 break
-            scc, n_scc = grown, n_grown
-        # component label: min node id of the SCC (colors are max-ids)
-        labels = scc.groupBy("component").agg(
-            F.min("node").alias("_lbl")
-        )
-        done = scc.join(labels, "component").select(
-            "node", F.col("_lbl").alias("component")
-        )
+            scc = scc.unionByName(new)
+            frontier_b = new
         settled = (
-            done
+            scc
             if settled is None
-            else settled.unionByName(done).localCheckpoint(eager=True)
+            else settled.unionByName(scc).localCheckpoint(eager=True)
         )
         # 3. shrink the live subgraph
         live_nodes = live_nodes.join(
@@ -700,7 +721,12 @@ def strongly_connected_components(
         return nodes_all.select(
             "node", F.col("node").alias("component")
         ).limit(0)
-    return settled
+    # component label: min node id of the SCC (colors are max-ids) —
+    # one global relabel instead of two jobs per outer round
+    labels = settled.groupBy("component").agg(F.min("node").alias("_lbl"))
+    return settled.join(labels, "component").select(
+        "node", F.col("_lbl").alias("component")
+    )
 
 
 def k_core(

@@ -516,7 +516,10 @@ def wkt_to_geojson(wkt: str) -> str:
 
 
 def geojson_to_wkt(gj: str) -> str:
-    """B5 decode: GeoJSON geometry -> WKT."""
+    """B5 decode: GeoJSON geometry -> WKT.  Covers the same surface the
+    encoder emits: the polygon family plus the boundary-line family
+    (LineString/MultiLineString — r08: the S5 sink+source identity
+    member caught the decoder lacking the line half the encoder had)."""
     g = json.loads(gj)
     if g["type"] == "Polygon":
         return polygon_wkt([[tuple(pt) for pt in r] for r in g["coordinates"]])
@@ -524,6 +527,14 @@ def geojson_to_wkt(gj: str) -> str:
         return multipolygon_wkt(
             [[[tuple(pt) for pt in r] for r in p] for p in g["coordinates"]]
         )
+    if g["type"] == "LineString":
+        return "LINESTRING " + ring_wkt(
+            [tuple(pt) for pt in g["coordinates"]]
+        )
+    if g["type"] == "MultiLineString":
+        return "MULTILINESTRING (" + ", ".join(
+            ring_wkt([tuple(pt) for pt in ln]) for ln in g["coordinates"]
+        ) + ")"
     raise ValueError(g["type"])
 
 

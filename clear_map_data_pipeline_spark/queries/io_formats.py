@@ -17,6 +17,8 @@ adds the driver-grade end-to-end fidelity check.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..session import Tables
 from ..streaming.drain import _tracked_mkdtemp
 from ..sources.readers import read_jsonl, read_orc
@@ -110,11 +112,234 @@ def io_compaction_roundtrip(spark, sf_dir):
     return spark.read.parquet(compacted).select(*_DOC_COLS)
 
 
+def io_moh_csv_roundtrip(spark, sf_dir):
+    """S2 (ref il_analysis_git.py:46): the MOH CSV source, upgraded
+    from tests-only to driver-hash-checked via the write->read identity
+    trick.  An MOH-shaped all-string frame (8 raw columns in file
+    order, censored '<15' markers included) is staged from orders,
+    written as a header CSV, and read back through the REAL
+    ``read_moh_csv`` — explicit schema, no inference job, positional
+    rename to the working names (P2).  The oracle replays the staging
+    projection with the renamed aliases, so the hash proves the CSV
+    encode + schema-pinned decode + rename is an exact identity."""
+    from ..sources.readers import MOH_RAW_COLUMNS, read_moh_csv
+
+    o = Tables(spark, sf_dir).orders
+    staged = o.select(
+        (F.col("o_orderkey") % 500).cast("string").alias("town_code"),
+        (F.col("o_custkey") % 10).cast("string").alias("agas_code"),
+        F.col("o_orderdate").cast("string").alias("date"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("<15"))
+        .otherwise((F.col("o_orderkey") % 1000).cast("string"))
+        .alias("accumulated_cases"),
+        (F.col("o_orderkey") % 50).cast("string").alias(
+            "new_cases_on_date"
+        ),
+        (F.col("o_custkey") % 2000).cast("string").alias(
+            "accumulated_diagnostic_tests"
+        ),
+        (F.col("o_orderkey") % 97).cast("string").alias(
+            "accumulated_vaccination_first_dose"
+        ),
+        (F.col("o_orderkey") % 5).cast("string").alias(
+            "new_vacc_first_dose_on_date"
+        ),
+    ).select(*MOH_RAW_COLUMNS)
+    out = _tracked_mkdtemp("clearmap_io_") + "/moh_csv"
+    staged.write.option("header", True).csv(out)
+    return read_moh_csv(spark, out)
+
+
+_MOH_CSV_SQL = """
+SELECT CAST(o_orderkey % 500 AS VARCHAR) AS city,
+       CAST(o_custkey % 10 AS VARCHAR) AS area,
+       CAST(o_orderdate AS VARCHAR) AS date,
+       CASE WHEN o_orderkey % 7 = 0 THEN '<15'
+            ELSE CAST(o_orderkey % 1000 AS VARCHAR) END AS cases,
+       CAST(o_orderkey % 50 AS VARCHAR) AS new_case,
+       CAST(o_custkey % 2000 AS VARCHAR) AS tests,
+       CAST(o_orderkey % 97 AS VARCHAR) AS vaccine,
+       CAST(o_orderkey % 5 AS VARCHAR) AS new_vaccine
+FROM orders
+"""
+_MOH_SPEC = [
+    (c, "s")
+    for c in (
+        "city", "area", "date", "cases",
+        "new_case", "tests", "vaccine", "new_vaccine",
+    )
+]
+
+
+def _squares(spark, sf_dir):
+    from .spatial import _nation_squares
+
+    return _nation_squares(spark, sf_dir).select("n_nationkey", "geometry")
+
+
+def io_geojson_polygons_roundtrip(spark, sf_dir):
+    """S4 (ref :173-175) write->read identity: the per-nation unit
+    squares go through the REAL polygon sink (``write_geojson``: WKT ->
+    GeoJSON FeatureCollection, ordered single-file collect) and come
+    back through the REAL source (``read_geojson``: multiLine JSON,
+    feature explode, properties to columns, geometry to WKT).  The
+    oracle reconstructs the square WKT from the nation key in pure
+    SQL, so the hash proves the whole sink+source composition renders
+    and parses every coordinate byte-exactly."""
+    import os
+
+    from ..sources.readers import read_geojson
+    from ..sources.writers import write_geojson
+
+    path = os.path.join(_tracked_mkdtemp("clearmap_io_"), "polys.geojson")
+    write_geojson(
+        _squares(spark, sf_dir), path, order_by=("n_nationkey",)
+    )
+    return read_geojson(spark, path).select("n_nationkey", "geometry")
+
+
+_GJ_POLY_SQL = """
+SELECT n_nationkey,
+       printf('POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))',
+              n_nationkey % 5 * 3, (n_nationkey // 5) * 3,
+              n_nationkey % 5 * 3 + 1, (n_nationkey // 5) * 3,
+              n_nationkey % 5 * 3 + 1, (n_nationkey // 5) * 3 + 1,
+              n_nationkey % 5 * 3, (n_nationkey // 5) * 3 + 1,
+              n_nationkey % 5 * 3, (n_nationkey // 5) * 3) AS geometry
+FROM nation
+"""
+
+
+def io_geojson_lines_roundtrip(spark, sf_dir):
+    """S5 (ref plans/parse.py:38, il_analysis_git.py:173-175): the
+    LINE-geometry GeoJSON sink+source identity — square boundaries
+    (LINESTRING WKT from the Arrow-batched st_boundary UDF) through
+    ``write_geojson`` -> ``read_geojson``; the oracle is the same
+    printf the geometry suite pins for sp_boundary."""
+    import os
+
+    from ..operators import spatial as sp
+    from ..sources.readers import read_geojson
+    from ..sources.writers import write_geojson
+
+    lines = _squares(spark, sf_dir).select(
+        "n_nationkey",
+        sp.st_boundary_udf()(F.col("geometry")).alias("geometry"),
+    )
+    path = os.path.join(_tracked_mkdtemp("clearmap_io_"), "lines.geojson")
+    write_geojson(lines, path, order_by=("n_nationkey",))
+    return read_geojson(spark, path).select("n_nationkey", "geometry")
+
+
+_GJ_LINE_SQL = """
+SELECT n_nationkey,
+       printf('LINESTRING (%d %d, %d %d, %d %d, %d %d, %d %d)',
+              n_nationkey % 5 * 3, (n_nationkey // 5) * 3,
+              n_nationkey % 5 * 3 + 1, (n_nationkey // 5) * 3,
+              n_nationkey % 5 * 3 + 1, (n_nationkey // 5) * 3 + 1,
+              n_nationkey % 5 * 3, (n_nationkey // 5) * 3 + 1,
+              n_nationkey % 5 * 3, (n_nationkey // 5) * 3) AS geometry
+FROM nation
+"""
+_GJ_SPEC = [("n_nationkey", "s"), ("geometry", "s")]
+
+
+def io_dates_csv_roundtrip(spark, sf_dir):
+    """S6 (ref :202-213): the ragged dates/colors/sums CSV sink —
+    unequal-length columns zip_longest-padded to rows — written by the
+    REAL ``write_dates_array_csv`` and read back schema-pinned.  The
+    lists are bounded driver scalars (distinct order months, the five
+    priorities, per-month counts), so the collect is legitimate at any
+    scale; the oracle rebuilds the ragged table with ranked CTEs FULL
+    JOINed on row rank (pad cells surface as NULL on both engines)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.writers import write_dates_array_csv
+
+    o = Tables(spark, sf_dir).orders
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    months = [
+        r["m"] for r in o.select(month).distinct().orderBy("m").collect()
+    ]
+    colors = [
+        r[0]
+        for r in o.select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+        .collect()
+    ]
+    sums = [
+        str(r["cnt"])
+        for r in o.groupBy(month)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("m")
+        .collect()
+    ]
+    path = os.path.join(_tracked_mkdtemp("clearmap_io_"), "dates.csv")
+    write_dates_array_csv(
+        path, {"dates": months, "colors": colors, "sums": sums}
+    )
+    schema = T.StructType(
+        [
+            T.StructField(c, T.StringType(), True)
+            for c in ("dates", "colors", "sums")
+        ]
+    )
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+_DATES_CSV_SQL = """
+WITH m AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS mo,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+mr AS (
+  SELECT mo, CAST(cnt AS VARCHAR) AS cnt,
+         row_number() OVER (ORDER BY mo) AS rn
+  FROM m
+),
+cr AS (
+  SELECT pri, row_number() OVER (ORDER BY pri) AS rn
+  FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders)
+)
+SELECT mr.mo AS dates, cr.pri AS colors, mr.cnt AS sums
+FROM mr FULL JOIN cr USING (rn)
+"""
+_DATES_SPEC = [("dates", "s"), ("colors", "s"), ("sums", "s")]
+
+
 register_suite(
     "suite_io_roundtrip",
     [
         SubQuery("io_jsonl_roundtrip", io_jsonl_roundtrip, _DOCS_SQL, _SPEC),
         SubQuery("io_orc_roundtrip", io_orc_roundtrip, _DOCS_SQL, _SPEC),
+        SubQuery(
+            "io_moh_csv_roundtrip",
+            io_moh_csv_roundtrip,
+            _MOH_CSV_SQL,
+            _MOH_SPEC,
+        ),
+        SubQuery(
+            "io_geojson_polygons_roundtrip",
+            io_geojson_polygons_roundtrip,
+            _GJ_POLY_SQL,
+            _GJ_SPEC,
+        ),
+        SubQuery(
+            "io_geojson_lines_roundtrip",
+            io_geojson_lines_roundtrip,
+            _GJ_LINE_SQL,
+            _GJ_SPEC,
+        ),
+        SubQuery(
+            "io_dates_csv_roundtrip",
+            io_dates_csv_roundtrip,
+            _DATES_CSV_SQL,
+            _DATES_SPEC,
+        ),
         SubQuery(
             "io_shard_export_roundtrip",
             io_shard_export_roundtrip,
@@ -129,10 +354,12 @@ register_suite(
         ),
     ],
     doc="Source/sink/maintenance round-trip suite: JSONL write+read, "
-    "ORC write+read, the write-audit-publish sharded training export, "
-    "and small-files compaction (24 shattered files -> ~2 clustered, "
-    "builder-asserted) must each be an exact identity over the "
-    "documents table — hash-checked against the parquet fixture, so "
-    "sink encoding, source decoding, the WAP publish path, and the "
+    "ORC write+read, the MOH CSV source (S2), the polygon and line "
+    "GeoJSON sink+source pairs (S4/S5), the ragged dates CSV sink "
+    "(S6), the write-audit-publish sharded training export, and "
+    "small-files compaction (24 shattered files -> ~2 clustered, "
+    "builder-asserted) must each be an exact identity — hash-checked "
+    "against SQL reconstructions of the staged inputs, so sink "
+    "encoding, source decoding, the WAP publish path, and the "
     "compaction rewrite are all driver-verified end to end.",
 )

@@ -197,11 +197,74 @@ def _bm25_sql() -> str:
     """
 
 
+def tx_sentences_udtf(spark, sf_dir):
+    """Sentence-segmentation UDTF via a SQL lateral join (r08,
+    tests-only -> hash-checked; the last extension row without an
+    oracle).  The fixture documents carry zero sentence terminators
+    (judge-verified 0/500 docs with [.!?]), so the query SYNTHESIZES
+    three-sentence text per doc — 'Alpha {id}. Beta {lang}! Gamma {k}'
+    — identically visible to both engines, then runs the real
+    lateral-join UDTF (functions/udtfs.py: SentencesOf).  Exercises
+    mixed terminators, tail-without-terminator emission, and character
+    offsets; abbreviation/initial handling stays pinned in
+    tests/test_udtfs.py (the synthesized text is abbreviation-free by
+    construction).  The oracle computes the expected spans from the
+    fragment lengths in pure SQL."""
+    from ..functions.udtfs import register_sentences_udtf
+
+    register_sentences_udtf(spark)
+    Tables(spark, sf_dir).documents.createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               s.sentence_idx AS sent_idx,
+               s.start AS sent_start,
+               s.`end` AS sent_end,
+               s.sentence
+        FROM (SELECT doc_id,
+                     concat('Alpha ', CAST(doc_id AS STRING), '. ',
+                            'Beta ', lang, '! ',
+                            'Gamma ', CAST(n_chars % 7 AS STRING))
+                       AS text
+              FROM _docs_udtf) d,
+        LATERAL sentences_of(d.text) s
+        """
+    )
+
+
+_SENTENCES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'Alpha ' || CAST(doc_id AS VARCHAR) || '.' AS a,
+         'Beta ' || lang || '!' AS b,
+         'Gamma ' || CAST(n_chars % 7 AS VARCHAR) AS c
+  FROM documents
+)
+SELECT doc_id, 0 AS sent_idx, 0 AS sent_start,
+       length(a) AS sent_end, a AS sentence FROM d
+UNION ALL
+SELECT doc_id, 1, length(a) + 1, length(a) + 1 + length(b), b FROM d
+UNION ALL
+SELECT doc_id, 2, length(a) + length(b) + 2,
+       length(a) + length(b) + 2 + length(c), c FROM d
+"""
+_SENTENCES_SPEC = [
+    ("doc_id", "s"), ("sent_idx", "s"), ("sent_start", "s"),
+    ("sent_end", "s"), ("sentence", "s"),
+]
+
+
 # Folded into one registry slot (driver's 50-entry CORRECTNESS window) —
 # all full result sets still hash-check inside the suite union.
 register_suite(
     "suite_text_quality",
     [
+        SubQuery(
+            "tx_sentences_udtf",
+            tx_sentences_udtf,
+            _SENTENCES_SQL,
+            _SENTENCES_SPEC,
+        ),
         SubQuery(
             "tx_lang_id",
             tx_lang_id,
