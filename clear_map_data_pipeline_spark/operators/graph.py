@@ -31,7 +31,7 @@ per the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -549,6 +549,13 @@ def k_core_sql(edges_cte: str, k: int, peels: int = 8) -> str:
     """
 
 
+#: Frontier/dimension rows below which the SCC loop ships the small
+#: side map-side (driver collect + broadcast) instead of exchanging it.
+#: ~1M (node, color) longs is a few tens of MB on the driver — cheap —
+#: while big-graph rounds past the threshold keep full shuffle joins.
+_BROADCAST_FRONTIER_ROWS = 1_000_000
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -565,155 +572,254 @@ def strongly_connected_components(
     Per outer round over the unsettled subgraph:
 
     1. FORWARD max-color propagation to fixpoint: color(v) = max id of
-       any vertex that reaches v — SEMI-NAIVE (r08): only vertices
-       whose color changed last iteration send messages (Datalog
-       delta evaluation; max is monotone, so delta propagation reaches
-       the same fixpoint with shrinking join inputs);
+       any vertex that reaches v — semi-naive (messages flow only from
+       vertices whose color rose last iteration; max is monotone and
+       idempotent, so delta propagation reaches the same fixpoint);
     2. every vertex whose color == its own id is a ROOT, and an SCC is
        exactly {v : color(v) == id(root) and v reaches root}.  Any
        v->root path lies entirely inside root's color class (every
        vertex on it is mutually reachable with the root), so the
-       BACKWARD settle runs on the once-per-round SAME-COLOR edge
-       subset, frontier-only: one shuffle job per iteration instead of
-       the r07 shape's two (message join + grown-set distinct);
+       BACKWARD settle BFS runs on a once-per-round SAME-COLOR edge
+       subset, frontier-only, anti-joined against the settled set so
+       unions stay disjoint (no distinct over the accumulated set);
     3. settled vertices (and their edges) drop out; repeat.  The
        min-id relabel of each color class is deferred to ONE global
-       pass after the outer loop (color classes from different rounds
-       are disjoint by construction — a class id is a live node id,
-       and settled nodes leave the graph), saving two jobs per round.
+       pass after the outer loop (classes from different rounds are
+       disjoint — a class id is a live node id, and settled nodes
+       leave the graph).
+
+    Latency engineering (r08, measured at sf0.1: 38k edges, 17k nodes,
+    16 fixpoint iterations): iteration cost is per-shuffle-stage
+    driver latency, not data volume, so the loop (a) runs with AQE
+    disabled — AQE's per-stage re-plan barrier roughly doubles tiny
+    iterative stages and buys nothing the fixed 2-partition width
+    doesn't already give; (b) narrows the shuffle width to ~1M-edge
+    partitions, never above the session default, so a 100 TB graph
+    keeps its full width and AQE choice is restored on exit either
+    way; (c) pre-partitions the edge set by its join key so the
+    per-iteration join reuses the checkpointed partitioning instead of
+    re-exchanging the edges every step; (d) every convergence /
+    frontier / live count rides its materialization job as an
+    Observation metric — one Spark job per iteration and per shrink,
+    no separate count actions; (e) an acyclic-remainder shortcut: a
+    first forward iteration that raises no color proves the live
+    subgraph is a DAG, so all remaining nodes settle as singleton
+    components with no backward/shrink round; (f) per-round settled
+    checkpoints are replaced by a parts list unioned once before the
+    global relabel.  A fused two-hops-per-job variant was measured
+    SLOWER (deeper plans cost more than the job they save) and
+    rejected.
 
     Scale notes, stated honestly: each propagation runs O(diameter)
-    rounds of one equi-join + one aggregation (shuffle volume bounded
-    by |edges| longs and shrinking with the frontier, lineage truncated
-    per step), and the OUTER loop settles every SCC whose color class
-    it rooted — low-diameter web/citation graphs (the regime GraphX's
-    SCC targets) finish in a few rounds, while an adversarially
-    id-ordered chain of singleton SCCs degrades toward O(n) rounds;
-    ``max_rounds`` bounds the damage and raises rather than spinning.
-    Self-loops are fine; parallel edges are deduped."""
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .where(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes_all = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    settled = None  # (node, component=color-class id), relabeled at end
-    live_nodes = nodes_all
+    iterations of one equi-join + one max-aggregation (shuffle payload
+    bounded by |edges| longs and shrinking with the frontier, lineage
+    truncated per step), and the OUTER loop settles every SCC whose
+    color class it rooted — low-diameter web/citation graphs (the
+    regime GraphX's SCC targets) finish in a few rounds, while an
+    adversarially id-ordered chain of singleton SCCs degrades toward
+    O(n) rounds; ``max_rounds`` bounds the damage and raises rather
+    than spinning.  Self-loops are fine; parallel edges are deduped."""
+    spark = edges.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # ONE materialization of the caller's (possibly expensive) edge
+    # plan; the normalized edge set and the vertex set both derive
+    # from it without recomputing the upstream.
+    raw = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    n_raw = raw.count()  # cheap: counts checkpointed blocks
+    parts = min(default_parts, max(2, -(-n_raw // 1_000_000)))
+    settled_parts: list[DataFrame] = []
     rounds = 0
-    for _round in range(max_rounds):
-        n_live = live_nodes.count()
-        if n_live == 0:
-            break
-        rounds += 1
-        # 1. forward max-color propagation to fixpoint, semi-naive:
-        # messages flow only from the frontier (vertices whose color
-        # rose last iteration); the old color rides the checkpointed
-        # frame so both the new frontier and the convergence check are
-        # cheap local scans of already-materialized rows.
-        colors = live_nodes.select("node", F.col("node").alias("color"))
-        colors = colors.localCheckpoint(eager=True)
-        frontier = colors
-        while True:
-            msgs = (
-                e.join(
-                    frontier.select(
-                        F.col("node").alias("s"), F.col("color").alias("c")
-                    ),
-                    "s",
-                )
-                .groupBy(F.col("d").alias("node"))
-                .agg(F.max("c").alias("_in"))
-            )
-            nxt = (
-                colors.join(msgs, "node", "left")
-                .select(
-                    "node",
-                    F.greatest(
-                        "color", F.coalesce("_in", F.col("color"))
-                    ).alias("color"),
-                    F.col("color").alias("_old"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            frontier = nxt.where(F.col("color") != F.col("_old")).select(
-                "node", "color"
-            )
-            colors = nxt.select("node", "color")
-            if frontier.count() == 0:
-                break
-        # 2. backward settle, frontier-only, on the same-color edge
-        # subset (computed ONCE per round instead of re-joining colors
-        # every iteration).  A settled vertex's component is simply its
-        # color, carried on the frontier, so no post-loop rejoin.
-        er = (
-            e.join(
-                colors.select(
-                    F.col("node").alias("s"), F.col("color").alias("cs")
-                ),
-                "s",
-            )
-            .join(
-                colors.select(
-                    F.col("node").alias("d"), F.col("color").alias("cd")
-                ),
-                "d",
-            )
-            .where(F.col("cs") == F.col("cd"))
-            .select("s", "d")
-            .localCheckpoint(eager=True)
-        )
-        scc = colors.where(F.col("node") == F.col("color")).select(
-            "node", F.col("color").alias("component")
-        )
-        scc = scc.localCheckpoint(eager=True)
-        frontier_b = scc
-        while True:
-            # flag flows AGAINST edge direction: if d is settled and
-            # (s, d) is a same-class edge, s reaches the root through
-            # d.  New settles are disjoint from the accumulated set by
-            # the anti join, so the union needs no distinct.
-            new = (
-                er.join(
-                    frontier_b.select(
-                        F.col("node").alias("d"), "component"
-                    ),
-                    "d",
-                )
-                .select(F.col("s").alias("node"), "component")
-                .distinct()
-                .join(scc.select("node"), "node", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if new.count() == 0:
-                break
-            scc = scc.unionByName(new)
-            frontier_b = new
-        settled = (
-            scc
-            if settled is None
-            else settled.unionByName(scc).localCheckpoint(eager=True)
-        )
-        # 3. shrink the live subgraph
-        live_nodes = live_nodes.join(
-            scc.select("node"), "node", "left_anti"
-        ).localCheckpoint(eager=True)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         e = (
-            e.join(
-                scc.select(F.col("node").alias("s")), "s", "left_anti"
-            )
-            .join(scc.select(F.col("node").alias("d")), "d", "left_anti")
+            raw.where(F.col("s") != F.col("d"))
+            .distinct()
+            .repartition(parts, "s")
             .localCheckpoint(eager=True)
         )
-    else:
-        raise RuntimeError(
-            f"scc did not settle in {max_rounds} rounds (adversarial "
-            "id-ordered chain? permute ids or raise max_rounds)"
+        nodes_all = (
+            raw.select(F.col("s").alias("node"))
+            .union(raw.select(F.col("d").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        live_nodes = nodes_all
+        n_live = nodes_all.count()
+        for _round in range(max_rounds):
+            if n_live == 0:
+                break
+            rounds += 1
+            # 1. forward max-color propagation to fixpoint.  The
+            # changed-count rides the materialization job as an
+            # Observation metric — one Spark job per iteration, no
+            # separate count action.
+            colors = live_nodes.select(
+                "node", F.col("node").alias("color")
+            ).localCheckpoint(eager=True)
+            frontier = colors
+            n_frontier = n_live
+            first_iter = True
+            while True:
+                fsel = frontier.select(
+                    F.col("node").alias("s"), F.col("color").alias("c")
+                )
+                # frontier-broadcast BFS: the frontier's exact size is
+                # already known from the Observation, so a small
+                # frontier ships map-side and the edge table is never
+                # re-exchanged; large frontiers (the 100 TB regime)
+                # keep the shuffle join
+                if n_frontier <= _BROADCAST_FRONTIER_ROWS:
+                    fsel = F.broadcast(fsel)
+                msgs = (
+                    e.join(fsel, "s")
+                    .groupBy(F.col("d").alias("node"))
+                    .agg(F.max("c").alias("_in"))
+                )
+                obs = Observation()
+                nxt = (
+                    colors.join(msgs, "node", "left")
+                    .select(
+                        "node",
+                        F.greatest(
+                            "color", F.coalesce("_in", F.col("color"))
+                        ).alias("color"),
+                        F.col("color").alias("_old"),
+                    )
+                    .observe(
+                        obs,
+                        F.count(
+                            F.when(F.col("color") != F.col("_old"), 1)
+                        ).alias("chg"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                changed = obs.get["chg"]
+                colors = nxt.select("node", "color")
+                if changed == 0:
+                    break
+                frontier = nxt.where(
+                    F.col("color") != F.col("_old")
+                ).select("node", "color")
+                n_frontier = changed
+                first_iter = False
+            if first_iter:
+                # Acyclic-remainder shortcut: if the very first
+                # iteration raised no color, no edge points to a
+                # lower id, so the live subgraph is a DAG — every
+                # remaining SCC is a singleton.  Settle them all and
+                # skip the backward/shrink machinery entirely.
+                settled_parts.append(
+                    live_nodes.select(
+                        "node", F.col("node").alias("component")
+                    )
+                )
+                break
+            # 2. backward settle on the same-color edge subset
+            # (computed ONCE per round, pre-partitioned by its join
+            # key).  A settled vertex's component is its color,
+            # carried on the frontier; new settles are disjoint from
+            # the accumulated set by the anti join, so unions need no
+            # distinct, and the row count again rides the
+            # materialization as an Observation.
+            cs = colors.select(
+                F.col("node").alias("s"), F.col("color").alias("cs")
+            )
+            cd = colors.select(
+                F.col("node").alias("d"), F.col("color").alias("cd")
+            )
+            if n_live <= _BROADCAST_FRONTIER_ROWS:
+                cs, cd = F.broadcast(cs), F.broadcast(cd)
+            er = (
+                e.join(cs, "s")
+                .join(cd, "d")
+                .where(F.col("cs") == F.col("cd"))
+                .select("s", "d")
+                .repartition(parts, "d")
+                .localCheckpoint(eager=True)
+            )
+            obs = Observation()
+            scc = (
+                colors.where(F.col("node") == F.col("color"))
+                .select("node", F.col("color").alias("component"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            n_frontier_b = obs.get["n"]
+            frontier_b = scc
+            while True:
+                # flag flows AGAINST edge direction: if d is settled
+                # and (s, d) is a same-class edge, s reaches the root
+                # through d
+                fbsel = frontier_b.select(
+                    F.col("node").alias("d"), "component"
+                )
+                if n_frontier_b <= _BROADCAST_FRONTIER_ROWS:
+                    fbsel = F.broadcast(fbsel)
+                obs = Observation()
+                new = (
+                    er.join(fbsel, "d")
+                    .select(F.col("s").alias("node"), "component")
+                    .distinct()
+                    .join(scc.select("node"), "node", "left_anti")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
+                )
+                n_frontier_b = obs.get["n"]
+                if n_frontier_b == 0:
+                    break
+                scc = scc.unionByName(new)
+                frontier_b = new
+            settled_parts.append(scc)
+            # 3. shrink the live subgraph; the next round's live count
+            # rides the shrink job's Observation
+            obs = Observation()
+            live_nodes = (
+                live_nodes.join(scc.select("node"), "node", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            n_live = obs.get["n"]
+            if n_live == 0:
+                break
+            e = (
+                e.join(
+                    scc.select(F.col("node").alias("s")), "s", "left_anti"
+                )
+                .join(
+                    scc.select(F.col("node").alias("d")), "d", "left_anti"
+                )
+                .repartition(parts, "s")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"scc did not settle in {max_rounds} rounds (adversarial "
+                "id-ordered chain? permute ids or raise max_rounds)"
+            )
+        settled = None
+        if settled_parts:
+            settled = settled_parts[0]
+            for part in settled_parts[1:]:
+                settled = settled.unionByName(part)
+            # component label: min node id of the SCC (colors are
+            # max-ids) — ONE global relabel instead of per-round jobs,
+            # materialized under the loop confs
+            labels = settled.groupBy("component").agg(
+                F.min("node").alias("_lbl")
+            )
+            settled = (
+                settled.join(labels, "component")
+                .select("node", F.col("_lbl").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(default_parts)
         )
     if stats is not None:
         stats["rounds"] = rounds
@@ -721,12 +827,7 @@ def strongly_connected_components(
         return nodes_all.select(
             "node", F.col("node").alias("component")
         ).limit(0)
-    # component label: min node id of the SCC (colors are max-ids) —
-    # one global relabel instead of two jobs per outer round
-    labels = settled.groupBy("component").agg(F.min("node").alias("_lbl"))
-    return settled.join(labels, "component").select(
-        "node", F.col("_lbl").alias("component")
-    )
+    return settled
 
 
 def k_core(
