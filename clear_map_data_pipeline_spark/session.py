@@ -92,6 +92,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-batched Python UDTF evaluation (Spark 4): without it a
+        # UDTF plans as row-at-a-time BatchEvalPythonUDTF — the same
+        # pickled-per-row slow path the engine bans for UDFs
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
