@@ -63,7 +63,6 @@ def split_sentences(text: str) -> list[tuple[int, int, int, str]]:
     return spans
 
 
-@udtf(returnType="sentence_idx int, start int, end int, sentence string")
 class SentencesOf:
     """Row-expanding sentence segmentation: one output row per
     sentence of the input text, with character offsets."""
@@ -76,5 +75,24 @@ class SentencesOf:
 
 
 def register_sentences_udtf(spark, name: str = "sentences_of") -> None:
-    """Register the UDTF for SQL lateral joins under ``name``."""
-    spark.udtf.register(name, SentencesOf)
+    """Register the UDTF for SQL lateral joins under ``name``.
+
+    The udtf() wrapper is built HERE, not as a module-level decorator,
+    with ``useArrow=True`` pinned: PySpark resolves the Arrow-vs-
+    pickled eval mode at WRAPPER-CREATION time (``_create_py_udtf``
+    reads the conf once, against whatever session happens to exist),
+    so a module-level decorator imported before the session is
+    configured — e.g. at pytest collection — bakes in the
+    row-at-a-time BatchEvalPythonUDTF path forever (r08: the
+    registry-wide plan lint caught exactly this under full-suite
+    ordering).  Explicit useArrow sidesteps the ambient-conf read;
+    PySpark still falls back gracefully if pyarrow is absent."""
+    spark.udtf.register(
+        name,
+        udtf(
+            SentencesOf,
+            returnType="sentence_idx int, start int, end int, "
+            "sentence string",
+            useArrow=True,
+        ),
+    )

@@ -212,11 +212,7 @@ def tx_sentences_udtf(spark, sf_dir):
     fragment lengths in pure SQL."""
     from ..functions.udtfs import register_sentences_udtf
 
-    # Arrow-batched UDTF evaluation even under a vanilla session (the
-    # driver's) — otherwise the lateral join plans as row-at-a-time
-    # BatchEvalPythonUDTF, the slow path the plan lint bans
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
-    register_sentences_udtf(spark)
+    register_sentences_udtf(spark)  # useArrow pinned inside
     Tables(spark, sf_dir).documents.createOrReplaceTempView("_docs_udtf")
     return spark.sql(
         """

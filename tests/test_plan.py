@@ -260,6 +260,10 @@ def test_registry_wide_plan_lint(spark):
                     flags.append(f"conditional BNLJ: {line.strip()[:80]}")
         if flags:
             offenders[name] = flags
+    # print (not just assert-message) so pytest -q truncation can't
+    # hide WHICH query flagged — r08 saw the offender cut to "{'s..."
+    if offenders:
+        print(f"\nplan-lint offenders: {offenders}")
     assert not offenders, offenders
 
 
