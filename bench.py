@@ -640,7 +640,7 @@ def main() -> None:
     # the budget is spent; anything past it lands as a skipped marker,
     # never as lost evidence.
     wall_budget = float(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "780")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1020")
     )
     # The 100x dedup demo (4-8 min alone) is on-demand now: its
     # observables (CC rounds flat at 2, verified-pair fraction ~2.1e-4)
@@ -673,6 +673,7 @@ def main() -> None:
         li.agg(_F.count("*")).collect()
         noise_floor = min(noise_floor, time.perf_counter() - t0)
 
+    t_setup_done = time.perf_counter()
     # Warm every headline plan at the smallest fixture first: triggers
     # whole-stage codegen compilation, Python-UDF worker spawn (workers
     # are reused afterwards), and broadcast machinery, so the sf0.1
@@ -682,6 +683,7 @@ def main() -> None:
         warm = registry[name].builder(spark, "/root/testdata/sf0.001")
         warm.write.format("noop").mode("overwrite").save()
 
+    t_warm_done = time.perf_counter()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -706,6 +708,11 @@ def main() -> None:
         # medians exist only for queries whose best-of-3 spread blew
         # past 5x min (contention flag -> 2 extra runs, r06 task #5)
         "medians_on_contention": medians,
+        # phase walls: where the pre-demo budget actually goes
+        "phase_wall_sec": {
+            "setup": round(t_setup_done - t_start, 1),
+            "warmup": round(t_warm_done - t_setup_done, 1),
+        },
         "headline_complete": False,
     }
 
@@ -758,8 +765,12 @@ def main() -> None:
     # a wall-clock kill downstream can no longer discard the headline
     # evidence (exactly what happened to BENCH_r07.json).
     full["headline_complete"] = True
+    full["phase_wall_sec"]["headline_loop"] = round(
+        time.perf_counter() - t_warm_done, 1
+    )
     _write_full(full)
     _emit_compact(full)
+    t_members_start = time.perf_counter()
 
     # Per-member itemization for the multi-member movers (r06 task #1,
     # r07 task #8): mechanical decomposition so cross-round drift
@@ -776,6 +787,9 @@ def main() -> None:
             spark, sf_dir, suite, n_runs
         )
         _write_full(full)
+    full["phase_wall_sec"]["suite_members"] = round(
+        time.perf_counter() - t_members_start, 1
+    )
 
     # Post-headline extras: quality metrics first (cheap, part of the
     # standing record), then the scale demos in evidential-value order.
@@ -894,7 +908,7 @@ def main() -> None:
 
     for key, thunk in demo_plan:
         elapsed = time.perf_counter() - t_start
-        if elapsed > wall_budget:
+        if key != "quality_metrics" and elapsed > wall_budget:
             full[key] = {
                 "skipped": "over_wall_budget",
                 "elapsed_sec": round(elapsed, 1),
