@@ -122,31 +122,10 @@ def io_moh_csv_roundtrip(spark, sf_dir):
     rename to the working names (P2).  The oracle replays the staging
     projection with the renamed aliases, so the hash proves the CSV
     encode + schema-pinned decode + rename is an exact identity."""
-    from ..sources.readers import MOH_RAW_COLUMNS, read_moh_csv
+    from ..sources.readers import read_moh_csv
 
-    o = Tables(spark, sf_dir).orders
-    staged = o.select(
-        (F.col("o_orderkey") % 500).cast("string").alias("town_code"),
-        (F.col("o_custkey") % 10).cast("string").alias("agas_code"),
-        F.col("o_orderdate").cast("string").alias("date"),
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit("<15"))
-        .otherwise((F.col("o_orderkey") % 1000).cast("string"))
-        .alias("accumulated_cases"),
-        (F.col("o_orderkey") % 50).cast("string").alias(
-            "new_cases_on_date"
-        ),
-        (F.col("o_custkey") % 2000).cast("string").alias(
-            "accumulated_diagnostic_tests"
-        ),
-        (F.col("o_orderkey") % 97).cast("string").alias(
-            "accumulated_vaccination_first_dose"
-        ),
-        (F.col("o_orderkey") % 5).cast("string").alias(
-            "new_vacc_first_dose_on_date"
-        ),
-    ).select(*MOH_RAW_COLUMNS)
     out = _tracked_mkdtemp("clearmap_io_") + "/moh_csv"
-    staged.write.option("header", True).csv(out)
+    _moh_staged(spark, sf_dir).write.option("header", True).csv(out)
     return read_moh_csv(spark, out)
 
 
@@ -169,6 +148,75 @@ _MOH_SPEC = [
         "new_case", "tests", "vaccine", "new_vaccine",
     )
 ]
+
+
+def _moh_staged(spark, sf_dir):
+    """The MOH-shaped all-string staging frame (8 raw columns in file
+    order, censored '<15' markers) both CSV members write; the oracle
+    is ``_MOH_CSV_SQL``."""
+    from ..sources.readers import MOH_RAW_COLUMNS
+
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        (F.col("o_orderkey") % 500).cast("string").alias("town_code"),
+        (F.col("o_custkey") % 10).cast("string").alias("agas_code"),
+        F.col("o_orderdate").cast("string").alias("date"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("<15"))
+        .otherwise((F.col("o_orderkey") % 1000).cast("string"))
+        .alias("accumulated_cases"),
+        (F.col("o_orderkey") % 50).cast("string").alias(
+            "new_cases_on_date"
+        ),
+        (F.col("o_custkey") % 2000).cast("string").alias(
+            "accumulated_diagnostic_tests"
+        ),
+        (F.col("o_orderkey") % 97).cast("string").alias(
+            "accumulated_vaccination_first_dose"
+        ),
+        (F.col("o_orderkey") % 5).cast("string").alias(
+            "new_vacc_first_dose_on_date"
+        ),
+    ).select(*MOH_RAW_COLUMNS)
+
+
+def io_moh_datasource_roundtrip(spark, sf_dir):
+    """S1's strategic path (ref il_analysis_git.py:37-45), hash-checked
+    modulo the network hop: the custom SPLITTABLE Spark 4 Python
+    DataSource (sources/moh_datasource.py) reads the staged dump
+    through its REAL code path — ``partitions()`` carves byte ranges,
+    each task seeks to the next line boundary and CSV-parses its range
+    — against a single-file CSV assembled exactly like a downloaded
+    dump (the url= option is the same seam with a fetch in front,
+    gated on requests; tests cover it against a fake).  numpartitions=8
+    forces genuine range splitting, so the boundary-seek logic is
+    inside the driver hash, not just the unit tests."""
+    import os
+
+    from ..operators.clean import MOH_RENAME
+    from ..sources.readers import MOH_RAW_COLUMNS
+    from ..sources.moh_datasource import register_moh_source
+
+    staged = _moh_staged(spark, sf_dir)
+    outdir = _tracked_mkdtemp("clearmap_io_") + "/moh_parts"
+    staged.write.option("header", False).csv(outdir)
+    # assemble the single-file dump a real download would be: header
+    # line + byte-concat of the part files (driver-side file I/O, no
+    # row materialization)
+    dump = os.path.join(os.path.dirname(outdir), "moh_dump.csv")
+    with open(dump, "wb") as out:
+        out.write((",".join(MOH_RAW_COLUMNS) + "\n").encode())
+        for part in sorted(os.listdir(outdir)):
+            if part.startswith("part-"):
+                with open(os.path.join(outdir, part), "rb") as f:
+                    out.write(f.read())
+    register_moh_source(spark)
+    raw = (
+        spark.read.format("moh_csv")
+        .option("path", dump)
+        .option("numpartitions", 8)
+        .load()
+    )
+    return raw.select(*MOH_RAW_COLUMNS).toDF(*MOH_RENAME)
 
 
 def _squares(spark, sf_dir):
@@ -319,6 +367,12 @@ register_suite(
         SubQuery(
             "io_moh_csv_roundtrip",
             io_moh_csv_roundtrip,
+            _MOH_CSV_SQL,
+            _MOH_SPEC,
+        ),
+        SubQuery(
+            "io_moh_datasource_roundtrip",
+            io_moh_datasource_roundtrip,
             _MOH_CSV_SQL,
             _MOH_SPEC,
         ),
