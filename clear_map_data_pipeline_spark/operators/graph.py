@@ -114,32 +114,49 @@ def connected_components(
         if use_reliable_checkpoint
         else cur.localCheckpoint(eager=True)
     )
+    # Latency-aware rounds (r08, the gr_scc engine): narrow shuffles +
+    # AQE off inside the star loop — per-round cost on a modest pair
+    # list is per-stage driver latency, not data; a 100 TB pair list
+    # keeps the session width.  The convergence fingerprint rides each
+    # round's materialization job as Observation metrics in the local-
+    # checkpoint mode (reliable checkpoints materialize through an RDD
+    # action that bypasses the SQL listener, so that mode keeps the
+    # separate aggregate job).
     prev_fp = None
-    for _round in range(max_iterations):
-        nxt = _small_star(_large_star(cur))
-        nxt = (
-            nxt.checkpoint(eager=True)
-            if use_reliable_checkpoint
-            else nxt.localCheckpoint(eager=True)
-        )
-        fp = nxt.agg(
-            F.count("*").alias("n"),
-            # bit_xor (not sum): overflow-free under ANSI mode, and the
-            # edge set is distinct so xor-cancellation can't collide two
-            # different sets of equal count except by 64-bit chance
-            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-        ).collect()[0]
-        if prev_fp == (fp["n"], fp["h"]):
+    with _iteration_confs(cur.sparkSession, cur.count()):
+        for _round in range(max_iterations):
+            nxt = _small_star(_large_star(cur))
+            if use_reliable_checkpoint:
+                nxt = nxt.checkpoint(eager=True)
+                fp_row = nxt.agg(
+                    F.count("*").alias("n"),
+                    F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+                ).collect()[0]
+            else:
+                obs = Observation()
+                nxt = nxt.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    # bit_xor (not sum): overflow-free under ANSI mode,
+                    # and the edge set is distinct so xor-cancellation
+                    # can't collide two different sets of equal count
+                    # except by 64-bit chance
+                    F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+                ).localCheckpoint(eager=True)
+                fp_row = obs.get
+            fp = (fp_row["n"], fp_row["h"])
+            if prev_fp == fp:
+                cur = nxt
+                if stats is not None:
+                    stats["rounds"] = _round + 1
+                break
+            prev_fp = fp
             cur = nxt
-            if stats is not None:
-                stats["rounds"] = _round + 1
-            break
-        prev_fp = (fp["n"], fp["h"])
-        cur = nxt
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} rounds"
+            )
 
     # Fixpoint edge set = stars: every non-minimum node has exactly one
     # edge, pointing at its component minimum.
@@ -549,6 +566,34 @@ def k_core_sql(edges_cte: str, k: int, peels: int = 8) -> str:
     """
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _iteration_confs(spark, n_rows: int):
+    """Latency-aware session confs for a fixpoint loop over a
+    MATERIALIZED graph (r08, measured on gr_scc at sf0.1): iteration
+    cost on a modest live graph is per-shuffle-stage driver latency,
+    not data volume.  Inside the block: AQE off (its per-stage re-plan
+    barrier roughly doubles tiny iterative stages and buys nothing a
+    fixed narrow width doesn't) and shuffle width at ~1M-row
+    partitions — never above the session default, so a 100 TB graph
+    keeps its full width.  Both confs restore on exit, exception or
+    not.  Yields the chosen width for explicit repartition() calls."""
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    parts = min(default_parts, max(2, -(-n_rows // 1_000_000)))
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(default_parts)
+        )
+
+
 #: Frontier/dimension rows below which the SCC loop ships the small
 #: side map-side (driver collect + broadcast) instead of exchanging it.
 #: ~1M (node, color) longs is a few tens of MB on the driver — cheap —
@@ -620,8 +665,6 @@ def strongly_connected_components(
     O(n) rounds; ``max_rounds`` bounds the damage and raises rather
     than spinning.  Self-loops are fine; parallel edges are deduped."""
     spark = edges.sparkSession
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     # ONE materialization of the caller's (possibly expensive) edge
     # plan; the normalized edge set and the vertex set both derive
     # from it without recomputing the upstream.
@@ -629,12 +672,9 @@ def strongly_connected_components(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).localCheckpoint(eager=True)
     n_raw = raw.count()  # cheap: counts checkpointed blocks
-    parts = min(default_parts, max(2, -(-n_raw // 1_000_000)))
     settled_parts: list[DataFrame] = []
     rounds = 0
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    with _iteration_confs(spark, n_raw) as parts:
         e = (
             raw.where(F.col("s") != F.col("d"))
             .distinct()
@@ -816,11 +856,6 @@ def strongly_connected_components(
                 .select("node", F.col("_lbl").alias("component"))
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(default_parts)
-        )
     if stats is not None:
         stats["rounds"] = rounds
     if settled is None:
@@ -860,27 +895,42 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Latency-aware peeling (r08, the gr_scc engine): narrow shuffles
+    # + AQE off inside the loop, and the survivor count rides each
+    # round's materialization job as an Observation metric — one Spark
+    # job per peel round instead of two.
+    n_edges = e.count()
     prev_nodes = -1
-    for _round in range(max_rounds):
-        deg = (
-            e.select(F.col("s").alias("node"))
-            .unionByName(e.select(F.col("d").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("_deg"))
-        )
-        keep = deg.where(F.col("_deg") >= k).select("node")
-        keep = keep.localCheckpoint(eager=True)
-        n = keep.count()
-        if stats is not None:
-            stats["rounds"] = _round + 1
-        if n == prev_nodes:
-            return keep
-        prev_nodes = n
-        if n == 0:
-            return keep
-        e = (
-            e.join(keep.select(F.col("node").alias("s")), "s", "left_semi")
-            .join(keep.select(F.col("node").alias("d")), "d", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+    with _iteration_confs(e.sparkSession, n_edges):
+        for _round in range(max_rounds):
+            deg = (
+                e.select(F.col("s").alias("node"))
+                .unionByName(e.select(F.col("d").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("_deg"))
+            )
+            obs = Observation()
+            keep = (
+                deg.where(F.col("_deg") >= k)
+                .select("node")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            n = obs.get["n"]
+            if stats is not None:
+                stats["rounds"] = _round + 1
+            if n == prev_nodes:
+                return keep
+            prev_nodes = n
+            if n == 0:
+                return keep
+            e = (
+                e.join(
+                    keep.select(F.col("node").alias("s")), "s", "left_semi"
+                )
+                .join(
+                    keep.select(F.col("node").alias("d")), "d", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
     raise RuntimeError(f"k_core did not stabilize in {max_rounds} rounds")

@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 
-NULL_TOKEN = "<NULL>"
+#: NULL sentinel, chosen to be UNREACHABLE by any escaped rendering:
+#: the escapes below only ever emit backslash before '\\' or '|', so
+#: the two-char sequence backslash-N cannot appear in a rendered
+#: value — a literal string can no longer collide with SQL NULL
+#: (r08: closes the canon's last non-injective corner; the old
+#: '<NULL>' token was producible by a document actually containing
+#: that text).
+NULL_TOKEN = "\\N"
 
 
 class SubQuery(NamedTuple):

@@ -152,7 +152,8 @@ def test_suite_canon_separator_injective(spark):
         _spark_canon,
     )
 
-    rows = [("a|b", "c"), ("a", "b|c"), ("x\\", "|y"), ("x", "\\|y")]
+    rows = [("a|b", "c"), ("a", "b|c"), ("x\\", "|y"), ("x", "\\|y"),
+            (None, "\\N"), ("\\N", None)]
     sdf = spark.createDataFrame(rows, ["u", "v"])
     spark_payloads = sorted(
         r[0]
@@ -162,10 +163,15 @@ def test_suite_canon_separator_injective(spark):
             )
         ).collect()
     )
-    # injective: the four distinct (u, v) pairs -> four distinct payloads
-    assert len(set(spark_payloads)) == 4
+    # injective: all six distinct (u, v) pairs -> six distinct payloads
+    # (incl. SQL NULL vs the literal string backslash-N: the NULL
+    # sentinel is unreachable by any escaped rendering)
+    assert len(set(spark_payloads)) == 6
     # DuckDB standard string literals are backslash-verbatim
-    vals = ", ".join(f"('{u}', '{v}')" for u, v in rows)
+    def lit(x):
+        return "NULL" if x is None else f"'{x}'"
+
+    vals = ", ".join(f"({lit(u)}, {lit(v)})" for u, v in rows)
     duck_payloads = sorted(
         r[0]
         for r in _dd.connect().execute(
