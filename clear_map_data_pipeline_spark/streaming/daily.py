@@ -54,10 +54,11 @@ def daily_totals_stream(
             F.round("sum_value", 2).alias("sum_value"),
         )
     )
-    from .drain import drain_to_memory
+    from .drain import backlog_state_width, drain_to_memory
 
     return drain_to_memory(
-        agg, spark, query_name, store_provider=store_provider
+        agg, spark, query_name, store_provider=store_provider,
+        pin_state_partitions=backlog_state_width(spark, events_dir),
     )
 
 
@@ -101,6 +102,9 @@ def sliding_totals_stream(
             F.round("sum_value", 2).alias("sum_value"),
         )
     )
+    from .drain import backlog_state_width, drain_to_memory
+
     return drain_to_memory(
-        agg, spark, query_name, store_provider=store_provider
+        agg, spark, query_name, store_provider=store_provider,
+        pin_state_partitions=backlog_state_width(spark, events_dir),
     )

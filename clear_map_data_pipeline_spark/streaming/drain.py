@@ -107,13 +107,34 @@ def stage_stream_source(
     return reader.parquet(events_dir)
 
 
+def backlog_state_width(spark: SparkSession, events_dir: str) -> int:
+    """State-store partition count sized to the staged backlog: ~1M
+    rows per state partition, floor 2, never above the session's
+    parallelism.  The state width is a FIRST-DEPLOYMENT choice — Spark
+    freezes ``spark.sql.shuffle.partitions`` into the checkpoint when a
+    stateful query first starts — so sizing it to the volume the query
+    will actually carry is exactly what a production deployment does;
+    a 100 TB stream's backlog exceeds the threshold and keeps the full
+    session width.  For a bounded fixture drain this removes the
+    dominant fixed cost: every micro-batch (including the final
+    watermark-advance batch) commits EVERY state partition of every
+    stateful operator to the checkpoint, so a 32-wide state layout
+    pays 32x the store-commit files of the 2 partitions the data
+    needs.  The row count is a parquet-footer aggregate, not a scan."""
+    n = spark.read.parquet(events_dir).count()
+    return min(
+        spark.sparkContext.defaultParallelism,
+        max(2, -(-n // 1_000_000)),
+    )
+
+
 def drain_to_memory(
     df: DataFrame,
     spark: SparkSession,
     query_name: str,
     output_mode: str = "append",
     ckpt_prefix: str = "clearmap_stream_ckpt_",
-    pin_state_partitions: bool = False,
+    pin_state_partitions: bool | int = False,
     store_provider: str | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with AvailableNow into a memory-sink
@@ -121,19 +142,23 @@ def drain_to_memory(
     fresh checkpoint per call keeps repeated invocations independent.
 
     ``pin_state_partitions``: the state-store partition count is frozen
-    into the checkpoint at first start; stateful operators pin it to
-    the session's core count instead of the 200 default (safe because
-    the checkpoint is fresh), restoring the caller's setting after.
+    into the checkpoint at first start (safe to pin because the
+    checkpoint is fresh; the caller's setting is restored after).
+    ``True`` pins to the session's core count; an ``int`` pins to that
+    exact width — pass ``backlog_state_width(...)`` to size state to
+    the staged volume.
 
     ``store_provider``: state-store provider class for this drain
     (e.g. ``ROCKSDB_PROVIDER``); None keeps the session default."""
     checkpoint = _tracked_mkdtemp(ckpt_prefix)
     before = spark.conf.get("spark.sql.shuffle.partitions")
     if pin_state_partitions:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            spark.sparkContext.defaultParallelism,
+        width = (
+            spark.sparkContext.defaultParallelism
+            if pin_state_partitions is True
+            else int(pin_state_partitions)
         )
+        spark.conf.set("spark.sql.shuffle.partitions", width)
     try:
         with state_store_provider(spark, store_provider):
             q = (
