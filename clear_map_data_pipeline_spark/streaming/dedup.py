@@ -65,7 +65,7 @@ def deduped_ingest_stream(
         "n_events",
         "sum_value",
     )
-    from .drain import drain_to_memory
+    from .drain import backlog_state_width, drain_to_memory
 
     return drain_to_memory(
         out,
@@ -73,4 +73,5 @@ def deduped_ingest_stream(
         query_name,
         ckpt_prefix="clearmap_dedup_ckpt_",
         store_provider=store_provider,
+        pin_state_partitions=backlog_state_width(spark, events_dir),
     )

@@ -123,7 +123,11 @@ def daily_ewma_stream(
     """Drain the events backlog with AvailableNow through the stateful
     daily-EWMA fold; returns the materialized table
     (user_id, day epoch-day, day_total, ewma)."""
-    from .drain import drain_to_memory, stage_stream_source
+    from .drain import (
+        backlog_state_width,
+        drain_to_memory,
+        stage_stream_source,
+    )
 
     stream = (
         normalize_ts(
@@ -159,6 +163,6 @@ def daily_ewma_stream(
         spark,
         query_name,
         ckpt_prefix="clearmap_ewma_ckpt_",
-        pin_state_partitions=True,
+        pin_state_partitions=backlog_state_width(spark, events_dir),
         store_provider=store_provider,
     )

@@ -68,7 +68,11 @@ def heavy_hitters_stream(
     """Drain the events backlog through per-group streaming MG state;
     returns the materialized snapshot table — one row per (group,
     microbatch), the max-mass row per group being the final summary."""
-    from .drain import drain_to_memory, stage_stream_source
+    from .drain import (
+        backlog_state_width,
+        drain_to_memory,
+        stage_stream_source,
+    )
 
     stream = stage_stream_source(
         spark, events_dir, max_files_per_trigger
@@ -89,6 +93,6 @@ def heavy_hitters_stream(
         query_name,
         output_mode="update",
         ckpt_prefix="clearmap_heavy_ckpt_",
-        pin_state_partitions=True,
+        pin_state_partitions=backlog_state_width(spark, events_dir),
         store_provider=store_provider,
     )

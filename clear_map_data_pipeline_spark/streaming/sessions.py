@@ -128,13 +128,13 @@ def user_sessions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    from .drain import drain_to_memory
+    from .drain import backlog_state_width, drain_to_memory
 
     return drain_to_memory(
         sessions,
         spark,
         query_name,
         ckpt_prefix="clearmap_sessions_ckpt_",
-        pin_state_partitions=True,
+        pin_state_partitions=backlog_state_width(spark, events_dir),
         store_provider=store_provider,
     )
