@@ -566,32 +566,9 @@ def k_core_sql(edges_cte: str, k: int, peels: int = 8) -> str:
     """
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
-def _iteration_confs(spark, n_rows: int):
-    """Latency-aware session confs for a fixpoint loop over a
-    MATERIALIZED graph (r08, measured on gr_scc at sf0.1): iteration
-    cost on a modest live graph is per-shuffle-stage driver latency,
-    not data volume.  Inside the block: AQE off (its per-stage re-plan
-    barrier roughly doubles tiny iterative stages and buys nothing a
-    fixed narrow width doesn't) and shuffle width at ~1M-row
-    partitions — never above the session default, so a 100 TB graph
-    keeps its full width.  Both confs restore on exit, exception or
-    not.  Yields the chosen width for explicit repartition() calls."""
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    parts = min(default_parts, max(2, -(-n_rows // 1_000_000)))
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        yield parts
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(default_parts)
-        )
+# Shared with the Lloyd-trainer and BPE loops (operators/iterate.py);
+# the graph loops were where the regime was first measured.
+from .iterate import iteration_confs as _iteration_confs  # noqa: E402
 
 
 #: Frontier/dimension rows below which the SCC loop ships the small

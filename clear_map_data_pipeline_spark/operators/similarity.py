@@ -653,6 +653,7 @@ def lloyd_centroids(
     re-running the whole fit chain per action, and the values are
     bit-identical either way.
     """
+    from .iterate import iteration_confs
     from .text import hash31
 
     spark = df.sparkSession
@@ -664,6 +665,30 @@ def lloyd_centroids(
         data = [(int(r["cid"]), [float(x) for x in r["_c"]]) for r in rows]
         return spark.createDataFrame(data, "cid long, _c array<double>")
 
+    # The fit is a fixpoint loop over a materialized training slice —
+    # the same latency-bound regime as the graph loops: every iteration
+    # collects at the driver, so per-shuffle-stage latency (3 shuffles x
+    # AQE re-plan barriers at session width) dominates over data volume
+    # on modest slices.  Persist the slice once (MLlib's own Lloyd
+    # caches its training set the same way; train_mod bounds it at
+    # scale) and run the iterations under the shared iteration confs —
+    # AQE off + ~1M-row shuffle width, session values restored on exit.
+    # Results are bit-identical by construction: the integer-unit member
+    # sums are order-independent under any partitioning.
+    t = t.persist()
+    try:
+        n_t = t.count()
+        with iteration_confs(spark, n_t):
+            cents = _lloyd_iterate(t, id_col, k_clusters, max_iter,
+                                   materialize, hash31)
+    finally:
+        t.unpersist()
+    return cents
+
+
+def _lloyd_iterate(t, id_col, k_clusters, max_iter, materialize, hash31):
+    """The Lloyd init + iteration body (see ``lloyd_centroids`` for the
+    full determinism contract); runs under ``_iteration_confs``."""
     cents = materialize(
         t.select(hash31(F.col(id_col)).alias("cid"), F.col("_v").alias("_c"))
         .orderBy("cid")
