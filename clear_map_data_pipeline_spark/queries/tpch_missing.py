@@ -505,13 +505,20 @@ def tpch_q21_suppliers_who_kept_waiting(spark, sf_dir):
     late_cond = F.col("l_receiptdate") > F.col("l_commitdate")
     late = li.filter(late_cond)
     # ONE per-order aggregate carries both existence tests (total
-    # distinct suppliers and distinct LATE suppliers) — a conditional
-    # countDistinct instead of two separate shuffles over the fact
-    stats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_ns"),
-        F.countDistinct(
-            F.when(late_cond, F.col("l_suppkey"))
-        ).alias("_nl"),
+    # distinct suppliers and distinct LATE suppliers).  Shaped as a
+    # distinct-(order, supplier) pre-aggregate + plain count/sum
+    # instead of two countDistincts: multi-countDistinct plans as an
+    # Expand that doubles the fact rows before the shuffle, while the
+    # pair pre-aggregate shuffles each fact row once (map-side
+    # combined) and the second shuffle sees only the distinct pairs.
+    # Same exact values: pairs are distinct, so count(*) == distinct
+    # suppliers and sum(any late) == distinct late suppliers.
+    pairs = li.groupBy(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).agg(F.max(late_cond).alias("_late"))
+    stats = pairs.groupBy("_ok").agg(
+        F.count("*").alias("_ns"),
+        F.sum(F.col("_late").cast("long")).alias("_nl"),
     )
     return (
         late.select("l_orderkey", "l_suppkey")
