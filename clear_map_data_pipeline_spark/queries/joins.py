@@ -274,8 +274,12 @@ def j_sessionization(spark, sf_dir):
             1,
         ).otherwise(0),
     ).withColumn("session_id", F.sum("is_new").over(wc))
+    # session_id is a cumulative 1..k counter within each user (the
+    # first row's boundary flag is always 1), so max == count distinct
+    # — and mixing countDistinct with count(*) would plan an Expand
+    # that doubles the rows feeding the aggregate for no information
     return gapped.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("session_id").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
 
