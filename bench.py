@@ -47,6 +47,22 @@ HEADLINE = [
     "suite_sketches",
 ]
 
+# Headline entries whose plans spawn Python workers (mapInPandas /
+# pandas_udf / UDTF / Python DataSource / streaming machinery).  Only
+# these need the sf0.001 warmup pass: worker-pool spawn + Arrow codec
+# init are one-time process costs a best-of-3 min can't amortize away in
+# 3 runs, while JVM-only plans pay only codegen JIT, which the first
+# sf0.1 run absorbs (r08-verdict task #4: the indiscriminate 27-entry
+# warmup cost 167.6 s of the driver's wall envelope for nothing).
+WARM_PYTHON = {
+    "mm_multimodal_suite",  # mapInPandas codec extraction
+    "suite_text_quality",  # Arrow UDTF (sentence segmentation)
+    "suite_sketches",  # mapInPandas Misra-Gries candidates
+    "suite_io_roundtrip",  # Spark-4 Python DataSource (MOH reader)
+    "suite_streaming_daily",  # Structured Streaming machinery
+    "st_merge_sink",  # foreachBatch merge sink
+}
+
 
 def _ivf_scale_demo(spark) -> dict:
     """Probe economics at 10x the fixture's vector count (r03-verdict
@@ -674,12 +690,14 @@ def main() -> None:
         noise_floor = min(noise_floor, time.perf_counter() - t0)
 
     t_setup_done = time.perf_counter()
-    # Warm every headline plan at the smallest fixture first: triggers
-    # whole-stage codegen compilation, Python-UDF worker spawn (workers
-    # are reused afterwards), and broadcast machinery, so the sf0.1
-    # timings below measure steady-state execution — the regime that
-    # matters at scale — not one-time JIT cost.
+    # Warm only the Python-worker-bearing plans at the smallest fixture:
+    # spawns the reusable Python worker pool + Arrow codecs once, so the
+    # sf0.1 timings below measure steady-state execution.  JVM-only
+    # plans skip this — their only one-time cost (codegen JIT) is
+    # absorbed by the best-of-3 minimum (r08-verdict task #4).
     for name in HEADLINE:
+        if name not in WARM_PYTHON:
+            continue
         warm = registry[name].builder(spark, "/root/testdata/sf0.001")
         warm.write.format("noop").mode("overwrite").save()
 
@@ -721,10 +739,10 @@ def main() -> None:
     def _dump_and_exit(signum, frame):  # pragma: no cover - signal path
         full["terminated_by_signal"] = signum
         _write_full(full)
-        if not full.get("headline_complete"):
-            # partial headline: still emit what exists so the driver
-            # tail parses SOMETHING machine-readable
-            _emit_compact(full)
+        # ALWAYS re-emit, even when the headline already emitted once:
+        # whatever log lines the demo phase produced since then, this
+        # puts the machine-readable line back at the end of the tail
+        _emit_compact(full)
         os._exit(143)
 
     signal.signal(signal.SIGTERM, _dump_and_exit)
@@ -929,6 +947,14 @@ def main() -> None:
     full["total_wall_sec"] = round(time.perf_counter() - t_start, 1)
     _write_full(full)
     spark.stop()
+    # Re-emit the compact contract line as the LAST output of the
+    # process (r08-verdict task #1).  The early post-headline emission
+    # stays for kill-resilience, but on a completed run ~10 minutes of
+    # demo-phase output follow it — r05..r08 all landed parsed:null
+    # because the driver's ~2000-char tail window saw only what printed
+    # last.  After spark.stop() nothing else can write to the stream, so
+    # this line is in the tail no matter what ran before it.
+    _emit_compact(full)
 
 
 if __name__ == "__main__":

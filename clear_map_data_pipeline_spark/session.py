@@ -98,6 +98,11 @@ def get_spark(
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: they are pure stream noise, and in
+        # the bench they flooded the driver's captured output tail so the
+        # one-line stdout contract drowned (r08 verdict #1 — BENCH_r05..r08
+        # all parsed:null; the r08 tail was 100% `[Stage N:...]` bars)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
