@@ -10,6 +10,16 @@ and restores them on exit.  Measured on gr_scc at sf0.1 (r08): ~35%
 wall cut; results are unaffected because every caller's per-round
 computation is order-independent by construction (exact integer sums,
 min/max fixpoints).
+
+NOT CONCURRENCY-SAFE: the context mutates SparkSession-GLOBAL confs
+(``spark.sql.shuffle.partitions``, ``spark.sql.adaptive.enabled``), so
+any query planned on the same session while a loop holds the context
+silently runs narrow with AQE off — correct, but mis-tuned.  The
+engine's execution model is one registered query at a time per session
+(the driver harness, bench.py, and pytest are all serial); embedders
+running concurrent queries on a shared session must not use the
+operators that take this context (gr_scc, lloyd_centroids) while other
+work is in flight, or should give them their own session.
 """
 
 from __future__ import annotations

@@ -688,7 +688,7 @@ def lloyd_centroids(
 
 def _lloyd_iterate(t, id_col, k_clusters, max_iter, materialize, hash31):
     """The Lloyd init + iteration body (see ``lloyd_centroids`` for the
-    full determinism contract); runs under ``_iteration_confs``."""
+    full determinism contract); runs under ``iterate.iteration_confs``."""
     cents = materialize(
         t.select(hash31(F.col(id_col)).alias("cid"), F.col("_v").alias("_c"))
         .orderBy("cid")

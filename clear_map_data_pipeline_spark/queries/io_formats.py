@@ -292,6 +292,43 @@ FROM nation
 _GJ_SPEC = [("n_nationkey", "s"), ("geometry", "s")]
 
 
+def io_geojson_source_decode(spark, sf_dir):
+    """S3/C9 standalone credit (r08-verdict #3, ref il_analysis_git.py
+    :76): a DECODE-ONLY check on the GeoJSON source.  The S4/S5 members
+    prove write->read identity, which a compensating encoder/decoder
+    bug pair could in principle still satisfy; here the staged
+    FeatureCollection is hand-assembled from the nation keys with plain
+    ``json.dumps`` — ``write_geojson`` and ``wkt_to_geojson`` never run
+    — so the hash against the SQL-printf WKT oracle pins the decoder
+    (multiLine JSON scan, feature explode, properties lift,
+    ``geojson_to_wkt``) independently of the encoder.  The key collect
+    is a bounded dimension scalar (25 nations)."""
+    import json
+    import os
+
+    from ..sources.readers import read_geojson
+
+    keys = sorted(
+        r[0]
+        for r in Tables(spark, sf_dir).nation.select("n_nationkey").collect()
+    )
+    feats = []
+    for k in keys:
+        x, y = int(k) % 5 * 3, int(k) // 5 * 3
+        ring = [[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]]
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": {"n_nationkey": int(k)},
+                "geometry": {"type": "Polygon", "coordinates": [ring]},
+            }
+        )
+    path = os.path.join(_tracked_mkdtemp("clearmap_io_"), "literal.geojson")
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return read_geojson(spark, path).select("n_nationkey", "geometry")
+
+
 def io_dates_csv_roundtrip(spark, sf_dir):
     """S6 (ref :202-213): the ragged dates/colors/sums CSV sink —
     unequal-length columns zip_longest-padded to rows — written by the
@@ -389,6 +426,12 @@ register_suite(
             _GJ_SPEC,
         ),
         SubQuery(
+            "io_geojson_source_decode",
+            io_geojson_source_decode,
+            _GJ_POLY_SQL,
+            _GJ_SPEC,
+        ),
+        SubQuery(
             "io_dates_csv_roundtrip",
             io_dates_csv_roundtrip,
             _DATES_CSV_SQL,
@@ -409,7 +452,9 @@ register_suite(
     ],
     doc="Source/sink/maintenance round-trip suite: JSONL write+read, "
     "ORC write+read, the MOH CSV source (S2), the polygon and line "
-    "GeoJSON sink+source pairs (S4/S5), the ragged dates CSV sink "
+    "GeoJSON sink+source pairs (S4/S5), the decode-only GeoJSON "
+    "source check (S3/C9 — hand-assembled FeatureCollection, no "
+    "encoder in the loop), the ragged dates CSV sink "
     "(S6), the write-audit-publish sharded training export, and "
     "small-files compaction (24 shattered files -> ~2 clustered, "
     "builder-asserted) must each be an exact identity — hash-checked "

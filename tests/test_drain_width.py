@@ -87,9 +87,14 @@ def test_checkpoint_freezes_first_start_width(spark):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    state0 = os.path.join(ckpt, "cp", "state", "0")
-    parts = [x for x in os.listdir(state0) if x.isdigit()]
-    assert len(parts) == width, (
-        f"checkpoint froze {len(parts)} state partitions, expected {width}"
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        state0 = os.path.join(ckpt, "cp", "state", "0")
+        parts = [x for x in os.listdir(state0) if x.isdigit()]
+        assert len(parts) == width, (
+            f"checkpoint froze {len(parts)} state partitions, "
+            f"expected {width}"
+        )
+    finally:
+        # clean up even when the assertion fails (ADVICE r08) — the
+        # tracked-tempdir atexit sweep is only a backstop
+        shutil.rmtree(ckpt, ignore_errors=True)
