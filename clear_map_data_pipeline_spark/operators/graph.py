@@ -325,6 +325,13 @@ def pagerank(
         # set — no rejoin needed.  Directed mode LEFT-rejoins onto the
         # node set so in-edge-less nodes keep their (1-d)/N floor,
         # matching the oracle's LEFT JOIN + coalesce.
+        # (r09 negative result, measured: replacing this rejoin with a
+        # pinned constant floor-rank frame unioned into ranks — valid,
+        # since no-inbox nodes' rank is exactly floor from round 1 on —
+        # took the member from 2.6 to 4.3 s at sf0.1: the union makes
+        # next round's ranks side a two-branch plan AQE can no longer
+        # broadcast cheaply, and the anti-join adds a stage.  The
+        # LEFT rejoin with AQE's runtime broadcast is the right shape.)
         if directed:
             sums = nodes.join(sums, "node", "left").select(
                 "node", F.coalesce(F.col("_s"), F.lit(0)).alias("_s")

@@ -191,16 +191,29 @@ def gr_pagerank(spark, sf_dir):
     from ..operators.graph import pagerank
 
     t = Tables(spark, sf_dir)
-    fwd = (
-        t.lineitem.filter(F.col("l_orderkey") % 5 == 0)
-        .select(
-            (2 * F.col("l_partkey")).alias("src"),
-            (2 * F.col("l_suppkey") + 1).alias("dst"),
+    # Symmetrize BEFORE the distinct, via explode: union-of-distinct
+    # (fwd ∪ reverse(fwd)) plans the distinct shuffle TWICE — union
+    # branches don't share subplans — while explode(array(fwd, rev))
+    # is one scan + one distinct over 2x rows.  Same edge set,
+    # measured 2.5 -> 1.9 s at sf0.1 (r09, the r08-verdict #6 ratchet).
+    li = t.lineitem.filter(F.col("l_orderkey") % 5 == 0)
+    edges = (
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (2 * F.col("l_partkey")).alias("src"),
+                        (2 * F.col("l_suppkey") + 1).alias("dst"),
+                    ),
+                    F.struct(
+                        (2 * F.col("l_suppkey") + 1).alias("src"),
+                        (2 * F.col("l_partkey")).alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges)
 
