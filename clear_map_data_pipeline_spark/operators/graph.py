@@ -461,10 +461,16 @@ def triangle_count(
         oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
         ["v", "w"],
     )
+    # Each triangle credits all three of its vertices.  explode(array)
+    # does that in ONE pass over tris; the previous 3-branch union
+    # planned the whole wedge-join subtree once per branch (union
+    # branches don't share subplans — 188 parquet scans in one plan)
+    # and cost 2.2 s vs 1.6 s at sf0.1 (r09).  Pinning the shared
+    # frames instead was measured SLOWER (2.0 s): the cache
+    # materialization barriers cost more than AQE's runtime stage
+    # reuse saves — same verdict as the PageRank union experiment.
     counts = (
-        tris.select(F.col("apex").alias("node"))
-        .unionByName(tris.select(F.col("v").alias("node")))
-        .unionByName(tris.select(F.col("w").alias("node")))
+        tris.select(F.explode(F.array("apex", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
