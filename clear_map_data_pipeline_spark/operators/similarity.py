@@ -688,7 +688,19 @@ def lloyd_centroids(
 
 def _lloyd_iterate(t, id_col, k_clusters, max_iter, materialize, hash31):
     """The Lloyd init + iteration body (see ``lloyd_centroids`` for the
-    full determinism contract); runs under ``iterate.iteration_confs``."""
+    full determinism contract); runs under ``iterate.iteration_confs``.
+
+    Measured rejection (r09): since the centroids are driver-resident
+    at every iteration boundary anyway, assigning via a LITERAL
+    array<struct<cid,c,nc>> + an ``aggregate`` HOF argmax fold — which
+    deletes both the per-iteration BroadcastExchange build and the
+    groupBy(id) argmax shuffle — is bit-identical but ~3x SLOWER at
+    sf0.1 (best-of-3 4.2 vs 15.1 s per fit): a fold over a k*dim
+    literal array evaluates interpreted per row, while the crossJoin
+    keeps the dot/argmax inside whole-stage codegen.  The shuffle it
+    saves was never the wall (same finding as the fused-update probe:
+    the fit is bounded by its per-iteration driver collect barriers,
+    which the re-broadcast design requires)."""
     cents = materialize(
         t.select(hash31(F.col(id_col)).alias("cid"), F.col("_v").alias("_c"))
         .orderBy("cid")
