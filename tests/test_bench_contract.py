@@ -57,3 +57,74 @@ def test_compact_line_sheds_medians_to_fit_tail_window(capsys):
     parsed = json.loads(out)
     assert "medians_on_contention" not in parsed
     assert parsed["queries"]  # the evidence payload survives the shed
+
+
+def test_compact_line_carries_box_factor(capsys):
+    """r09-verdict task #6: the compact line itself must carry the
+    calibration verdict so driver-record adjudication needs zero
+    archaeology."""
+    import bench
+
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": 1.23,
+        "queries": {"q1": 1.23},
+        "sf": 0.1,
+        "noise_floor_sec": 0.1,
+        "calibration": {
+            "ref_sec": bench.CALIBRATION_REF_SEC,
+            "points": {"post_setup": {"min": 1.164, "spread": 0.2}},
+            "box_factor": 1.2,
+        },
+        "medians_on_contention": {},
+    }
+    bench._emit_compact(full)
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["box_factor"] == 1.2
+
+
+def test_box_factor_is_median_of_points_over_ref():
+    """Median over the phase points (one contended phase must not
+    condemn the run), computed from whatever points exist (SIGTERM
+    mid-run still yields a factor)."""
+    import bench
+
+    full = {
+        "calibration": {
+            "ref_sec": bench.CALIBRATION_REF_SEC,
+            "points": {
+                "post_setup": {"min": bench.CALIBRATION_REF_SEC},
+                "post_headline": {"min": 2 * bench.CALIBRATION_REF_SEC},
+                "post_demos": {"min": bench.CALIBRATION_REF_SEC},
+            },
+        }
+    }
+    bench._update_box_factor(full)
+    assert full["calibration"]["box_factor"] == 1.0
+    del full["calibration"]["points"]["post_demos"]
+    bench._update_box_factor(full)  # 2-point median = mean
+    assert full["calibration"]["box_factor"] == 1.5
+
+
+def test_calibration_probe_shape_and_shuffle(spark):
+    """The probe must (a) return the {min, spread} record shape and
+    (b) actually bear a shuffle — an Exchange in the plan — since the
+    whole point is sensing shuffle throughput the scan-only count(*)
+    floor cannot (r09-verdict task #1)."""
+    import bench
+    from pyspark.sql import functions as F
+
+    out = bench._calibration_probe(spark)
+    assert set(out) == {"min", "spread"}
+    assert out["min"] > 0
+    n = 8_000_000
+    plan = (
+        spark.range(0, n, 1, 32)
+        .select((F.col("id") % F.lit(n // 8)).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan
