@@ -845,9 +845,11 @@ def main() -> None:
     # steady-state cost of the PLAN — the quantity that scales with
     # data, and the one a cluster scheduler would amortize to.
     # N is adaptive (r09-verdict task #3): two runs, then a third only
-    # when the faster of the two is >= 1 s — the nine sub-1 s entries'
+    # when the faster of the two is >= 2 s — the sub-1 s entries'
     # best-of-3 third run never moved the min on any committed record,
-    # and dropping it buys wall margin under the driver's envelope.
+    # the 1-2 s band's committed spreads are a few hundred ms (the
+    # medians field now covers the residual risk), and dropping the
+    # third run buys wall margin under the driver's envelope.
     # Contention self-defense (r09-verdict task #1b): when the spread
     # exceeds half the min, the median of the runs already taken is
     # reported alongside, so a record from a loaded box carries its own
@@ -862,7 +864,7 @@ def main() -> None:
             df = registry[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        if min(runs) >= 1.0:
+        if min(runs) >= 2.0:
             t0 = time.perf_counter()
             df = registry[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -904,7 +906,10 @@ def main() -> None:
     # ...} when the budget gate fired — so cross-round drift tooling
     # discriminates on the key, never on duck-typing the value.
     for suite, n_runs in (
-        ("suite_graph", 3),
+        # graph drops 3 -> 2 runs (r10): its members have been steady
+        # across the r07-r09 records, 2 runs still yield min+spread,
+        # and the saved pass funds the suite_tpch itemization below
+        ("suite_graph", 2),
         ("suite_ivf", 2),
         ("suite_streaming_daily", 2),
         ("suite_io_roundtrip", 2),
