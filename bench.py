@@ -84,11 +84,21 @@ def _calibration_probe(spark, warm: bool = False) -> dict:
     pinned to 32 partitions: zero dependence on sf_dir or registry
     state, so the number is comparable across rounds and boxes.
 
-    Per point: min of 3 runs — a transient GC/JIT spike must not read
-    as contention, while *sustained* box slowness (the r09 uniform
-    ~15% drift) raises every run and therefore the min.  ``warm=True``
-    (first point only) adds a discarded run to eat codegen JIT.
+    Per point: MEDIAN of 5 runs (min and spread also recorded).  The
+    median, not the min, is the contention statistic: the first probe
+    night showed the box's dominant failure mode is seconds-scale
+    oscillating bursts, which a min-of-N simply dodges — one full run
+    finished its demo phase 3-5x inflated (bpe 198.9 s vs ~40, hh
+    126.7 vs ~7) while the min-based factor read a self-indicting
+    0.84 "clean"; the same points' spreads (1.3-1.6 on a sub-1 s
+    probe) told the truth.  A median over 5 back-to-back runs samples
+    the burst duty cycle at its base rate, which is also what every
+    best-of-N query in the loop experiences.  A GC/JIT one-off still
+    cannot move the median.  ``warm=True`` (first point only) adds a
+    discarded run to eat codegen JIT.
     """
+    import statistics
+
     from pyspark.sql import functions as F
 
     n = 8_000_000
@@ -102,13 +112,14 @@ def _calibration_probe(spark, warm: bool = False) -> dict:
         .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
     )
     runs = []
-    for i in range(4 if warm else 3):
+    for i in range(6 if warm else 5):
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         if warm and i == 0:
             continue  # discarded JIT-warmup run
         runs.append(time.perf_counter() - t0)
     return {
+        "median": round(statistics.median(runs), 3),
         "min": round(min(runs), 3),
         "spread": round(max(runs) - min(runs), 3),
     }
@@ -116,14 +127,15 @@ def _calibration_probe(spark, warm: bool = False) -> dict:
 
 def _update_box_factor(full: dict) -> None:
     """Recompute box_factor from whatever probe points exist so far:
-    median of the per-point mins over the pinned clean-box reference.
+    median of the per-point MEDIANS over the pinned clean-box
+    reference (see ``_calibration_probe`` for why median, not min).
     Median over the three phase points (post_setup / post_headline /
     post_demos) so one contended phase can't claim the whole run was
     dirty — and a kill mid-run still yields a factor from the points
     already taken."""
     import statistics
 
-    pts = [p["min"] for p in full["calibration"]["points"].values()]
+    pts = [p["median"] for p in full["calibration"]["points"].values()]
     if pts:
         full["calibration"]["box_factor"] = round(
             statistics.median(pts) / CALIBRATION_REF_SEC, 2

@@ -73,7 +73,7 @@ def test_compact_line_carries_box_factor(capsys):
         "noise_floor_sec": 0.1,
         "calibration": {
             "ref_sec": bench.CALIBRATION_REF_SEC,
-            "points": {"post_setup": {"min": 1.164, "spread": 0.2}},
+            "points": {"post_setup": {"median": 1.164, "min": 1.0, "spread": 0.2}},
             "box_factor": 1.2,
         },
         "medians_on_contention": {},
@@ -83,19 +83,20 @@ def test_compact_line_carries_box_factor(capsys):
     assert parsed["box_factor"] == 1.2
 
 
-def test_box_factor_is_median_of_points_over_ref():
-    """Median over the phase points (one contended phase must not
-    condemn the run), computed from whatever points exist (SIGTERM
-    mid-run still yields a factor)."""
+def test_box_factor_is_median_of_point_medians_over_ref():
+    """Median over the phase points' MEDIANS (the min dodges the
+    box's seconds-scale bursts — observed live: a demo phase 3-5x
+    inflated under a min-based factor of 0.84), computed from
+    whatever points exist (SIGTERM mid-run still yields a factor)."""
     import bench
 
     full = {
         "calibration": {
             "ref_sec": bench.CALIBRATION_REF_SEC,
             "points": {
-                "post_setup": {"min": bench.CALIBRATION_REF_SEC},
-                "post_headline": {"min": 2 * bench.CALIBRATION_REF_SEC},
-                "post_demos": {"min": bench.CALIBRATION_REF_SEC},
+                "post_setup": {"median": bench.CALIBRATION_REF_SEC},
+                "post_headline": {"median": 2 * bench.CALIBRATION_REF_SEC},
+                "post_demos": {"median": bench.CALIBRATION_REF_SEC},
             },
         }
     }
@@ -115,8 +116,8 @@ def test_calibration_probe_shape_and_shuffle(spark):
     from pyspark.sql import functions as F
 
     out = bench._calibration_probe(spark)
-    assert set(out) == {"min", "spread"}
-    assert out["min"] > 0
+    assert set(out) == {"median", "min", "spread"}
+    assert out["median"] >= out["min"] > 0
     n = 8_000_000
     plan = (
         spark.range(0, n, 1, 32)
