@@ -127,18 +127,21 @@ def _calibration_probe(spark, warm: bool = False) -> dict:
 
 def _update_box_factor(full: dict) -> None:
     """Recompute box_factor from whatever probe points exist so far:
-    median of the per-point MEDIANS over the pinned clean-box
-    reference (see ``_calibration_probe`` for why median, not min).
-    Median over the three phase points (post_setup / post_headline /
-    post_demos) so one contended phase can't claim the whole run was
-    dirty — and a kill mid-run still yields a factor from the points
-    already taken."""
-    import statistics
-
+    MAX of the per-point MEDIANS over the pinned clean-box reference
+    (see ``_calibration_probe`` for why median, not min, per point).
+    Max across the phase points (post_setup / post_headline /
+    post_demos) because a run is as contended as its worst boundary:
+    the first night's runs showed a median-across-points summary hides
+    a mid-run burst when the bracketing points are clean (one record
+    read 0.84 while its member-itemization phase ran 5x inflated
+    between two clean probes).  A clean run still reads ~1.0 — all
+    three medians sit at the ref — and phase-level nuance stays on the
+    record in ``calibration.points``.  A kill mid-run yields a factor
+    from the points already taken."""
     pts = [p["median"] for p in full["calibration"]["points"].values()]
     if pts:
         full["calibration"]["box_factor"] = round(
-            statistics.median(pts) / CALIBRATION_REF_SEC, 2
+            max(pts) / CALIBRATION_REF_SEC, 2
         )
 
 

@@ -83,11 +83,14 @@ def test_compact_line_carries_box_factor(capsys):
     assert parsed["box_factor"] == 1.2
 
 
-def test_box_factor_is_median_of_point_medians_over_ref():
-    """Median over the phase points' MEDIANS (the min dodges the
-    box's seconds-scale bursts — observed live: a demo phase 3-5x
-    inflated under a min-based factor of 0.84), computed from
-    whatever points exist (SIGTERM mid-run still yields a factor)."""
+def test_box_factor_is_max_of_point_medians_over_ref():
+    """Max over the phase points' MEDIANS: per-point medians because
+    the min dodges the box's seconds-scale bursts (observed live: a
+    demo phase 3-5x inflated under a min-based factor of 0.84), and
+    max across points because a median-across-points hides a mid-run
+    burst bracketed by clean probes (observed live the same night).
+    Computed from whatever points exist (SIGTERM mid-run still yields
+    a factor)."""
     import bench
 
     full = {
@@ -101,10 +104,10 @@ def test_box_factor_is_median_of_point_medians_over_ref():
         }
     }
     bench._update_box_factor(full)
+    assert full["calibration"]["box_factor"] == 2.0  # worst boundary
+    del full["calibration"]["points"]["post_headline"]
+    bench._update_box_factor(full)  # clean points only -> clean factor
     assert full["calibration"]["box_factor"] == 1.0
-    del full["calibration"]["points"]["post_demos"]
-    bench._update_box_factor(full)  # 2-point median = mean
-    assert full["calibration"]["box_factor"] == 1.5
 
 
 def test_calibration_probe_shape_and_shuffle(spark):
