@@ -64,13 +64,15 @@ WARM_PYTHON = {
 }
 
 # Pinned clean-box reference for the shuffle calibration probe
-# (r09-verdict task #1).  Measured on this box in a quiet window
-# (load1 < 1.0, steady-state JVM): the probe's min-of-3 settles at
-# ~0.95-1.0 s.  A record whose box_factor is ~1.0 was taken on a box
-# as healthy as the one that set the standing record; ~1.2+ means the
-# box, not the plans, drifted — the adjudication that took five manual
+# (r09-verdict task #1).  Basis: the quiet-window in-bench post_setup
+# medians across eight guarded sf0.1 runs on 2026-08-16/17 ran
+# 0.77-0.92 s (a first dedicated-session calibration read ~0.97, but
+# in-bench readings are the population box_factor actually divides).
+# A record whose box_factor is ~1.0 was taken on a box as healthy as
+# this calibration night's quiet windows; ~1.2+ means the box, not
+# the plans, drifted — the adjudication that took five manual
 # calibration runs and COVERAGE prose in round 9 is now one field.
-CALIBRATION_REF_SEC = 0.97
+CALIBRATION_REF_SEC = 0.88
 
 
 def _calibration_probe(spark, warm: bool = False) -> dict:
