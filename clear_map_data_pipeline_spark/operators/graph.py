@@ -109,11 +109,17 @@ def connected_components(
     )
 
     cur = _canonical(edges, src, dst)
-    cur = (
-        cur.checkpoint(eager=True)
-        if use_reliable_checkpoint
-        else cur.localCheckpoint(eager=True)
-    )
+    if use_reliable_checkpoint:
+        cur = cur.checkpoint(eager=True)
+        n_cur = cur.count()
+    else:
+        # the canonical-edge count rides the checkpoint job as an
+        # Observation instead of a second count action (r10)
+        obs0 = Observation()
+        cur = cur.observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        n_cur = obs0.get["n"]
     # Latency-aware rounds (r08, the gr_scc engine): narrow shuffles +
     # AQE off inside the star loop — per-round cost on a modest pair
     # list is per-stage driver latency, not data; a 100 TB pair list
@@ -123,7 +129,7 @@ def connected_components(
     # action that bypasses the SQL listener, so that mode keeps the
     # separate aggregate job).
     prev_fp = None
-    with _iteration_confs(cur.sparkSession, cur.count()):
+    with _iteration_confs(cur.sparkSession, n_cur):
         for _round in range(max_iterations):
             nxt = _small_star(_large_star(cur))
             if use_reliable_checkpoint:
@@ -660,11 +666,17 @@ def strongly_connected_components(
     spark = edges.sparkSession
     # ONE materialization of the caller's (possibly expensive) edge
     # plan; the normalized edge set and the vertex set both derive
-    # from it without recomputing the upstream.
-    raw = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint(eager=True)
-    n_raw = raw.count()  # cheap: counts checkpointed blocks
+    # from it without recomputing the upstream.  The row count rides
+    # the checkpoint job as an Observation (r10: every count that used
+    # to be its own action now folds into a job the loop was already
+    # paying — per-round cost here is driver job latency, not data).
+    obs_raw = Observation()
+    raw = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .observe(obs_raw, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_raw = obs_raw.get["n"]
     settled_parts: list[DataFrame] = []
     rounds = 0
     with _iteration_confs(spark, n_raw) as parts:
@@ -674,44 +686,61 @@ def strongly_connected_components(
             .repartition(parts, "s")
             .localCheckpoint(eager=True)
         )
+        obs_nodes = Observation()
         nodes_all = (
             raw.select(F.col("s").alias("node"))
             .union(raw.select(F.col("d").alias("node")))
             .distinct()
+            .observe(obs_nodes, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         live_nodes = nodes_all
-        n_live = nodes_all.count()
+        n_live = obs_nodes.get["n"]
         for _round in range(max_rounds):
             if n_live == 0:
                 break
             rounds += 1
             # 1. forward max-color propagation to fixpoint.  The
-            # changed-count rides the materialization job as an
-            # Observation metric — one Spark job per iteration, no
-            # separate count action.
+            # changed-count AND the root count (color == id, the
+            # backward phase's seed size) ride each materialization
+            # job as Observation metrics — one Spark job per
+            # iteration, no separate count actions.  colors is a
+            # narrow projection of the checkpointed live_nodes, so it
+            # needs no checkpoint job of its own (r10: one fewer job
+            # per outer round).
             colors = live_nodes.select(
                 "node", F.col("node").alias("color")
-            ).localCheckpoint(eager=True)
+            )
             frontier = colors
             n_frontier = n_live
             first_iter = True
+            n_roots = 0
             while True:
-                fsel = frontier.select(
-                    F.col("node").alias("s"), F.col("color").alias("c")
-                )
-                # frontier-broadcast BFS: the frontier's exact size is
-                # already known from the Observation, so a small
-                # frontier ships map-side and the edge table is never
-                # re-exchanged; large frontiers (the 100 TB regime)
-                # keep the shuffle join
-                if n_frontier <= _BROADCAST_FRONTIER_ROWS:
-                    fsel = F.broadcast(fsel)
-                msgs = (
-                    e.join(fsel, "s")
-                    .groupBy(F.col("d").alias("node"))
-                    .agg(F.max("c").alias("_in"))
-                )
+                if first_iter:
+                    # identity frontier (color(v) == v for every live
+                    # node, and e is already the live subgraph): the
+                    # frontier join is a no-op — max over src ids
+                    # directly (r10: drops the join + broadcast build
+                    # from each round's first iteration)
+                    msgs = e.groupBy(F.col("d").alias("node")).agg(
+                        F.max("s").alias("_in")
+                    )
+                else:
+                    fsel = frontier.select(
+                        F.col("node").alias("s"), F.col("color").alias("c")
+                    )
+                    # frontier-broadcast BFS: the frontier's exact size
+                    # is already known from the Observation, so a small
+                    # frontier ships map-side and the edge table is
+                    # never re-exchanged; large frontiers (the 100 TB
+                    # regime) keep the shuffle join
+                    if n_frontier <= _BROADCAST_FRONTIER_ROWS:
+                        fsel = F.broadcast(fsel)
+                    msgs = (
+                        e.join(fsel, "s")
+                        .groupBy(F.col("d").alias("node"))
+                        .agg(F.max("c").alias("_in"))
+                    )
                 obs = Observation()
                 nxt = (
                     colors.join(msgs, "node", "left")
@@ -727,12 +756,20 @@ def strongly_connected_components(
                         F.count(
                             F.when(F.col("color") != F.col("_old"), 1)
                         ).alias("chg"),
+                        F.count(
+                            F.when(F.col("color") == F.col("node"), 1)
+                        ).alias("roots"),
                     )
                     .localCheckpoint(eager=True)
                 )
-                changed = obs.get["chg"]
+                row = obs.get
+                changed = row["chg"]
                 colors = nxt.select("node", "color")
                 if changed == 0:
+                    # at the fixpoint this job's root count IS the
+                    # backward seed size — the separate seed
+                    # materialization job is gone (r10)
+                    n_roots = row["roots"]
                     break
                 frontier = nxt.where(
                     F.col("color") != F.col("_old")
@@ -774,14 +811,13 @@ def strongly_connected_components(
                 .repartition(parts, "d")
                 .localCheckpoint(eager=True)
             )
-            obs = Observation()
-            scc = (
-                colors.where(F.col("node") == F.col("color"))
-                .select("node", F.col("color").alias("component"))
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint(eager=True)
+            # the seed is a narrow filter over the last forward job's
+            # checkpointed frame, and its size was observed by that
+            # job — no materialization job needed (r10)
+            scc = colors.where(F.col("node") == F.col("color")).select(
+                "node", F.col("color").alias("component")
             )
-            n_frontier_b = obs.get["n"]
+            n_frontier_b = n_roots
             frontier_b = scc
             while True:
                 # flag flows AGAINST edge direction: if d is settled
@@ -879,6 +915,7 @@ def k_core(
     Self-loops are ignored; parallel edges count once."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    obs_e = Observation()
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s") != F.col("d"))
@@ -886,44 +923,61 @@ def k_core(
             F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
         )
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # Latency-aware peeling (r08, the gr_scc engine): narrow shuffles
-    # + AQE off inside the loop, and the survivor count rides each
-    # round's materialization job as an Observation metric — one Spark
-    # job per peel round instead of two.
-    n_edges = e.count()
-    prev_nodes = -1
+    # + AQE off inside the loop.  r10 job-count pass: the per-round
+    # keep-set materialization is FUSED into the edge-shrink job (keep
+    # is a lazy degree filter over the checkpointed edge frame; small
+    # keep sets broadcast into the semi joins), the surviving-EDGE
+    # count rides that one job as an Observation, and convergence is
+    # edge-set stability — peeling shrinks the edge set monotonically,
+    # so equal consecutive counts mean an identical edge set, which
+    # fixes the degree map and therefore the keep set (the old
+    # node-count test, same fixpoint).  One Spark job per peel round
+    # instead of two; the input-edge count rides the normalization
+    # checkpoint the same way.
+    n_edges = obs_e.get["n"]
     with _iteration_confs(e.sparkSession, n_edges):
         for _round in range(max_rounds):
-            deg = (
+            if n_edges == 0:
+                # nothing left: no node has degree >= k
+                if stats is not None:
+                    stats["rounds"] = _round
+                return e.select(F.col("s").alias("node")).limit(0)
+            keep = (
                 e.select(F.col("s").alias("node"))
                 .unionByName(e.select(F.col("d").alias("node")))
                 .groupBy("node")
                 .agg(F.count("*").alias("_deg"))
-            )
-            obs = Observation()
-            keep = (
-                deg.where(F.col("_deg") >= k)
+                .where(F.col("_deg") >= k)
                 .select("node")
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint(eager=True)
             )
-            n = obs.get["n"]
-            if stats is not None:
-                stats["rounds"] = _round + 1
-            if n == prev_nodes:
-                return keep
-            prev_nodes = n
-            if n == 0:
-                return keep
-            e = (
+            if n_edges * 2 <= _BROADCAST_FRONTIER_ROWS:
+                keep = F.broadcast(keep)
+            obs = Observation()
+            nxt = (
                 e.join(
                     keep.select(F.col("node").alias("s")), "s", "left_semi"
                 )
                 .join(
                     keep.select(F.col("node").alias("d")), "d", "left_semi"
                 )
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
+            n_next = obs.get["n"]
+            if stats is not None:
+                stats["rounds"] = _round + 1
+            if n_next == n_edges:
+                # edge fixpoint: no edge dropped, so every endpoint
+                # already has degree >= k — the survivors are exactly
+                # the distinct endpoints
+                return (
+                    nxt.select(F.col("s").alias("node"))
+                    .unionByName(nxt.select(F.col("d").alias("node")))
+                    .distinct()
+                )
+            e, n_edges = nxt, n_next
     raise RuntimeError(f"k_core did not stabilize in {max_rounds} rounds")
