@@ -584,6 +584,42 @@ def test_k_core_validation(spark):
         k_core(df, 0)
 
 
+def test_k_core_peels_to_empty(spark):
+    """A path graph has no 2-core: the peel must shrink the edge set
+    all the way to empty and return zero rows (the r10 fused
+    keep+shrink loop's n_edges == 0 exit)."""
+    from clear_map_data_pipeline_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert k_core(df, 2).collect() == []
+
+
+def test_k_core_self_loops_only(spark):
+    """Self-loops are ignored, so a loop-only input normalizes to an
+    empty edge set before the first peel round (the r10 loop's
+    entry-empty exit)."""
+    from clear_map_data_pipeline_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert k_core(df, 1).collect() == []
+
+
+def test_k_core_immediate_fixpoint_returns_endpoints(spark):
+    """Input already equal to its k-core: the first round drops no
+    edge, and the fused loop's edge-fixpoint exit must return exactly
+    the distinct endpoints."""
+    from clear_map_data_pipeline_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(clique, "src long, dst long")
+    stats = {}
+    got = {r["node"] for r in k_core(df, 3, stats=stats).collect()}
+    assert got == {0, 1, 2, 3}
+    assert stats["rounds"] == 1
+
+
 def _duck_edges_cte(edges):
     vals = ", ".join(f"({s}, {d})" for s, d in edges)
     return f"e(src, dst) AS (VALUES {vals})"
