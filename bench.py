@@ -74,6 +74,16 @@ WARM_PYTHON = {
 # calibration runs and COVERAGE prose in round 9 is now one field.
 CALIBRATION_REF_SEC = 0.88
 
+#: Core count the reference above was pinned at.  The probe's fixed
+#: 8M-row / 32-partition shape is compute-bound, so its wall scales
+#: with available cores: at SPARK_GRAFT_CPUS=8 a CLEAN box reads ~1.5x
+#: the 32-core ref (measured r10) — that is core-count, not
+#: contention.  box_factor is therefore only emitted when the run's
+#: core count matches the reference's; other widths (the driver's
+#: scaling runs) keep the raw probe points on the record but no
+#: factor, rather than a number that conflates the two causes.
+CALIBRATION_REF_CPUS = 32
+
 
 def _calibration_probe(spark, warm: bool = False) -> dict:
     """Shuffle-bearing box-health probe (r09-verdict task #1): a fixed
@@ -139,7 +149,10 @@ def _update_box_factor(full: dict) -> None:
     between two clean probes).  A clean run still reads ~1.0 — all
     three medians sit at the ref — and phase-level nuance stays on the
     record in ``calibration.points``.  A kill mid-run yields a factor
-    from the points already taken."""
+    from the points already taken.  No factor when the run's core
+    count differs from the reference's (see CALIBRATION_REF_CPUS)."""
+    if full["calibration"].get("cpus") != CALIBRATION_REF_CPUS:
+        return
     pts = [p["median"] for p in full["calibration"]["points"].values()]
     if pts:
         full["calibration"]["box_factor"] = round(
@@ -826,6 +839,8 @@ def main() -> None:
         # reference + the derived box_factor (r09-verdict tasks #1/#6)
         "calibration": {
             "ref_sec": CALIBRATION_REF_SEC,
+            "ref_cpus": CALIBRATION_REF_CPUS,
+            "cpus": cpus,
             "points": {"post_setup": cal_post_setup},
         },
         "spread": spreads,

@@ -96,6 +96,8 @@ def test_box_factor_is_max_of_point_medians_over_ref():
     full = {
         "calibration": {
             "ref_sec": bench.CALIBRATION_REF_SEC,
+            "ref_cpus": bench.CALIBRATION_REF_CPUS,
+            "cpus": bench.CALIBRATION_REF_CPUS,
             "points": {
                 "post_setup": {"median": bench.CALIBRATION_REF_SEC},
                 "post_headline": {"median": 2 * bench.CALIBRATION_REF_SEC},
@@ -108,6 +110,29 @@ def test_box_factor_is_max_of_point_medians_over_ref():
     del full["calibration"]["points"]["post_headline"]
     bench._update_box_factor(full)  # clean points only -> clean factor
     assert full["calibration"]["box_factor"] == 1.0
+
+
+def test_box_factor_absent_off_reference_core_count():
+    """The 0.88 s probe reference was pinned at 32 cores; the probe's
+    fixed 8M-row/32-partition shape is compute-bound, so a CLEAN box
+    at SPARK_GRAFT_CPUS=8 reads ~1.5x ref (measured r10) — core
+    count, not contention.  The driver's lower-core scaling runs must
+    therefore carry the raw probe points but NO factor, instead of a
+    number that conflates the two causes."""
+    import bench
+
+    full = {
+        "calibration": {
+            "ref_sec": bench.CALIBRATION_REF_SEC,
+            "ref_cpus": bench.CALIBRATION_REF_CPUS,
+            "cpus": 8,
+            "points": {
+                "post_setup": {"median": 1.5 * bench.CALIBRATION_REF_SEC}
+            },
+        }
+    }
+    bench._update_box_factor(full)
+    assert "box_factor" not in full["calibration"]
 
 
 def test_calibration_probe_shape_and_shuffle(spark):
