@@ -212,10 +212,17 @@ def quantile_vector_distributed(
 
     Each task holds one range partition — memory is bounded by the
     partition size, not the distinct-value count, so this is the exact
-    path that survives 100 TB."""
+    path that survives 100 TB.  The partition count is sized to the
+    projected column's estimated bytes (r11: was ``defaultParallelism``
+    — 32 range partitions, a sampling pass and ~150 extra tasks for a
+    1.5 MB column on local[32], while simultaneously far too few
+    partitions at 100 TB; byte-proportional sizing is also what makes
+    the bounded-memory claim above literally true)."""
+    from ..session import data_proportional_partitions, literal_frame
+
     spark = df.sparkSession
-    nparts = spark.sparkContext.defaultParallelism
     v = df.select(F.col(value).alias("_v")).filter(F.col("_v").isNotNull())
+    nparts = data_proportional_partitions(v)
     vp = (
         v.repartitionByRange(nparts, "_v")
         .withColumn("_pid", F.spark_partition_id())
@@ -227,7 +234,7 @@ def quantile_vector_distributed(
     )
     n = sum(c for _, c in counts)
     if n == 0:
-        return spark.createDataFrame([], "q_idx int, q_value double")
+        return literal_frame(spark, [], "q_idx int, q_value double")
     offsets, acc = [], 0
     for pid, c in counts:
         offsets.append((pid, acc))
@@ -239,7 +246,7 @@ def quantile_vector_distributed(
         hi = lo if h == lo else min(lo + 1, n)
         targets.append((i + 1, lo, hi, h - lo))
     need = sorted({r for _, lo, hi, _ in targets for r in (lo, hi)})
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    off_df = literal_frame(spark, offsets, "_pid int, _off long")
     picked = {
         r["_rn"]: r["_v"]
         for r in (
@@ -255,7 +262,8 @@ def quantile_vector_distributed(
         )
     }
     vp.unpersist(blocking=False)
-    t_df = spark.createDataFrame(
+    t_df = literal_frame(
+        spark,
         [
             (q_idx, float(picked[lo]), float(picked[hi]), frac)
             for q_idx, lo, hi, frac in targets

@@ -9,7 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import Tables
+from ..session import Tables, literal_frame
 from .suites import SubQuery, register_suite
 
 
@@ -732,7 +732,8 @@ def j_range_bucket_join(spark, sf_dir):
     for non-overlapping ranges — including below-range rows, which get
     a NULL tier_id and match no tier — and the plan stays
     BroadcastHashJoin + partial/final hash aggregate at any scale."""
-    spark_tiers = spark.createDataFrame(
+    spark_tiers = literal_frame(
+        spark,
         [(tid, name, mult) for tid, name, _, _, mult in VALUE_TIERS],
         "tier_id int, tier_name string, multiplier double",
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from ..registry import register
 from pyspark.sql import functions as F
 
-from ..session import Tables
+from ..session import Tables, literal_frame
 from ..streaming.daily import daily_totals_stream, sliding_totals_stream
 from ..streaming.dedup import deduped_ingest_stream, stage_backlog
 from ..streaming.drain import _tracked_mkdtemp
@@ -254,8 +254,8 @@ def st_enriched_totals(spark, sf_dir):
     closed-window watermark rule."""
     from ..streaming.enrich import enriched_daily_totals_stream
 
-    dim = spark.createDataFrame(
-        list(ENRICH_DIM.items()), ["event_type", "category"]
+    dim = literal_frame(
+        spark, list(ENRICH_DIM.items()), "event_type string, category string"
     )
     return enriched_daily_totals_stream(
         spark, f"{sf_dir}/events.parquet", dim,

@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import merge_upsert
-from ..session import normalize_parquet_confs
+from ..session import literal_frame, normalize_parquet_confs
 
 
 def latest_version(table_root: str) -> int | None:
@@ -68,8 +68,11 @@ def streaming_merge_sink(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cur = latest_version(table_root)
         if cur is None:
-            base = spark.createDataFrame(
-                [], batch_df.select(*table_cols).schema
+            # empty LocalRelation, not createDataFrame([], ...): the
+            # latter parallelizes into defaultParallelism EMPTY slices,
+            # so the first microbatch's merge scans 32 empty tasks
+            base = literal_frame(
+                spark, [], batch_df.select(*table_cols).schema
             )
         else:
             base = spark.read.parquet(f"{table_root}/v{cur}")
@@ -100,5 +103,5 @@ def streaming_merge_sink(
     q.awaitTermination()
     final = latest_version(table_root)
     if final is None:
-        return spark.createDataFrame([], batch_schema)
+        return literal_frame(spark, [], batch_schema)
     return spark.read.parquet(f"{table_root}/v{final}")
