@@ -877,11 +877,13 @@ def main() -> None:
     # steady-state cost of the PLAN — the quantity that scales with
     # data, and the one a cluster scheduler would amortize to.
     # N is adaptive (r09-verdict task #3): two runs, then a third only
-    # when the faster of the two is >= 2 s — the sub-1 s entries'
-    # best-of-3 third run never moved the min on any committed record,
-    # the 1-2 s band's committed spreads are a few hundred ms (the
-    # medians field now covers the residual risk), and dropping the
-    # third run buys wall margin under the driver's envelope.
+    # when the faster of the two is >= 0.5 s.  The threshold was 2 s in
+    # r10; that trim exposed the 0.5-2 s band to min-of-2 bias, and the
+    # r10 driver record duly flagged j_range_bucket_join (0.70 -> 1.11 s
+    # with no code change in its path) — r10-verdict task #2 restores
+    # the third run for that band (~5 s of wall, envelope has ~200 s of
+    # margin).  Sub-0.5 s entries keep best-of-2: their third run never
+    # moved the min on any committed record.
     # Contention self-defense (r09-verdict task #1b): when the spread
     # exceeds half the min, the median of the runs already taken is
     # reported alongside, so a record from a loaded box carries its own
@@ -896,7 +898,7 @@ def main() -> None:
             df = registry[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        if min(runs) >= 2.0:
+        if min(runs) >= 0.5:
             t0 = time.perf_counter()
             df = registry[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -949,6 +951,11 @@ def main() -> None:
         # un-itemized mover — q21/q1/q9 walls now live on the record
         # instead of docstrings.  n_runs=2 like the other steady suites.
         ("suite_tpch", 2),
+        # r10-verdict task #4: the "stage floor / no member above
+        # floor" dispositions for these two suites move from
+        # OPTIMIZATION prose onto the committed record.
+        ("suite_sketches", 2),
+        ("suite_dedup_exact", 2),
     ):
         # Budget-gated like the demo plan: on a contended box the
         # headline loop alone can approach the budget, and the driver's
