@@ -593,11 +593,20 @@ def k_core_sql(edges_cte: str, k: int, peels: int = 8) -> str:
 from .iterate import iteration_confs as _iteration_confs  # noqa: E402
 
 
-#: Frontier/dimension rows below which the SCC loop ships the small
-#: side map-side (driver collect + broadcast) instead of exchanging it.
-#: ~1M (node, color) longs is a few tens of MB on the driver — cheap —
-#: while big-graph rounds past the threshold keep full shuffle joins.
-_BROADCAST_FRONTIER_ROWS = 1_000_000
+#: Broadcast budget for the iterative loops' small sides (r10-verdict
+#: task #5: a BYTE budget, not a row count — rows are a proxy that
+#: mis-sizes once row width varies).  32 MB built relations are cheap
+#: to collect and ship on any driver/executor sizing; loops past the
+#: budget keep full shuffle joins (the 100 TB regime).
+_BROADCAST_BUDGET_BYTES = 32 << 20
+
+
+def _fits_broadcast(n_rows: int, row_bytes: int = 20) -> bool:
+    """Conservative byte-estimate broadcast guard: ``n_rows`` of
+    ``row_bytes`` each against the single budget above.  The loop
+    frames are two longs (frontier/colors: 16 data bytes + Tungsten
+    row overhead ~= 20) or one long (k-core keep set: 16)."""
+    return n_rows * row_bytes <= _BROADCAST_BUDGET_BYTES
 
 
 def strongly_connected_components(
@@ -705,9 +714,11 @@ def strongly_connected_components(
             # backward phase's seed size) ride each materialization
             # job as Observation metrics — one Spark job per
             # iteration, no separate count actions.  colors is a
-            # narrow projection of the checkpointed live_nodes, so it
-            # needs no checkpoint job of its own (r10: one fewer job
-            # per outer round).
+            # narrow projection of live_nodes (round 0: the
+            # checkpointed vertex set; later rounds: the LAZY
+            # anti-join shrink, which this round's first forward job
+            # materializes), so it needs no checkpoint job of its own
+            # (r10; the lazy shrink is r11).
             colors = live_nodes.select(
                 "node", F.col("node").alias("color")
             )
@@ -734,7 +745,7 @@ def strongly_connected_components(
                     # frontier ships map-side and the edge table is
                     # never re-exchanged; large frontiers (the 100 TB
                     # regime) keep the shuffle join
-                    if n_frontier <= _BROADCAST_FRONTIER_ROWS:
+                    if _fits_broadcast(n_frontier):
                         fsel = F.broadcast(fsel)
                     msgs = (
                         e.join(fsel, "s")
@@ -776,6 +787,12 @@ def strongly_connected_components(
                 ).select("node", "color")
                 n_frontier = changed
                 first_iter = False
+            # colors is now a projection of the last forward job's
+            # checkpoint; rebinding live_nodes to it truncates the
+            # lazy shrink lineage carried into this round (r11: the
+            # per-round live-shrink materialization job is gone — the
+            # anti-join rides the first forward job instead)
+            live_nodes = colors.select("node")
             if first_iter:
                 # Acyclic-remainder shortcut: if the very first
                 # iteration raised no color, no edge points to a
@@ -801,7 +818,7 @@ def strongly_connected_components(
             cd = colors.select(
                 F.col("node").alias("d"), F.col("color").alias("cd")
             )
-            if n_live <= _BROADCAST_FRONTIER_ROWS:
+            if _fits_broadcast(n_live):
                 cs, cd = F.broadcast(cs), F.broadcast(cd)
             er = (
                 e.join(cs, "s")
@@ -818,6 +835,7 @@ def strongly_connected_components(
                 "node", F.col("color").alias("component")
             )
             n_frontier_b = n_roots
+            n_settled = n_roots
             frontier_b = scc
             while True:
                 # flag flows AGAINST edge direction: if d is settled
@@ -826,7 +844,7 @@ def strongly_connected_components(
                 fbsel = frontier_b.select(
                     F.col("node").alias("d"), "component"
                 )
-                if n_frontier_b <= _BROADCAST_FRONTIER_ROWS:
+                if _fits_broadcast(n_frontier_b):
                     fbsel = F.broadcast(fbsel)
                 obs = Observation()
                 new = (
@@ -840,20 +858,25 @@ def strongly_connected_components(
                 n_frontier_b = obs.get["n"]
                 if n_frontier_b == 0:
                     break
+                n_settled += n_frontier_b
                 scc = scc.unionByName(new)
                 frontier_b = new
             settled_parts.append(scc)
-            # 3. shrink the live subgraph; the next round's live count
-            # rides the shrink job's Observation
-            obs = Observation()
-            live_nodes = (
-                live_nodes.join(scc.select("node"), "node", "left_anti")
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint(eager=True)
-            )
-            n_live = obs.get["n"]
+            # 3. shrink the live subgraph.  The settled set's size is
+            # known exactly (the root seed + every disjoint backward
+            # batch, each observed on its own job), so the next
+            # round's live count is ARITHMETIC — n_live - n_settled —
+            # and the live-shrink needs no materialization job of its
+            # own: the anti-join stays lazy and rides the next
+            # round's first forward job (r11, the same fold that paid
+            # for the r10 graph pass; live_nodes is rebound to the
+            # forward checkpoint at that round's fixpoint).
+            n_live -= n_settled
             if n_live == 0:
                 break
+            live_nodes = live_nodes.join(
+                scc.select("node"), "node", "left_anti"
+            )
             e = (
                 e.join(
                     scc.select(F.col("node").alias("s")), "s", "left_anti"
@@ -954,7 +977,8 @@ def k_core(
                 .where(F.col("_deg") >= k)
                 .select("node")
             )
-            if n_edges * 2 <= _BROADCAST_FRONTIER_ROWS:
+            # keep has at most 2*n_edges rows of one long each
+            if _fits_broadcast(2 * n_edges, row_bytes=16):
                 keep = F.broadcast(keep)
             obs = Observation()
             nxt = (
@@ -970,6 +994,13 @@ def k_core(
             n_next = obs.get["n"]
             if stats is not None:
                 stats["rounds"] = _round + 1
+            if n_next == 0:
+                # the peel emptied the edge set — converged (r10
+                # ADVICE: deferring this to the next round's top made
+                # a peel that empties exactly on round max_rounds
+                # raise despite having converged); same rounds count
+                # as the old next-round-top exit
+                return nxt.select(F.col("s").alias("node")).limit(0)
             if n_next == n_edges:
                 # edge fixpoint: no edge dropped, so every endpoint
                 # already has degree >= k — the survivors are exactly

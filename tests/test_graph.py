@@ -596,6 +596,44 @@ def test_k_core_peels_to_empty(spark):
     assert k_core(df, 2).collect() == []
 
 
+def test_fits_broadcast_is_a_byte_budget():
+    """The loop broadcast guard is a byte estimate against one budget
+    (r10-verdict task #5), not a raw row threshold: wider rows admit
+    proportionally fewer of them."""
+    from clear_map_data_pipeline_spark.operators.graph import (
+        _BROADCAST_BUDGET_BYTES,
+        _fits_broadcast,
+    )
+
+    limit_default = _BROADCAST_BUDGET_BYTES // 20
+    assert _fits_broadcast(limit_default)
+    assert not _fits_broadcast(limit_default + 1)
+    # same budget, narrower rows -> more rows admitted
+    assert _fits_broadcast(_BROADCAST_BUDGET_BYTES // 16, row_bytes=16)
+    assert not _fits_broadcast(limit_default + 1, row_bytes=20)
+    assert not _fits_broadcast(10_000, row_bytes=10_000)
+
+
+def test_k_core_empty_on_final_allowed_round(spark):
+    """A peel that empties the edge set EXACTLY on round max_rounds has
+    converged and must return empty, not raise (r10 ADVICE: the old
+    next-round-top empty check deferred the exit past the round
+    budget).  Path of 5 at k=2 empties on round 2: round 1 drops the
+    endpoints (4 -> 2 edges), round 2 drops everything."""
+    from clear_map_data_pipeline_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    stats = {}
+    assert k_core(df, 2, max_rounds=2, stats=stats).collect() == []
+    assert stats["rounds"] == 2
+    # same rounds accounting as the roomy-budget run
+    stats_roomy = {}
+    assert k_core(df, 2, max_rounds=60, stats=stats_roomy).collect() == []
+    assert stats_roomy["rounds"] == 2
+
+
 def test_k_core_self_loops_only(spark):
     """Self-loops are ignored, so a loop-only input normalizes to an
     empty edge set before the first peel round (the r10 loop's
